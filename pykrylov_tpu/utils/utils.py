@@ -1,0 +1,138 @@
+"""Numerics utilities.
+
+Functional, JAX-first equivalents of the reference helpers
+(``/root/reference/pykrylov/tools/utils.py``): machine epsilon, a stable
+quadratic-root solver with Newton refinement, and randomized symmetry /
+positive-definiteness probes usable as test oracles.  The probes take an
+explicit PRNG key (JAX style) instead of seeding a global RNG.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def machine_epsilon(dtype=None) -> float:
+    """Unit roundoff of ``dtype`` (default: current default float)."""
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    return float(jnp.finfo(dtype).eps)
+
+
+def roots_quadratic(q2, q1, q0, tol=1.0e-8, nitref=1):
+    """Real roots of q2 x^2 + q1 x + q0, numerically stable.
+
+    Handles the degenerate linear/constant cases, picks the root formula
+    that avoids cancellation, and polishes each root with ``nitref`` Newton
+    steps.  Mirrors the behavior of the reference helper
+    (``tools/utils.py:12-60``) which follows the GALAHAD ROOTS approach.
+    Returns a list of real roots (possibly empty).
+    """
+    q2, q1, q0 = float(q2), float(q1), float(q0)
+    a_big = max(abs(q0), abs(q1), abs(q2))
+    if a_big == 0.0:
+        return [0.0]  # identically zero polynomial: report 0
+    # Degeneracy decided on coefficients normalized by the largest one, so a
+    # huge |q1| cannot absorb a genuinely nonzero leading coefficient.
+    if abs(q2) == 0.0 or abs(q2 / a_big) <= tol * np.finfo(np.float64).eps / 1e-8:
+        if abs(q1) == 0.0:
+            roots = [] if abs(q0) > 0.0 else [0.0]
+        else:
+            roots = [-q0 / q1]
+    else:
+        disc = q1 * q1 - 4.0 * q2 * q0
+        if disc < 0.0:
+            return []
+        sq = np.sqrt(disc)
+        # Root with the sign choice that avoids cancellation.
+        if q1 >= 0.0:
+            big = -0.5 * (q1 + sq)
+        else:
+            big = -0.5 * (q1 - sq)
+        if big != 0.0:
+            roots = [big / q2, q0 / big]
+        else:
+            roots = [0.0, 0.0]
+
+    # Newton polishing.
+    polished = []
+    for r in roots:
+        for _ in range(nitref):
+            val = (q2 * r + q1) * r + q0
+            der = 2.0 * q2 * r + q1
+            if der != 0.0:
+                r = r - val / der
+        polished.append(r)
+    return polished
+
+
+def _probe(op, n, dtype, key, nprobe):
+    keys = jax.random.split(key, 2 * nprobe)
+    xs = [jax.random.normal(k, (n,), dtype=dtype) for k in keys[:nprobe]]
+    ys = [jax.random.normal(k, (n,), dtype=dtype) for k in keys[nprobe:]]
+    return xs, ys
+
+
+def check_symmetric(op, key=None, nprobe: int = 10, tol=None) -> bool:
+    """Randomized symmetry test: compares <Ax, Ax> with <x, A(Ax)>.
+
+    Same oracle as the reference (``tools/utils.py:63-85``) — draw random
+    probes, apply the operator twice, and compare the two inner products
+    against a scale-aware threshold.  ``key`` defaults to a fixed seed for
+    reproducibility (the reference seeds ``np.random.seed(1)``).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(1)
+    m, n = op.shape
+    if m != n:
+        return False
+    dtype = op.dtype
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        rdtype = jnp.zeros(0, dtype).real.dtype
+    else:
+        rdtype = dtype
+    eps = machine_epsilon(rdtype)
+    keys = jax.random.split(key, nprobe)
+    for k in keys:
+        x = jax.random.normal(k, (n,), dtype=rdtype).astype(dtype)
+        Ax = op * x
+        AAx = op * Ax
+        s1 = jnp.vdot(Ax, Ax)
+        s2 = jnp.vdot(x, AAx)
+        scale = jnp.abs(s1)
+        thresh = tol if tol is not None else float((scale + eps) * eps ** (1.0 / 3.0))
+        if float(jnp.abs(s1 - s2)) > thresh:
+            return False
+    return True
+
+
+def check_positive_definite(op, key=None, nprobe: int = 10, semi: bool = False) -> bool:
+    """Randomized positive-(semi)definiteness test via <x, Ax> probes.
+
+    Mirrors the reference oracle (``tools/utils.py:88-112``).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(1)
+    m, n = op.shape
+    if m != n:
+        return False
+    dtype = op.dtype
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        rdtype = jnp.zeros(0, dtype).real.dtype
+    else:
+        rdtype = dtype
+    eps = machine_epsilon(rdtype)
+    keys = jax.random.split(key, nprobe)
+    for k in keys:
+        x = jax.random.normal(k, (n,), dtype=rdtype).astype(dtype)
+        xAx = jnp.vdot(x, op * x)
+        if jnp.issubdtype(dtype, jnp.complexfloating):
+            if float(jnp.abs(xAx.imag)) > eps ** (1.0 / 3.0) * float(jnp.abs(xAx)):
+                return False
+            xAx = xAx.real
+        bound = -eps if semi else eps * float(jnp.vdot(x, x).real)
+        if float(xAx) <= bound:
+            return False
+    return True
