@@ -1,0 +1,85 @@
+"""Shared solver plumbing: operator coercion, thresholds, history buffers.
+
+Stopping-rule semantics follow the reference square-system solvers:
+``threshold = max(abstol, reltol * residNorm0)`` (``cg/cg.py:102``,
+``bicgstab/bicgstab.py:70``, ``cgs/cgs.py:65``, ``tfqmr/tfqmr.py:64``) with
+a matvec cap defaulting to 2n (``cg/cg.py:97``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.base import BaseLinearOperator, LinearOperator, MatrixOperator
+
+__all__ = ["as_operator", "as_apply_pair", "apply_op", "apply_op_T",
+           "apply_op_H", "threshold_of", "history_init", "history_push",
+           "default_maxiter"]
+
+
+def _apply_lo(op, x):
+    return op.apply_with(op._mv, x)
+
+
+def _apply_lo_T(op, x):
+    return op.apply_with(op._rmv, x)
+
+
+def _apply_lo_H(op, x):
+    return op.apply_with(op._hmv, x)
+
+
+def as_operator(A) -> LinearOperator:
+    """Coerce to a LinearOperator pytree (arrays become MatrixOperator)."""
+    if isinstance(A, BaseLinearOperator):
+        return A
+    if isinstance(A, (jnp.ndarray, np.ndarray)):
+        return MatrixOperator(A)
+    raise TypeError("cannot interpret %r as a linear operator" % (type(A),))
+
+
+def as_apply_pair(A):
+    """Return (operator pytree, apply, apply_T, apply_H) for solvers that
+    need the adjoint (LLS family)."""
+    op = as_operator(A)
+    return op, _apply_lo, _apply_lo_T, _apply_lo_H
+
+
+def apply_op(op, x):
+    return _apply_lo(op, x)
+
+
+def apply_op_T(op, x):
+    return _apply_lo_T(op, x)
+
+
+def apply_op_H(op, x):
+    return _apply_lo_H(op, x)
+
+
+def threshold_of(resid0, rtol, atol):
+    """Reference stopping threshold max(abstol, reltol*resid0)."""
+    return jnp.maximum(jnp.asarray(atol, resid0.dtype),
+                       jnp.asarray(rtol, resid0.dtype) * resid0)
+
+
+def default_maxiter(n, matvecs_per_iter=1, matvec_max=None):
+    """Iteration cap from the reference's matvec_max (default 2n)."""
+    if matvec_max is None:
+        matvec_max = 2 * n
+    return max(1, int(matvec_max) // int(matvecs_per_iter))
+
+
+def history_init(store: bool, maxiter: int, dtype):
+    if not store:
+        return None
+    return jnp.full((maxiter + 1,), jnp.nan, dtype=dtype)
+
+
+def history_push(hist, k, value):
+    if hist is None:
+        return None
+    return hist.at[k].set(value)
