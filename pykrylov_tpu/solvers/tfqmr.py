@@ -1,0 +1,171 @@
+"""Transpose-Free QMR (TFQMR) as a fused ``lax.while_loop``.
+
+TPU-native redesign of the reference TFQMR
+(``/root/reference/pykrylov/tfqmr/tfqmr.py:7-159``, Freund '93 /
+Kelley-style).  Each outer iteration performs two half-steps; each half
+updates the quasi-residual ``residNorm *= theta * c`` and tests
+``residNorm * sqrt(m+1) < threshold`` (``tfqmr.py:95-123``).  The two
+half-steps plus the direction refresh are encoded as ``lax.cond``-gated
+stages inside a single device loop so the matvec count matches the
+reference exactly (2 matvecs with A per full iteration, 3 precon solves).
+
+Preserved semantics (SURVEY §2.3):
+  * quasi-residual update and ``sqrt(m+1)`` safety factor in the
+    convergence test (strict ``<`` as in the reference);
+  * ``matvec_max`` cap (default 2n);
+  * quirk kept for matvec-count parity: the matvec forming
+    ``r0 = b - A x0`` for a supplied guess is **not** counted
+    (``tfqmr.py:59-60``);
+  * no adjoint products required (``tfqmr.py:17-19``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .common import (as_operator, apply_op, threshold_of, history_init,
+                     history_push)
+from .result import SolveResult
+
+__all__ = ["tfqmr", "ISTOP_MSG"]
+
+ISTOP_MSG = {
+    0: "quasi-residual small enough (relative/absolute tolerance reached)",
+    1: "matvec budget exhausted before convergence",
+}
+
+
+@partial(jax.jit, static_argnames=("maxiter", "matvec_max", "store_history"))
+def _tfqmr(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
+    dtype = b.dtype
+    n = b.shape[0]
+
+    if x0 is None:
+        x = jnp.zeros(n, dtype=dtype)
+        r0 = b
+    else:
+        x = x0.astype(dtype)
+        r0 = b - apply_op(A, x)  # not counted (tfqmr.py:59-60)
+
+    rho = jnp.vdot(r0, r0).real.astype(dtype)
+    resid0 = jnp.sqrt(jnp.abs(rho))
+    thresh = threshold_of(resid0, rtol, atol)
+    hist = history_init(store_history, maxiter, resid0.dtype)
+    hist = history_push(hist, 0, resid0)
+
+    started = resid0 > thresh
+    # Pre-loop: z = M y; u = A z (one counted matvec) — tfqmr.py:78-86.
+    y = r0
+    z = apply_op(M, y) if M is not None else y
+    u = jax.lax.cond(started, lambda _: apply_op(A, z),
+                     lambda _: jnp.zeros(n, dtype), None)
+    zero = jnp.zeros((), dtype)
+    state0 = dict(
+        x=x, w=r0, y=y, z=z, u=u, v=u, d=jnp.zeros(n, dtype),
+        theta=zero, eta=zero, rho=rho, resid=resid0, m=zero,
+        k=jnp.zeros((), jnp.int32),
+        nmv=jnp.where(started, 1, 0).astype(jnp.int32),
+        done=~started, hist=hist)
+
+    def half_step(s, w, d, x, alpha, u, z, resid):
+        """One quasi-minimization half-step (tfqmr.py:93-104,108-123)."""
+        w2 = w - alpha * u
+        scale = jnp.where(s["theta"] == 0, zero,
+                          s["theta"] * s["theta"] * s["eta"] / alpha)
+        d2 = z + scale * d
+        theta2 = jnp.linalg.norm(w2) / resid
+        c = 1.0 / jnp.sqrt(1.0 + theta2 * theta2)
+        resid2 = resid * theta2 * c
+        eta2 = c * c * alpha
+        x2 = x + eta2 * d2
+        return w2, d2, x2, theta2, eta2, resid2
+
+    def cond(s):
+        return ~s["done"]
+
+    def body(s):
+        k = s["k"] + 1
+        sigma = jnp.vdot(r0, s["v"]).real.astype(dtype)
+        alpha = s["rho"] / sigma
+
+        # First half-step.
+        w, d, x, theta, eta, resid = half_step(
+            s, s["w"], s["d"], s["x"], alpha, s["u"], s["z"], s["resid"])
+        m = 2.0 * k.astype(dtype) - 1.0
+        stop1 = (resid * jnp.sqrt(m + 1) < thresh) | (s["nmv"] >= matvec_max)
+
+        def after_first(_):
+            return dict(s, x=x, w=w, d=d, theta=theta, eta=eta, resid=resid,
+                        m=m, k=k, done=True,
+                        hist=history_push(s["hist"], k, resid))
+
+        def second(_):
+            m2 = m + 1.0
+            y2 = s["y"] - alpha * s["v"]
+            z2 = apply_op(M, y2) if M is not None else y2
+            u2 = apply_op(A, z2)
+            nmv2 = s["nmv"] + 1
+            s1 = dict(s, theta=theta, eta=eta)
+            w2, d2, x2, theta2, eta2, resid2 = half_step(
+                s1, w, d, x, alpha, u2, z2, resid)
+            stop2 = (resid2 * jnp.sqrt(m2 + 1) < thresh) | (nmv2 >= matvec_max)
+
+            def after_second(_):
+                return dict(s, x=x2, w=w2, y=y2, z=z2, u=u2, d=d2,
+                            theta=theta2, eta=eta2, resid=resid2, m=m2,
+                            k=k, nmv=nmv2, done=True,
+                            hist=history_push(s["hist"], k, resid2))
+
+            def refresh(_):
+                # Direction refresh (tfqmr.py:128-151).
+                rho_next = jnp.vdot(r0, w2).real.astype(dtype)
+                beta = rho_next / s["rho"]
+                y3 = w2 + beta * y2
+                v_part = beta * (beta * s["v"] + u2)
+                z3 = apply_op(M, y3) if M is not None else y3
+                u3 = apply_op(A, z3)
+                nmv3 = nmv2 + 1
+                v3 = v_part + u3
+                done = nmv3 >= matvec_max
+                return dict(x=x2, w=w2, y=y3, z=z3, u=u3, v=v3, d=d2,
+                            theta=theta2, eta=eta2, rho=rho_next,
+                            resid=resid2, m=m2, k=k, nmv=nmv3, done=done,
+                            hist=history_push(s["hist"], k, resid2))
+
+            return jax.lax.cond(stop2, after_second, refresh, None)
+
+        return jax.lax.cond(stop1, after_first, second, None)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    converged = s["resid"] * jnp.sqrt(s["m"] + 1) < thresh
+    istop = jnp.where(converged, 0, 1).astype(jnp.int32)
+    return SolveResult(
+        x=s["x"], converged=converged, istop=istop,
+        n_iter=s["k"], n_matvec=s["nmv"],
+        resid_norm=s["resid"], resid_norm0=resid0,
+        resid_history=s["hist"], info={"quasi_residual": s["resid"]})
+
+
+def tfqmr(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
+          matvec_max=None, store_history=False):
+    """Solve unsymmetric ``A x = b`` by the transpose-free QMR method.
+
+    ``resid_norm`` in the result is Freund's *quasi-residual* norm, as in
+    the reference (``tfqmr.py:95-98``): it upper-bounds the true residual
+    via ``||r|| <= residNorm * sqrt(m+1)``.
+
+    Returns :class:`SolveResult`.
+    """
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    if matvec_max is None:
+        matvec_max = 2 * n
+    maxiter = max(1, int(matvec_max) // 2 + 1)
+    x0 = jnp.asarray(x0) if x0 is not None else None
+    return _tfqmr(A, b, x0, M, rtol, atol, maxiter, int(matvec_max),
+                  bool(store_history))

@@ -12,7 +12,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from pykrylov_tpu.solvers import cg
+from pykrylov_tpu.solvers import cg, bicgstab, cgs, tfqmr
 from pykrylov_tpu.sparse import sparse_operator, jacobi_preconditioner
 
 
@@ -49,3 +49,50 @@ class TestCG1138Bus:
         pre = cg(op, b, M=M, rtol=1e-6, matvec_max=2 * n)
         assert bool(pre.converged)
         assert int(pre.n_matvec) < int(plain.n_matvec)
+
+
+@pytest.fixture(scope="module")
+def jpwh():
+    op = sparse_operator("jpwh_991", symmetric=False)
+    n = 991
+    e = jnp.ones(n, dtype=jnp.float64)
+    b = op * e
+    guess = 1.0 + jnp.arange(n, dtype=jnp.float64)
+    return op, b, e, guess, n
+
+
+class TestBmarkJpwh991:
+    """BASELINE metrics #4-#6, #8-#9: the reference's bmark protocol on
+    jpwh_991 — rhs = A·e, guess = 1+arange(n), matvec_max = 2n
+    (``examples/bmark.py:26-54``, ``doc/source/bmark.rst:49-54,97-103``)."""
+
+    # (solver, ref matvecs unpreconditioned, ref matvecs diag-preconditioned)
+    CASES = [(cgs, 82, 70), (tfqmr, 84, 70), (bicgstab, 84, 64)]
+
+    @pytest.mark.parametrize("solve,ref_nmv,_", CASES,
+                             ids=["cgs", "tfqmr", "bicgstab"])
+    def test_unpreconditioned(self, jpwh, solve, ref_nmv, _):
+        op, b, e, guess, n = jpwh
+        res = solve(op, b, x0=guess, rtol=1e-8, matvec_max=2 * n)
+        assert bool(res.converged)
+        assert float(res.resid_norm0) == pytest.approx(8.64e3, rel=0.01)
+        assert abs(int(res.n_matvec) - ref_nmv) <= 4
+        err = float(jnp.linalg.norm(res.x - e) / jnp.sqrt(n))
+        assert err < 3e-5  # reference errors 1.2e-06 .. 4.0e-06
+
+    @pytest.mark.parametrize("solve,_,ref_nmv", CASES,
+                             ids=["cgs", "tfqmr", "bicgstab"])
+    def test_diag_preconditioned(self, jpwh, solve, _, ref_nmv):
+        op, b, e, guess, n = jpwh
+        M = jacobi_preconditioner("jpwh_991", floor=1.0)
+        res = solve(op, b, x0=guess, M=M, rtol=1e-8, matvec_max=2 * n)
+        assert bool(res.converged)
+        assert abs(int(res.n_matvec) - ref_nmv) <= 4
+
+    def test_cgs_rtol_1e5(self, jpwh):
+        """BASELINE #4: CGS, reltol 1e-5 — ref 64 matvecs, resid 4.72e-03."""
+        op, b, e, guess, n = jpwh
+        res = cgs(op, b, x0=guess, rtol=1e-5, matvec_max=2 * n)
+        assert bool(res.converged)
+        assert abs(int(res.n_matvec) - 64) <= 4
+        assert float(res.resid_norm) == pytest.approx(4.72e-3, rel=0.05)

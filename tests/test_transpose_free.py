@@ -1,0 +1,118 @@
+"""Tests for the transpose-free unsymmetric solvers (BiCGSTAB, CGS, TFQMR).
+
+The reference has no unit tests for these solvers (SURVEY §4); their
+validation there is the published jpwh_991 numbers, which live in
+tests/test_golden.py.  Here we test the algorithmic contract on synthetic
+systems, mirroring the protocol of ``cg/tests/test_diagdom.py``.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pykrylov_tpu.solvers import bicgstab, cgs, tfqmr
+from pykrylov_tpu.ops import MatrixOperator, DiagonalOperator
+from pykrylov_tpu.gallery import poisson1d_operator
+
+SOLVERS = [bicgstab, cgs, tfqmr]
+IDS = ["bicgstab", "cgs", "tfqmr"]
+
+
+def random_unsymmetric(rng, n, diag_boost=None):
+    """Well-conditioned unsymmetric test matrix (diagonally dominant)."""
+    A = rng.standard_normal((n, n))
+    A += np.diag((diag_boost or n) * np.ones(n))
+    return A
+
+
+@pytest.mark.parametrize("solve", SOLVERS, ids=IDS)
+class TestUnsymmetric:
+    def test_dense_system(self, solve, rng):
+        n = 60
+        A = random_unsymmetric(rng, n)
+        e = np.ones(n)
+        b = jnp.asarray(A @ e)
+        res = solve(MatrixOperator(jnp.asarray(A)), b, rtol=1e-10)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), e, rtol=1e-6)
+
+    def test_spd_system_also_works(self, solve):
+        op = poisson1d_operator(100, dtype=jnp.float64)
+        e = jnp.ones(100, dtype=jnp.float64)
+        b = op * e
+        res = solve(op, b, rtol=1e-10, matvec_max=800)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), np.ones(100),
+                                   rtol=1e-6)
+
+    def test_guess_warm_start(self, solve, rng):
+        n = 50
+        A = random_unsymmetric(rng, n)
+        xstar = rng.standard_normal(n)
+        b = jnp.asarray(A @ xstar)
+        op = MatrixOperator(jnp.asarray(A))
+        cold = solve(op, b, rtol=1e-10)
+        # Start very close to the solution: must converge in fewer matvecs.
+        warm = solve(op, b, x0=jnp.asarray(xstar + 1e-8), rtol=1e-10)
+        assert bool(warm.converged)
+        assert int(warm.n_matvec) < int(cold.n_matvec)
+
+    def test_preconditioner_reduces_matvecs(self, solve, rng):
+        n = 80
+        d = np.linspace(1.0, 1e4, n)
+        A = np.diag(d) + rng.standard_normal((n, n)) * 0.1
+        b = jnp.asarray(A @ np.ones(n))
+        op = MatrixOperator(jnp.asarray(A))
+        M = DiagonalOperator(jnp.asarray(1.0 / d))
+        plain = solve(op, b, rtol=1e-8, matvec_max=4 * n)
+        pre = solve(op, b, M=M, rtol=1e-8, matvec_max=4 * n)
+        assert bool(pre.converged)
+        assert int(pre.n_matvec) <= int(plain.n_matvec)
+
+    def test_matvec_budget_respected(self, solve, rng):
+        n = 60
+        A = random_unsymmetric(rng, n, diag_boost=2)  # harder system
+        b = jnp.asarray(rng.standard_normal(n))
+        res = solve(MatrixOperator(jnp.asarray(A)), b, rtol=1e-14,
+                    atol=0.0, matvec_max=6)
+        assert int(res.n_matvec) <= 7  # <= budget + the pair in flight
+        if not bool(res.converged):
+            assert int(res.istop) == 1
+
+    def test_history(self, solve, rng):
+        n = 40
+        A = random_unsymmetric(rng, n)
+        b = jnp.asarray(A @ np.ones(n))
+        res = solve(MatrixOperator(jnp.asarray(A)), b, rtol=1e-9,
+                    store_history=True)
+        h = res.history()
+        assert len(h) == int(res.n_iter) + 1
+        assert h[0] == pytest.approx(float(res.resid_norm0))
+        assert h[-1] <= h[0]
+
+    def test_zero_rhs(self, solve):
+        op = poisson1d_operator(30, dtype=jnp.float64)
+        res = solve(op, jnp.zeros(30, dtype=jnp.float64))
+        assert bool(res.converged)
+        assert int(res.n_matvec) == 0
+        np.testing.assert_array_equal(np.asarray(res.x), np.zeros(30))
+
+
+def test_bicgstab_counts_guess_matvec(rng):
+    """Bi-CGSTAB counts the r0-forming matvec (bicgstab.py:61-63); CGS and
+    TFQMR do not (cgs.py:59-60, tfqmr.py:59-60)."""
+    n = 40
+    A = random_unsymmetric(rng, n)
+    op = MatrixOperator(jnp.asarray(A))
+    xstar = np.ones(n)
+    b = jnp.asarray(A @ xstar)
+    # Guess = exact solution: zero residual, so no iterations run.
+    res_b = bicgstab(op, b, x0=jnp.asarray(xstar), rtol=1e-6)
+    res_c = cgs(op, b, x0=jnp.asarray(xstar), rtol=1e-6)
+    res_t = tfqmr(op, b, x0=jnp.asarray(xstar), rtol=1e-6)
+    assert int(res_b.n_matvec) == 1
+    assert int(res_c.n_matvec) == 0
+    assert int(res_t.n_matvec) == 0
+    for r in (res_b, res_c, res_t):
+        assert bool(r.converged)
