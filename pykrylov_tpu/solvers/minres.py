@@ -1,0 +1,249 @@
+"""MINRES (Paige & Saunders) as a fused ``lax.while_loop``.
+
+TPU-native redesign of the reference MINRES
+(``/root/reference/pykrylov/minres/minres.py:23-410``, itself a translation
+of the Stanford SOL MATLAB code).  Symmetric, possibly indefinite or
+singular systems ``(A - shift I) x = b``, also usable for ``min ||Ax-b||``.
+One matvec + one preconditioner solve per iteration; Lanczos tridiagonal-
+ization with a Givens-QR update of the solution.
+
+Preserved semantics (SURVEY §2.3):
+  * the full 12-code ``istop`` table (-1..10, ``minres.py:87-98``) with the
+    reference's exact test ordering (``minres.py:348-361``);
+  * ``shift`` solves ``(A - shift I) x = b`` (``minres.py:239-240``);
+  * norm estimates ``Anorm``, ``Acond``, ``Arnorm``, ``ynorm``
+    (``minres.py:321-344``) returned in ``result.info``;
+  * energy-norm truncated direct-error window stop ``etol``/``window``
+    (``minres.py:303-310``) — the rolling window is a fixed device buffer;
+  * optional host-side symmetry checks of ``A`` and ``M``
+    (``minres.py:186-197``) via :func:`pykrylov_tpu.utils.check_symmetric`;
+  * ``converged`` iff ``istop in {1,2,3,4,10}`` (``minres.py:395``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .common import as_operator, apply_op, history_init, history_push
+from .result import SolveResult
+from ..utils.utils import check_symmetric as _check_symmetric
+
+__all__ = ["minres", "ISTOP_MSG"]
+
+ISTOP_MSG = {
+    -1: "beta2 = 0. If M = I, b and x are eigenvectors",
+    0: "beta1 = 0. The exact solution is x = 0",
+    1: "a solution to Ax = b was found, given rtol",
+    2: "a least-squares solution was found, given rtol",
+    3: "reasonable accuracy achieved, given eps",
+    4: "acond has exceeded 0.1/eps",
+    5: "the iteration limit was reached",           # (unused; kept for table parity)
+    6: "iteration limit reached or indefinite preconditioner",
+    7: "A does not define a symmetric operator",
+    8: "M does not define a symmetric operator",
+    9: "M does not define a positive-definite preconditioner",
+    10: "the truncated direct error is small enough, given etol",
+}
+
+_CONVERGED_CODES = (1, 2, 3, 4, 10)
+
+
+@partial(jax.jit, static_argnames=("itnlim", "window", "store_history"))
+def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history):
+    dtype = b.dtype
+    n = b.shape[0]
+    eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
+
+    x = jnp.zeros(n, dtype)
+    r1 = b
+    y = apply_op(M, b) if M is not None else b
+    beta1_sq = jnp.vdot(b, y).real.astype(dtype)
+
+    indef_precon = beta1_sq < 0
+    zero_b = beta1_sq == 0
+    beta1 = jnp.sqrt(jnp.maximum(beta1_sq, 0))
+
+    hist = history_init(store_history, itnlim, dtype)
+    hist = history_push(hist, 0, beta1)
+
+    zero = jnp.zeros((), dtype)
+    state0 = dict(
+        x=x, r1=r1, r2=r1, y=y, w=jnp.zeros(n, dtype),
+        w2=jnp.zeros(n, dtype),
+        oldb=zero, beta=beta1, dbar=zero, epsln=zero,
+        phibar=beta1, rhs1=beta1, rhs2=zero,
+        tnorm2=zero, ynorm2=zero,
+        cs=-jnp.ones((), dtype), sn=zero,
+        gmax=zero, gmin=zero, x_nrg2=zero,
+        d_err=jnp.zeros(window, dtype),
+        anorm=zero, acond=zero, ynorm=zero, arnorm=zero, rnorm=beta1,
+        istop=jnp.where(indef_precon, 9, 0).astype(jnp.int32),
+        itn=jnp.zeros((), jnp.int32),
+        done=indef_precon | zero_b,
+        hist=hist)
+
+    def cond(s):
+        return ~s["done"] & (s["itn"] < itnlim)
+
+    def body(s):
+        itn = s["itn"] + 1
+        # ---- Lanczos step (minres.py:236-255) --------------------------
+        v = s["y"] / s["beta"]
+        y = apply_op(A, v) - shift * v
+        y = jnp.where(itn >= 2, y - (s["beta"] / s["oldb"]) * s["r1"], y)
+        alfa = jnp.vdot(v, y).real.astype(dtype)
+        y = y - (alfa / s["beta"]) * s["r2"]
+        r1, r2 = s["r2"], y
+        y = apply_op(M, r2) if M is not None else r2
+        oldb = s["beta"]
+        beta_sq = jnp.vdot(r2, y).real.astype(dtype)
+        indef = beta_sq < 0  # istop=6 break (minres.py:251-255)
+
+        def on_indef(_):
+            return dict(s, itn=itn, istop=jnp.asarray(6, jnp.int32),
+                        done=True)
+
+        def step(_):
+            beta = jnp.sqrt(beta_sq)
+            tnorm2 = s["tnorm2"] + alfa**2 + oldb**2 + beta**2
+            near_const = beta / beta1 <= 10 * eps
+            istop = jnp.where((itn == 1) & near_const,
+                              jnp.asarray(-1, jnp.int32), s["istop"])
+            gmax0 = jnp.where(itn == 1, jnp.abs(alfa), s["gmax"])
+            gmin0 = jnp.where(itn == 1, jnp.abs(alfa), s["gmin"])
+
+            # ---- previous rotation (minres.py:266-289) ------------------
+            oldeps = s["epsln"]
+            delta = s["cs"] * s["dbar"] + s["sn"] * alfa
+            gbar = s["sn"] * s["dbar"] - s["cs"] * alfa
+            epsln = s["sn"] * beta
+            dbar = -s["cs"] * beta
+            root = jnp.hypot(gbar, dbar)
+            arnorm = s["phibar"] * root
+
+            gamma = jnp.maximum(jnp.hypot(gbar, beta), eps)
+            cs = gbar / gamma
+            sn = beta / gamma
+            phi = cs * s["phibar"]
+            phibar = sn * s["phibar"]
+
+            # ---- solution update (minres.py:293-297) --------------------
+            w1, w2 = s["w2"], s["w"]
+            w = (v - oldeps * w1 - delta * w2) / gamma
+            x = s["x"] + phi * w
+
+            # ---- truncated direct-error window (minres.py:303-310) ------
+            x_nrg2 = s["x_nrg2"] + phi * phi
+            d_err = s["d_err"].at[itn % window].set(phi)
+            trnc = jnp.linalg.norm(d_err)
+            small_err = (itn > window) & (trnc < etol * jnp.sqrt(x_nrg2))
+            istop = jnp.where((istop == 0) & small_err,
+                              jnp.asarray(10, jnp.int32), istop)
+
+            gmax = jnp.maximum(gmax0, gamma)
+            gmin = jnp.minimum(gmin0, gamma)
+            z = s["rhs1"] / gamma
+            ynorm2 = z**2 + s["ynorm2"]
+            rhs1 = s["rhs2"] - delta * z
+            rhs2 = -epsln * z
+
+            # ---- norm estimates + stopping tests (minres.py:321-361) ----
+            anorm = jnp.sqrt(tnorm2)
+            ynorm = jnp.sqrt(ynorm2)
+            epsx = anorm * ynorm * eps
+            epsr = anorm * ynorm * rtol
+            qrnorm = phibar
+            rnorm = qrnorm
+            test1 = rnorm / (anorm * ynorm)
+            test2 = root / anorm
+            acond = gmax / gmin
+
+            def tests(code):
+                # Reference ordering: later assignments overwrite earlier.
+                code = jnp.where(1 + test2 <= 1, 2, code)
+                code = jnp.where(1 + test1 <= 1, 1, code)
+                code = jnp.where(itn >= itnlim, 6, code)
+                code = jnp.where(acond >= 0.1 / eps, 4, code)
+                code = jnp.where(epsx >= beta1, 3, code)
+                code = jnp.where(test2 <= rtol, 2, code)
+                code = jnp.where(test1 <= rtol, 1, code)
+                return code.astype(jnp.int32)
+
+            istop = jnp.where(istop == 0, tests(istop), istop)
+            return dict(
+                x=x, r1=r1, r2=r2, y=y, w=w, w2=w2,
+                oldb=oldb, beta=beta, dbar=dbar, epsln=epsln,
+                phibar=phibar, rhs1=rhs1, rhs2=rhs2,
+                tnorm2=tnorm2, ynorm2=ynorm2, cs=cs, sn=sn,
+                gmax=gmax, gmin=gmin, x_nrg2=x_nrg2, d_err=d_err,
+                anorm=anorm, acond=acond, ynorm=ynorm, arnorm=arnorm,
+                rnorm=rnorm, istop=istop, itn=itn, done=istop > 0,
+                hist=history_push(s["hist"], itn, rnorm))
+
+        return jax.lax.cond(indef, on_indef, step, None)
+
+    s = jax.lax.while_loop(cond, body, state0)
+
+    istop = s["istop"]
+    converged = zero_b | jnp.isin(istop, jnp.asarray(_CONVERGED_CODES))
+    x_out = jnp.where(zero_b, jnp.zeros(n, dtype), s["x"])
+    return SolveResult(
+        x=x_out, converged=converged, istop=istop,
+        n_iter=s["itn"], n_matvec=s["itn"],
+        resid_norm=jnp.where(zero_b, zero, s["rnorm"]), resid_norm0=beta1,
+        resid_history=s["hist"],
+        info={"Anorm": s["anorm"], "Acond": s["acond"],
+              "Arnorm": s["arnorm"], "ynorm": s["ynorm"]})
+
+
+def minres(A, b, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
+           window=5, itnlim=None, check=False, store_history=False):
+    """Solve symmetric (possibly indefinite/singular) ``(A - shift I) x = b``
+    or ``min ||Ax - b||`` by MINRES.
+
+    Parameters
+    ----------
+    A : symmetric LinearOperator or dense array.
+    b : right-hand side.
+    M : optional SPD preconditioner operator (the reference's ``precon``).
+    shift : solves the shifted system (``minres.py:53``).
+    rtol : relative stopping tolerance (reference default 1e-12).
+    etol, window : truncated direct-error stopping rule in the energy norm.
+    itnlim : iteration cap, default 5n (``minres.py:124``).
+    check : host-side randomized symmetry checks of A and M before the
+        solve (``minres.py:186-197``); failures yield istop 7/8 without
+        running the iteration.
+    store_history : keep residual norms in a device buffer.
+
+    Returns :class:`SolveResult`; ``info`` carries Anorm/Acond/Arnorm/ynorm.
+    """
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    if itnlim is None:
+        itnlim = 5 * n
+
+    if check:
+        zero = jnp.zeros((), b.dtype)
+        if not _check_symmetric(A):
+            return SolveResult(
+                x=jnp.zeros(n, b.dtype), converged=jnp.asarray(False),
+                istop=jnp.asarray(7, jnp.int32),
+                n_iter=jnp.asarray(0, jnp.int32),
+                n_matvec=jnp.asarray(0, jnp.int32),
+                resid_norm=zero, resid_norm0=zero, info={})
+        if M is not None and not _check_symmetric(M):
+            return SolveResult(
+                x=jnp.zeros(n, b.dtype), converged=jnp.asarray(False),
+                istop=jnp.asarray(8, jnp.int32),
+                n_iter=jnp.asarray(0, jnp.int32),
+                n_matvec=jnp.asarray(0, jnp.int32),
+                resid_norm=zero, resid_norm0=zero, info={})
+
+    return _minres(A, b, M, float(shift), float(rtol), float(etol),
+                   int(itnlim), int(window), bool(store_history))
