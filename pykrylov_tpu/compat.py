@@ -1,0 +1,291 @@
+"""Reference-style class API over the functional solvers.
+
+The reference exposes one class per method, each subclassing
+``KrylovMethod`` with a mutable result state
+(``/root/reference/pykrylov/generic/generic.py:11-98``): after
+``solve(rhs, **kwargs)`` the instance carries ``converged``, ``nMatvec``,
+``nIter``, ``bestSolution``/``x``, ``residNorm``, ``residNorm0`` and
+``residHistory``.  This module reproduces that surface as a thin veneer over
+the pure functional solvers in :mod:`pykrylov_tpu.solvers`, so code written
+against PyKrylov ports by changing only the import.  The on-device work is
+identical — each ``solve`` dispatches to the fused ``lax.while_loop``
+implementation.
+
+Keyword mapping (reference → functional):
+  * ctor ``abstol``/``reltol``/``precon``/``logger``
+    (``generic/generic.py:74-77``) → ``atol``/``rtol``/``M`` per solve;
+  * ``solve(rhs, guess=..., matvec_max=...)`` → ``x0``/``matvec_max``;
+  * per-solver extras (``shift``, ``check``, ``itnlim``, ``rtol``, ``etol``,
+    ``window``, ``damp``, ``M``, ``N``, ``atol``, ``btol``, ``conlim``,
+    ``wantvar``) pass straight through.
+
+The LSMR class returns the reference's tuple
+``(x, istop, itn, normr, normar, normA, condA, normx)``
+(``lls/lsmr.py:492``) *and* sets attributes, resolving the reference's
+inconsistency in the caller's favor.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+
+from . import solvers as _S
+
+__all__ = [
+    "KrylovMethod", "CG", "Minres", "Symmlq", "BiCGSTAB", "CGS", "TFQMR",
+    "LSQRFramework", "LSMRFramework", "CRAIGFramework", "CRAIGMRFramework",
+]
+
+null_log = logging.getLogger("krylov")
+null_log.setLevel(logging.INFO)
+null_log.addHandler(logging.NullHandler())
+
+
+class KrylovMethod:
+    """Stateful wrapper base (parity: ``generic/generic.py:11-98``)."""
+
+    name = "Generic Krylov Method (must be subclassed)"
+    acronym = "Generic"
+
+    def __init__(self, op, **kwargs):
+        self.op = op
+        self.abstol = kwargs.get("abstol", 1.0e-8)
+        self.reltol = kwargs.get("reltol", 1.0e-6)
+        self.precon = kwargs.get("precon", None)
+        self.logger = kwargs.get("logger", null_log)
+        self.prefix = self.acronym + ": "
+
+        self.residNorm = None
+        self.residNorm0 = None
+        self.residHistory = []
+        self.nMatvec = 0
+        self.nIter = 0
+        self.converged = False
+        self.bestSolution = None
+        self.x = None
+        self.istop = 0
+        self.result = None
+
+    def _write(self, msg):
+        self.logger.info(msg)
+
+    def _store(self, res):
+        """Map a SolveResult onto reference-style attributes."""
+        self.result = res
+        self.x = self.bestSolution = res.x
+        self.converged = bool(res.converged)
+        self.istop = int(res.istop)
+        self.nMatvec = int(res.n_matvec)
+        self.nIter = self.itn = int(res.n_iter)
+        self.residNorm = float(res.resid_norm)
+        self.residNorm0 = float(res.resid_norm0)
+        self.residHistory = res.history()
+        self._write("%s converged=%s istop=%d nMatvec=%d residNorm=%8.2e"
+                    % (self.prefix, self.converged, self.istop,
+                       self.nMatvec, self.residNorm))
+        return res
+
+    def solve(self, rhs, **kwargs):
+        raise NotImplementedError("This method must be subclassed")
+
+
+class CG(KrylovMethod):
+    """Conjugate gradients (parity: ``cg/cg.py:9-165``)."""
+
+    name = "Conjugate Gradient"
+    acronym = "CG"
+
+    def solve(self, rhs, guess=None, matvec_max=None, check_curvature=False,
+              store_resids=False, **kwargs):
+        res = self._store(_S.cg(
+            self.op, jnp.asarray(rhs), x0=guess, M=self.precon,
+            rtol=self.reltol, atol=self.abstol, matvec_max=matvec_max,
+            check_curvature=check_curvature, store_history=True))
+        self.definite = bool(res.info.get("definite", True))
+        if check_curvature and not self.definite:
+            self.infiniteDescent = res.info["infinite_descent"]
+        return res
+
+
+class BiCGSTAB(KrylovMethod):
+    """Bi-CGSTAB (parity: ``bicgstab/bicgstab.py:9-151``)."""
+
+    name = "Bi-Conjugate Gradient Stabilized"
+    acronym = "Bi-CGSTAB"
+
+    def solve(self, rhs, guess=None, matvec_max=None, **kwargs):
+        return self._store(_S.bicgstab(
+            self.op, jnp.asarray(rhs), x0=guess, M=self.precon,
+            rtol=self.reltol, atol=self.abstol, matvec_max=matvec_max,
+            store_history=True))
+
+
+class CGS(KrylovMethod):
+    """Conjugate gradient squared (parity: ``cgs/cgs.py:8-123``)."""
+
+    name = "Conjugate Gradient Squared"
+    acronym = "CGS"
+
+    def solve(self, rhs, guess=None, matvec_max=None, **kwargs):
+        return self._store(_S.cgs(
+            self.op, jnp.asarray(rhs), x0=guess, M=self.precon,
+            rtol=self.reltol, atol=self.abstol, matvec_max=matvec_max,
+            store_history=True))
+
+
+class TFQMR(KrylovMethod):
+    """Transpose-free QMR (parity: ``tfqmr/tfqmr.py:7-159``)."""
+
+    name = "Transpose-Free Quasi-Minimum Residual"
+    acronym = "TFQMR"
+
+    def solve(self, rhs, guess=None, matvec_max=None, **kwargs):
+        return self._store(_S.tfqmr(
+            self.op, jnp.asarray(rhs), x0=guess, M=self.precon,
+            rtol=self.reltol, atol=self.abstol, matvec_max=matvec_max,
+            store_history=True))
+
+
+class Minres(KrylovMethod):
+    """MINRES (parity: ``minres/minres.py:23-410``)."""
+
+    name = "Minimum Residual"
+    acronym = "MINRES"
+
+    def solve(self, b, precon=None, shift=0.0, check=False, itnlim=None,
+              rtol=1.0e-12, etol=1.0e-6, window=5, **kwargs):
+        res = self._store(_S.minres(
+            self.op, jnp.asarray(b), M=precon or self.precon, shift=shift,
+            rtol=rtol, etol=etol, window=window, itnlim=itnlim, check=check,
+            store_history=True))
+        self.rnorm = self.residNorm
+        self.Anorm = float(res.info["Anorm"]) if "Anorm" in res.info else 0.0
+        self.Acond = float(res.info["Acond"]) if "Acond" in res.info else 0.0
+        self.Arnorm = (float(res.info["Arnorm"])
+                       if "Arnorm" in res.info else 0.0)
+        self.ynorm = float(res.info["ynorm"]) if "ynorm" in res.info else 0.0
+        return res
+
+
+class Symmlq(KrylovMethod):
+    """SYMMLQ (parity: ``symmlq/symmlq.py:17-400``)."""
+
+    name = "Symmetric LQ"
+    acronym = "SYMMLQ"
+
+    def solve(self, rhs, matvec_max=None, rtol=1.0e-9, shift=None,
+              check=False, **kwargs):
+        res = self._store(_S.symmlq(
+            self.op, jnp.asarray(rhs), M=self.precon,
+            shift=shift if shift is not None else 0.0, rtol=rtol,
+            matvec_max=matvec_max, check=check, store_history=True))
+        self.xNorm = self.solutionNorm = (
+            float(res.info["xnorm"]) if "xnorm" in res.info else 0.0)
+        self.anorm = float(res.info["Anorm"]) if "Anorm" in res.info else 0.0
+        self.acond = float(res.info["Acond"]) if "Acond" in res.info else 0.0
+        return res
+
+
+class _LLSFramework(KrylovMethod):
+    def __init__(self, A, **kwargs):
+        super().__init__(A, **kwargs)
+        self.A = A
+        self.var = None
+        self.optimal = False
+
+
+class LSQRFramework(_LLSFramework):
+    """LSQR (parity: ``lls/lsqr.py:26-454``)."""
+
+    name = "Least-Squares QR"
+    acronym = "LSQR"
+
+    def solve(self, rhs, itnlim=0, damp=0.0, M=None, N=None, atol=1.0e-9,
+              btol=1.0e-9, conlim=1.0e8, etol=1.0e-6, window=5,
+              wantvar=False, **kwargs):
+        res = self._store(_S.lsqr(
+            self.A, jnp.asarray(rhs), damp=damp, M=M, N=N, atol=atol,
+            btol=btol, conlim=conlim, etol=etol, window=window,
+            itnlim=itnlim or None, wantvar=wantvar, store_history=True))
+        self.r1norm = float(res.info["r1norm"])
+        self.r2norm = float(res.info["r2norm"])
+        self.Anorm = float(res.info["Anorm"])
+        self.Acond = float(res.info["Acond"])
+        self.Arnorm = float(res.info["Arnorm"])
+        self.xnorm = float(res.info["xnorm"])
+        self.optimal = bool(res.info["optimal"])
+        self.var = res.info.get("var")
+        return res
+
+
+class LSMRFramework(_LLSFramework):
+    """LSMR (parity: ``lls/lsmr.py:28-492``).
+
+    ``solve`` returns the reference's tuple
+    ``(x, istop, itn, normr, normar, normA, condA, normx)`` and also sets
+    attributes (the one contract difference the build unifies, SURVEY §7).
+    """
+
+    name = "Least-Squares MR"
+    acronym = "LSMR"
+
+    def solve(self, b, damp=0.0, atol=1e-9, btol=1e-9, conlim=1e8,
+              M=None, N=None, itnlim=None, etol=1.0e-6, window=5, **kwargs):
+        res = self._store(_S.lsmr(
+            self.A, jnp.asarray(b), damp=damp, M=M, N=N, atol=atol,
+            btol=btol, conlim=conlim, etol=etol, window=window,
+            itnlim=itnlim, store_history=True))
+        self.normr = float(res.info["normr"])
+        self.normar = float(res.info["normar"])
+        self.normA = float(res.info["normA"])
+        self.condA = float(res.info["condA"])
+        self.normx = float(res.info["normx"])
+        self.optimal = bool(res.info["optimal"])
+        return (res.x, int(res.istop), int(res.n_iter), self.normr,
+                self.normar, self.normA, self.condA, self.normx)
+
+
+class CRAIGFramework(_LLSFramework):
+    """Generalized CRAIG (parity: ``lls/craig.py:30-520``)."""
+
+    name = "CRAIG's Method for Least Squares"
+    acronym = "CRAIG"
+
+    def solve(self, rhs, itnlim=0, damp=0.0, M=None, N=None, atol=1.0e-9,
+              btol=1.0e-9, etol=1.0e-6, window=5, **kwargs):
+        res = self._store(_S.craig(
+            self.A, jnp.asarray(rhs), M=M, N=N, atol=atol, btol=btol,
+            etol=etol, window=window, itnlim=itnlim or None,
+            store_history=True))
+        self.r = res.info["r"]
+        self.r1norm = float(res.info["r1norm"])
+        self.r2norm = float(res.info["r2norm"])
+        self.Arnorm = float(res.info["Arnorm"])
+        self.xnorm = float(res.info["xnorm"])
+        self.optimal = bool(res.info["optimal"])
+        return res
+
+
+class CRAIGMRFramework(_LLSFramework):
+    """CRAIG-MR (parity: ``lls/craigmr.py:13-250``)."""
+
+    name = "Least-Norm Minimum Residual"
+    acronym = "CRAIG-MR"
+
+    def init_data(self):
+        """Multi-solve reset (parity: ``craigmr.py:36-49``) — a no-op here
+        because each ``solve`` is a pure function, kept for API parity."""
+        self.x = self.bestSolution = None
+        self.istop = self.itn = self.nIter = self.nMatvec = 0
+        self.converged = self.optimal = False
+        self.residHistory = []
+
+    def solve(self, b, M=None, N=None, itnlim=None, etol=1.0e-6, window=5,
+              **kwargs):
+        res = self._store(_S.craigmr(
+            self.A, jnp.asarray(b), M=M, N=N, etol=etol, window=window,
+            itnlim=itnlim, store_history=True))
+        self.optimal = bool(res.info["optimal"])
+        return res
