@@ -17,7 +17,7 @@ from ..ops.base import BaseLinearOperator, LinearOperator, MatrixOperator
 
 __all__ = ["as_operator", "as_apply_pair", "apply_op", "apply_op_T",
            "apply_op_H", "threshold_of", "history_init", "history_push",
-           "default_maxiter"]
+           "default_maxiter", "promote_rhs"]
 
 
 def _apply_lo(op, x):
@@ -58,6 +58,19 @@ def apply_op_T(op, x):
 
 def apply_op_H(op, x):
     return _apply_lo_H(op, x)
+
+
+def promote_rhs(b, *ops):
+    """Promote b to the joint dtype of the rhs and all participating
+    operators, mirroring the reference's NumPy promotion
+    (``np.result_type(self.op.dtype, rhs.dtype)``, e.g.
+    ``bicgstab/bicgstab.py:55``).  Keeps ``lax.while_loop`` carries
+    type-stable when e.g. a float64 preconditioner meets a float32 system.
+    """
+    b = jnp.asarray(b)
+    dt = jnp.result_type(b.dtype,
+                         *[np.dtype(o.dtype) for o in ops if o is not None])
+    return b.astype(dt)
 
 
 def threshold_of(resid0, rtol, atol):

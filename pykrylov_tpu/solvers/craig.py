@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import as_operator, history_init, history_push
+from .common import as_operator, history_init, history_push, promote_rhs
 from .lls_common import gk_init, gk_step
 from .result import SolveResult
 
@@ -190,7 +190,7 @@ def craig(A, b, *, M=None, N=None, atol=1.0e-9, btol=1.0e-9, etol=1.0e-6,
     A = as_operator(A)
     M = as_operator(M) if M is not None else None
     N = as_operator(N) if N is not None else None
-    b = jnp.asarray(b)
+    b = promote_rhs(b, A, M, N)
     if itnlim is None:
         itnlim = 3 * A.nargin
     return _craig(A, b, M, N, float(atol), float(btol), float(etol),

@@ -25,7 +25,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import as_operator, history_init, history_push
+from .common import as_operator, history_init, history_push, promote_rhs
 from .lls_common import gk_init, gk_step
 from .result import SolveResult
 
@@ -143,7 +143,7 @@ def craigmr(A, b, *, M=None, N=None, etol=1.0e-6, window=5, itnlim=None,
     A = as_operator(A)
     M = as_operator(M) if M is not None else None
     N = as_operator(N) if N is not None else None
-    b = jnp.asarray(b)
+    b = promote_rhs(b, A, M, N)
     if itnlim is None:
         itnlim = min(A.nargout, A.nargin)
     return _craigmr(A, b, M, N, float(etol), int(itnlim), int(window),

@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import as_operator, history_init, history_push
+from .common import as_operator, history_init, history_push, promote_rhs
 from .lls_common import gk_init, gk_step
 from .result import SolveResult
 
@@ -213,7 +213,7 @@ def lsqr(A, b, *, damp=0.0, M=None, N=None, atol=1.0e-9, btol=1.0e-9,
     A = as_operator(A)
     M = as_operator(M) if M is not None else None
     N = as_operator(N) if N is not None else None
-    b = jnp.asarray(b)
+    b = promote_rhs(b, A, M, N)
     if itnlim is None:
         itnlim = 3 * A.nargin
     return _lsqr(A, b, M, N, float(damp), float(atol), float(btol),
