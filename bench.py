@@ -1,0 +1,98 @@
+"""Headline benchmark: DIA SpMV streaming bandwidth on one chip.
+
+The reference publishes no wall-clock numbers (BASELINE.md); the build's
+perf north star is SpMV throughput >80% of the HBM-bandwidth roofline
+(BASELINE.json).  This benchmark streams the speed-of-light format — DIA,
+index-free shifted axpys — for a generated 3-D Poisson operator and reports
+achieved effective bandwidth.
+
+Model: one matvec must move the diagonal data (ndiag·m values) plus read x
+and write y once each → minimal HBM traffic = (ndiag·m + 2m)·sizeof(dtype).
+``vs_baseline`` is the fraction of the chip's peak HBM bandwidth this
+achieves (v5e: 819 GB/s); the north-star target is 0.8.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+HBM_PEAK_GBPS = {
+    # chip generation -> peak HBM bandwidth in GB/s
+    "TPU v5 lite": 819.0,   # v5e
+    "TPU v5": 1638.0,       # v5p
+    "TPU v4": 1228.0,
+    "TPU v6 lite": 1640.0,  # v6e / Trillium
+    "cpu": 50.0,            # nominal, for local smoke runs
+}
+
+
+def peak_bandwidth_gbps() -> float:
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", dev.platform)
+    for key, bw in HBM_PEAK_GBPS.items():
+        if key in str(kind):
+            return bw
+    return HBM_PEAK_GBPS["cpu"]
+
+
+def main():
+    from pykrylov_tpu.gallery.poisson import poisson3d_coo
+    from pykrylov_tpu.sparse import formats as F
+
+    n = 128  # 2.1M unknowns, 7 diagonals, ~59 MB of f32 diagonal data
+    dtype = np.float32
+    vals, rows, cols, shape = poisson3d_coo(n, dtype=dtype)
+    dia = F.dia_from_coo(F.coo_from_arrays(vals, rows, cols, shape))
+    m = shape[0]
+    ndiag = dia.data.shape[0]
+
+    iters = 50
+
+    @jax.jit
+    def spmv_chain(a, x):
+        def body(_, x):
+            y = F.dia_matvec(a, x)
+            # Normalize to keep values bounded without extra HBM traffic
+            # of materializing intermediates (power iteration).
+            return y / jnp.max(jnp.abs(y))
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    x0 = jnp.ones(m, dtype=dtype)
+    # Warm up / compile.
+    jax.block_until_ready(spmv_chain(dia, x0))
+
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(spmv_chain(dia, x0))
+        best = min(best, time.perf_counter() - t0)
+
+    bytes_per_mv = (ndiag * m + 2 * m) * np.dtype(dtype).itemsize
+    gbps = iters * bytes_per_mv / best / 1e9
+    nnz_per_s = iters * len(vals) / best
+    frac = gbps / peak_bandwidth_gbps()
+    print(json.dumps({
+        "metric": "spmv_dia_poisson3d_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(frac, 4),
+        "detail": {
+            "n_grid": n, "m": m, "ndiag": ndiag,
+            "nnz_per_s": round(nnz_per_s / 1e9, 3),
+            "nnz_unit": "Gnnz/s",
+            "device": str(jax.devices()[0]),
+            "peak_gbps": peak_bandwidth_gbps(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Halo-exchange DIA matvec over a device mesh (``shard_map`` + ppermute).
+
+The speed-of-light multi-chip SpMV for banded/stencil matrices.  The matrix
+is stored in DIA format, row-block partitioned: device k owns rows
+``[k·L, (k+1)·L)`` of every diagonal and the matching block of x.  A matvec
+needs only ``w = max|offset|`` boundary entries of x from each neighbor, so
+instead of the generic all-gather this operator exchanges two width-w halo
+slices via ``jax.lax.ppermute`` — nearest-neighbor traffic that rides ICI
+ring links — then computes the local shifted-axpy stencil entirely
+on-device.  Communication volume per step: 2·w·sizeof(dtype) per device,
+independent of problem size.
+
+This is the library's analogue of ring-attention/CP neighbor exchange
+(SURVEY §5 "long-context"): same mesh axis, same ppermute pattern, applied
+to the solver's row dimension.  It requires the matrix bandwidth to fit in
+one shard (w <= rows per device) — true for all gallery stencils; general
+sparsity uses the ELL all-gather fallback in :mod:`.sharded`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.base import LinearOperator, _register_as_linop
+from ..sparse import formats as F
+from .mesh import ROW_AXIS
+from .sharded import pad_to_multiple
+
+__all__ = ["HaloDiaOperator"]
+
+
+def _halo_matvec_factory(offsets, axis, n_dev):
+    """Build the per-shard matvec: halo exchange + local shifted axpys.
+
+    ``offsets`` are static; the generated function takes the *local* blocks
+    ``(data_blk (ndiag, L), x_blk (L,))`` and returns the local y block.
+    """
+    w = max((abs(o) for o in offsets), default=0)
+    fwd_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def local_mv(data_blk, x_blk):
+        L = x_blk.shape[0]
+        idx = jax.lax.axis_index(axis)
+        if w > 0:
+            # Left halo: last w entries of the left neighbor's block.
+            left = jax.lax.ppermute(x_blk[-w:], axis, perm=fwd_perm)
+            # Right halo: first w entries of the right neighbor's block.
+            right = jax.lax.ppermute(x_blk[:w], axis, perm=bwd_perm)
+            # Global boundary blocks see zeros, not wrap-around values.
+            left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+            right = jnp.where(idx == n_dev - 1, jnp.zeros_like(right), right)
+            xp = jnp.concatenate([left, x_blk, right])
+        else:
+            xp = x_blk
+        y = jnp.zeros(L, dtype=jnp.result_type(data_blk.dtype, x_blk.dtype))
+        for k, off in enumerate(offsets):  # static unroll over diagonals
+            y = y + data_blk[k] * jax.lax.dynamic_slice_in_dim(
+                xp, w + off, L)
+        return y
+
+    return local_mv
+
+
+class HaloDiaOperator(LinearOperator):
+    """Symmetric banded operator with ppermute halo-exchange matvec.
+
+    Parameters
+    ----------
+    dia : :class:`pykrylov_tpu.sparse.formats.DIA` container (square).
+    mesh : 1-D ``jax.sharding.Mesh``; rows are blocked over ``axis``.
+    axis : mesh axis name (default ``"rows"``).
+
+    The operator acts on vectors of length ``m + self.pad`` sharded with
+    :func:`~pykrylov_tpu.parallel.sharded.shard_vector`; the padded tail is
+    structurally zero.  Only symmetric offset sets are supported for the
+    transpose (all gallery stencils are symmetric); pass the transposed
+    container explicitly otherwise.
+    """
+
+    def __init__(self, dia: F.DIA, mesh, axis=ROW_AXIS, **kwargs):
+        m, n = dia.shape
+        if m != n:
+            raise ValueError("HaloDiaOperator expects a square operator")
+        n_dev = mesh.shape[axis]
+        mp = pad_to_multiple(m, n_dev)
+        L = mp // n_dev
+        w = max((abs(o) for o in dia.offsets), default=0)
+        if w > L:
+            raise ValueError(
+                "matrix bandwidth %d exceeds rows-per-device %d; "
+                "use fewer devices or the ELL fallback" % (w, L))
+        symmetric_offsets = set(dia.offsets) == {-o for o in dia.offsets}
+        if not symmetric_offsets:
+            raise ValueError("offsets must be symmetric about 0; got %s"
+                             % (dia.offsets,))
+
+        data = np.zeros((dia.data.shape[0], mp), dtype=dia.data.dtype)
+        data[:, :m] = np.asarray(dia.data)
+        sh = NamedSharding(mesh, P(None, axis))
+        data = jax.device_put(jnp.asarray(data), sh)
+
+        local_mv = _halo_matvec_factory(dia.offsets, axis, n_dev)
+        mapped = shard_map(
+            local_mv, mesh=mesh,
+            in_specs=(P(None, axis), P(axis)),
+            out_specs=P(axis))
+
+        def mv(params, x):
+            return mapped(params, x)
+
+        is_complex = np.issubdtype(np.asarray(dia.data).dtype,
+                                   np.complexfloating)
+        # Structural symmetry of the *values* is the caller's contract
+        # (gallery stencils are symmetric); offsets symmetry checked above.
+        super().__init__(mp, mp, matvec=mv, params=data,
+                         _takes_params=True, symmetric=True,
+                         hermitian=not is_complex,
+                         dtype=np.asarray(dia.data).dtype, **kwargs)
+        self.pad = mp - m
+        self.mesh = mesh
+        self.offsets = dia.offsets
+        self.halo_width = w
+
+    @property
+    def container(self):
+        return self._params
+
+
+_register_as_linop(HaloDiaOperator)

@@ -1,0 +1,157 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed tests (SURVEY §4); these validate the
+TPU-native scaling layer: row-block sharded operators, halo-exchange DIA
+matvecs, and full solver runs over sharded pytrees where XLA inserts the
+psum/all-gather collectives.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pykrylov_tpu.parallel import (make_mesh, shard_vector, shard_operator,
+                                   HaloDiaOperator, sharded_poisson3d,
+                                   device_mesh_info)
+from pykrylov_tpu.sparse import formats as F
+from pykrylov_tpu.sparse import sparse_operator
+from pykrylov_tpu.gallery import poisson1d_coo, poisson3d_coo
+from pykrylov_tpu.solvers import cg, minres, bicgstab
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def test_mesh_info(mesh):
+    info = device_mesh_info(mesh)
+    assert info["n_devices"] == 8
+    assert info["shape"] == {"rows": 8}
+
+
+class TestHaloDia:
+    def test_matvec_matches_dense(self, mesh):
+        n = 64
+        vals, rows, cols, shape = poisson1d_coo(n)
+        dia = F.dia_from_coo(F.coo_from_arrays(vals, rows, cols, shape))
+        op = HaloDiaOperator(dia, mesh)
+        assert op.pad == 0 and op.halo_width == 1
+        x = np.linspace(-1, 1, n)
+        xs = shard_vector(jnp.asarray(x), mesh)
+        y = np.asarray(op * xs)
+        A = np.asarray(F.to_dense(dia))
+        np.testing.assert_allclose(y, A @ x, atol=1e-12)
+
+    def test_matvec_with_padding(self, mesh):
+        n = 61  # not divisible by 8 → padded to 64
+        vals, rows, cols, shape = poisson1d_coo(n)
+        dia = F.dia_from_coo(F.coo_from_arrays(vals, rows, cols, shape))
+        op = HaloDiaOperator(dia, mesh)
+        assert op.pad == 3
+        x = np.zeros(64)
+        x[:n] = np.linspace(-1, 1, n)
+        y = np.asarray(op * shard_vector(jnp.asarray(x), mesh))
+        A = np.asarray(F.to_dense(dia))
+        np.testing.assert_allclose(y[:n], A @ x[:n], atol=1e-12)
+        np.testing.assert_allclose(y[n:], 0.0, atol=0)
+
+    def test_wide_band_3d_poisson(self, mesh):
+        n = 8  # 512 unknowns, halo width n*n = 64 = rows/device
+        vals, rows, cols, shape = poisson3d_coo(n)
+        dia = F.dia_from_coo(F.coo_from_arrays(vals, rows, cols, shape))
+        op = HaloDiaOperator(dia, mesh)
+        assert op.halo_width == n * n
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(n**3)
+        y = np.asarray(op * shard_vector(jnp.asarray(x), mesh))
+        A = np.asarray(F.to_dense(dia))
+        np.testing.assert_allclose(y, A @ x, atol=1e-10)
+
+    def test_bandwidth_guard(self, mesh):
+        n = 8
+        vals, rows, cols, shape = poisson3d_coo(n)
+        dia = F.dia_from_coo(F.coo_from_arrays(vals, rows, cols, shape))
+        # halo 64 > 8 rows/device on a fake 64-way split is impossible here,
+        # so shrink rows instead: n=4 → 64 rows, 8 per device, halo 16.
+        vals, rows, cols, shape = poisson3d_coo(4)
+        dia_small = F.dia_from_coo(F.coo_from_arrays(vals, rows, cols, shape))
+        with pytest.raises(ValueError, match="bandwidth"):
+            HaloDiaOperator(dia_small, mesh)
+
+
+class TestShardedEll:
+    def test_general_sparsity_allgather_fallback(self, mesh):
+        op = sparse_operator("jpwh_991", symmetric=False, fmt="ell")
+        sharded, pad = shard_operator(op, mesh)
+        n = 991
+        assert pad == pad_expected(n, 8)
+        x = np.zeros(n + pad)
+        x[:n] = 1.0 + np.arange(n) / n
+        xs = shard_vector(jnp.asarray(x), mesh)
+        y = np.asarray(sharded * xs)
+        y_ref = np.asarray(op * jnp.asarray(x[:n]))
+        np.testing.assert_allclose(y[:n], y_ref, rtol=1e-12)
+        np.testing.assert_allclose(y[n:], 0.0)
+        # transpose path
+        yt = np.asarray(sharded.T * xs)
+        yt_ref = np.asarray(op.T * jnp.asarray(x[:n]))
+        np.testing.assert_allclose(yt[:n], yt_ref, rtol=1e-12)
+
+
+def pad_expected(n, d):
+    return (n + d - 1) // d * d - n
+
+
+class TestShardedSolves:
+    def test_cg_on_sharded_3d_poisson_halo(self, mesh):
+        op, b, e, pad = sharded_poisson3d(8, mesh, halo=True)
+        res = cg(op, b, rtol=1e-10)
+        assert bool(res.converged)
+        err = float(jnp.linalg.norm(res.x - e))
+        assert err < 1e-6
+        # Solution sharding survives the while_loop.
+        assert len(res.x.sharding.device_set) == 8
+
+    def test_cg_on_sharded_3d_poisson_generic(self, mesh):
+        op, b, e, pad = sharded_poisson3d(8, mesh, halo=False)
+        res = cg(op, b, rtol=1e-10)
+        assert bool(res.converged)
+        assert float(jnp.linalg.norm(res.x - e)) < 1e-6
+
+    def test_minres_on_sharded_system(self, mesh):
+        op, b, e, pad = sharded_poisson3d(8, mesh, halo=True)
+        res = minres(op, b, rtol=1e-12)
+        assert bool(res.converged)
+        assert float(jnp.linalg.norm(res.x - e)) < 1e-5
+
+    def test_bicgstab_on_sharded_ell(self, mesh):
+        op = sparse_operator("jpwh_991", symmetric=False, fmt="ell")
+        sharded, pad = shard_operator(op, mesh)
+        n = 991
+        e = np.zeros(n + pad)
+        e[:n] = 1.0
+        es = shard_vector(jnp.asarray(e), mesh)
+        b = sharded * es
+        res = bicgstab(sharded, b, x0=shard_vector(
+            jnp.asarray(np.where(np.arange(n + pad) < n,
+                                 1.0 + np.arange(n + pad), 0.0)), mesh),
+            rtol=1e-8, matvec_max=2 * n)
+        assert bool(res.converged)
+        err = float(jnp.linalg.norm(res.x[:n] - 1.0) / np.sqrt(n))
+        assert err < 1e-4
+
+    def test_sharded_matches_unsharded_history(self, mesh):
+        """Residual histories agree between 1-device and 8-device runs."""
+        op8, b8, e8, _ = sharded_poisson3d(8, mesh, halo=True)
+        mesh1 = make_mesh(1)
+        op1, b1, e1, _ = sharded_poisson3d(8, mesh1, halo=True)
+        r8 = cg(op8, b8, rtol=1e-10, store_history=True)
+        r1 = cg(op1, b1, rtol=1e-10, store_history=True)
+        assert int(r8.n_iter) == int(r1.n_iter)
+        h8, h1 = r8.history(), r1.history()
+        # The final entry sits at the 1e-10 threshold where reduction-order
+        # noise dominates; compare the trajectory up to it.
+        np.testing.assert_allclose(h8[:-1], h1[:-1], rtol=1e-6)
