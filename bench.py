@@ -46,33 +46,43 @@ def peak_bandwidth_gbps() -> float:
 def main():
     from pykrylov_tpu.gallery.poisson import poisson3d_coo
     from pykrylov_tpu.sparse import formats as F
+    from pykrylov_tpu.sparse.kernels import (ensure_dia_padded, pack_dia,
+                                             dia_matvec_packed,
+                                             DEFAULT_BLOCK)
 
-    n = 128  # 2.1M unknowns, 7 diagonals, ~59 MB of f32 diagonal data
+    on_tpu = jax.default_backend() == "tpu"
+    # 2.1M unknowns, 7 diagonals, ~59 MB of f32 diagonal data on TPU;
+    # a small grid on CPU where the kernel runs interpreted.
+    n = 128 if on_tpu else 16
     dtype = np.float32
     vals, rows, cols, shape = poisson3d_coo(n, dtype=dtype)
     dia = F.dia_from_coo(F.coo_from_arrays(vals, rows, cols, shape))
-    m = shape[0]
+    block = DEFAULT_BLOCK if on_tpu else 1024
+    dia, _ = ensure_dia_padded(dia, block)
+    d3, offsets = pack_dia(dia, block)
+    m = dia.shape[0]
     ndiag = dia.data.shape[0]
 
     iters = 50
 
     @jax.jit
-    def spmv_chain(a, x):
+    def spmv_chain(d3, x):
         def body(_, x):
-            y = F.dia_matvec(a, x)
-            # Normalize to keep values bounded without extra HBM traffic
-            # of materializing intermediates (power iteration).
-            return y / jnp.max(jnp.abs(y))
+            y = dia_matvec_packed(d3, offsets, x, block=block,
+                                  interpret=not on_tpu)
+            # Constant rescale keeps values bounded (spectral radius < 12)
+            # without the extra HBM pass a max-reduction would cost.
+            return y * 0.125
         return jax.lax.fori_loop(0, iters, body, x)
 
     x0 = jnp.ones(m, dtype=dtype)
     # Warm up / compile.
-    jax.block_until_ready(spmv_chain(dia, x0))
+    jax.block_until_ready(spmv_chain(d3, x0))
 
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(spmv_chain(dia, x0))
+        jax.block_until_ready(spmv_chain(d3, x0))
         best = min(best, time.perf_counter() - t0)
 
     bytes_per_mv = (ndiag * m + 2 * m) * np.dtype(dtype).itemsize
