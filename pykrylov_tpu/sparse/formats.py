@@ -121,7 +121,11 @@ def csr_from_coo(coo: COO) -> CSR:
 
 
 def ell_from_coo(coo: COO, pad_to: int = 1) -> ELL:
-    """Build padded-row ELL.  ``pad_to`` rounds K up (lane alignment)."""
+    """Build padded-row ELL.  ``pad_to`` rounds K up (lane alignment).
+
+    Packing runs in the native C++ pipeline when available
+    (:mod:`pykrylov_tpu.native`), else as vectorized NumPy.
+    """
     m, n = coo.shape
     rows = np.asarray(coo.row)
     cols = np.asarray(coo.col)
@@ -129,15 +133,27 @@ def ell_from_coo(coo: COO, pad_to: int = 1) -> ELL:
     counts = np.bincount(rows, minlength=m)
     K = int(counts.max()) if len(counts) and counts.max() > 0 else 1
     K = max(1, -(-K // pad_to) * pad_to)
-    ed = np.zeros((m, K), dtype=data.dtype)
-    ec = np.zeros((m, K), dtype=np.int32)
-    slot = np.zeros(m, dtype=np.int64)
     order = np.lexsort((cols, rows))
-    for idx in order:
-        r = rows[idx]
-        ed[r, slot[r]] = data[idx]
-        ec[r, slot[r]] = cols[idx]
-        slot[r] += 1
+    rows_s, cols_s, data_s = rows[order], cols[order], data[order]
+
+    filled = None
+    try:
+        from ..native import ell_fill_native
+        filled = ell_fill_native(rows_s, cols_s, data_s, m, K)
+    except Exception:
+        filled = None
+    if filled is not None:
+        ed, ec = filled
+        ed = ed.astype(data.dtype, copy=False)
+    else:
+        # Vectorized fallback: slot k of row r = position within the row.
+        starts = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slots = np.arange(len(rows_s), dtype=np.int64) - starts[rows_s]
+        ed = np.zeros((m, K), dtype=data.dtype)
+        ec = np.zeros((m, K), dtype=np.int32)
+        ed[rows_s, slots] = data_s
+        ec[rows_s, slots] = cols_s
     return ELL(jnp.asarray(ed), jnp.asarray(ec), (m, n))
 
 
@@ -152,10 +168,19 @@ def dia_from_coo(coo: COO, max_diags: int = 4096) -> DIA:
     if len(offs) > max_diags:
         raise ValueError("matrix has %d distinct diagonals (> %d): use ELL"
                          % (len(offs), max_diags))
-    dd = np.zeros((len(offs), m), dtype=data.dtype)
-    off_index = {int(o): i for i, o in enumerate(offs)}
-    for v, r, c in zip(data, rows, cols):
-        dd[off_index[int(c - r)], r] = v
+    dd = None
+    try:
+        from ..native import dia_fill_native
+        dd = dia_fill_native(rows, cols, data, m, offs)
+    except Exception:
+        dd = None
+    if dd is not None:
+        dd = dd.astype(data.dtype, copy=False)
+    else:
+        # Vectorized fallback: diagonal index by binary search.
+        k = np.searchsorted(offs, cols.astype(np.int64) - rows)
+        dd = np.zeros((len(offs), m), dtype=data.dtype)
+        dd[k, rows] = data
     return DIA(jnp.asarray(dd), tuple(int(o) for o in offs), (m, n))
 
 
