@@ -67,9 +67,11 @@ def ensure_dia_padded(dia: F.DIA, block: int = DEFAULT_BLOCK):
     return F.DIA(jnp.asarray(data), dia.offsets, (mp, mp)), mp - m
 
 
-def _dia_kernel(offsets, brows, ndiag, data_ref, xl_ref, xc_ref, xr_ref,
-                y_ref):
-    # Window = [previous | current | next] row blocks: (3*brows, LANES).
+def _dia_kernel(offsets, brows, hrows, ndiag, data_ref, xl_ref, xc_ref,
+                xr_ref, y_ref):
+    # Window = [left halo | current block | right halo]:
+    # (hrows + brows + hrows, LANES).  Halos are slim (hrows rows), so x
+    # HBM traffic is (1 + 2*hrows/brows)x instead of 3x.
     xw = jnp.concatenate([xl_ref[:], xc_ref[:], xr_ref[:]], axis=0)
 
     def shifted(off):
@@ -78,7 +80,7 @@ def _dia_kernel(offsets, brows, ndiag, data_ref, xl_ref, xc_ref, xr_ref,
         # lane-misaligned slices, so the rotate is a circular pltpu.roll
         # of the two contributing row blocks + a lane-mask select.
         dr, dl = divmod(off, LANES)  # dl in [0, 128)
-        base = brows + dr
+        base = hrows + dr
         a = xw[base:base + brows, :]
         if dl == 0:
             return a
@@ -94,6 +96,19 @@ def _dia_kernel(offsets, brows, ndiag, data_ref, xl_ref, xc_ref, xr_ref,
     y_ref[:] = acc
 
 
+def _halo_rows(offsets, brows):
+    """Smallest divisor of ``brows`` covering the diagonal halo in rows."""
+    need = 1  # window layout assumes at least one halo row per side
+    for off in offsets:
+        dr, dl = divmod(off, LANES)
+        need = max(need, -dr, dr + (1 if dl else 0))
+    for d in range(1, brows + 1):
+        if brows % d == 0 and d >= need:
+            return d
+    raise ValueError("halo %d rows exceeds block of %d rows"
+                     % (need, brows))
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "block",
                                              "interpret"))
 def _dia_matvec_call(d3, x, offsets, block, interpret):
@@ -102,6 +117,10 @@ def _dia_matvec_call(d3, x, offsets, block, interpret):
     m = rows * LANES
     nblk = m // block
     brows = block // LANES
+    hrows = _halo_rows(offsets, brows)
+    # Halo index maps address x in (hrows, LANES) units.
+    hper = brows // hrows
+    nh = rows // hrows
     x2 = x.reshape(rows, LANES)
     if not interpret:
         # Without this, XLA may keep the whole x vector and the diagonal
@@ -110,20 +129,21 @@ def _dia_matvec_call(d3, x, offsets, block, interpret):
         x2 = pltpu.with_memory_space_constraint(x2, pltpu.HBM)
         d3 = pltpu.with_memory_space_constraint(d3, pltpu.HBM)
 
-    kernel = functools.partial(_dia_kernel, offsets, brows, ndiag)
+    kernel = functools.partial(_dia_kernel, offsets, brows, hrows, ndiag)
+    h_shape = (hrows, LANES)
     grid_spec = pl.GridSpec(
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((ndiag, brows, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            # Neighbor windows clamp at the edges; data there is zero.
-            pl.BlockSpec((brows, LANES),
-                         lambda i: (jnp.maximum(i - 1, 0), 0),
+            # Slim halo slivers; edge blocks clamp (data there is zero).
+            pl.BlockSpec(h_shape,
+                         lambda i: (jnp.maximum(i * hper - 1, 0), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((brows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((brows, LANES),
-                         lambda i: (jnp.minimum(i + 1, nblk - 1), 0),
+            pl.BlockSpec(h_shape,
+                         lambda i: (jnp.minimum((i + 1) * hper, nh - 1), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((brows, LANES), lambda i: (i, 0),
@@ -135,7 +155,8 @@ def _dia_matvec_call(d3, x, offsets, block, interpret):
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * ndiag * m,
-            bytes_accessed=(ndiag + 4) * m * d3.dtype.itemsize,
+            bytes_accessed=(ndiag + 2) * m * d3.dtype.itemsize
+            + 2 * hrows * LANES * nblk * d3.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
     )(d3, x2, x2, x2)
