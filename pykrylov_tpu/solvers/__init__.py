@@ -17,6 +17,7 @@ def __getattr__(name):
         "minres": ".minres", "symmlq": ".symmlq", "bicgstab": ".bicgstab",
         "cgs": ".cgs", "tfqmr": ".tfqmr", "lsqr": ".lsqr", "lsmr": ".lsmr",
         "craig": ".craig", "craigmr": ".craigmr",
+        "cg_pipelined": ".pipelined",
         # Implicit-differentiation wrappers (custom VJP).
         "make_differentiable": ".diff", "cg_solve": ".diff",
         "bicgstab_solve": ".diff", "lsqr_solve": ".diff",
