@@ -34,6 +34,7 @@ __all__ = ["bicgstab", "ISTOP_MSG"]
 ISTOP_MSG = {
     0: "residual small enough (relative/absolute tolerance reached)",
     1: "matvec budget exhausted before convergence",
+    3: "breakdown: rho, r0'v or t't vanished / residual not finite",
 }
 
 
@@ -63,6 +64,7 @@ def _bicgstab(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
         rho=one, rho_next=rho_next.astype(dtype), alpha=one, omega=one,
         resid=resid0, k=jnp.zeros((), jnp.int32),
         nmv=jnp.asarray(nmv0, jnp.int32),
+        broken=jnp.asarray(False),
         done=(resid0 <= thresh) | (nmv0 >= matvec_max),
         hist=hist)
 
@@ -76,9 +78,19 @@ def _bicgstab(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
         q = apply_op(M, p) if M is not None else p
         v = apply_op(A, q)
         nmv = s["nmv"] + 1
-        alpha = rho / jnp.vdot(r0, v).real.astype(dtype)
+        denom = jnp.vdot(r0, v).real.astype(dtype)
+        alpha = rho / denom
         svec = s["r"] - alpha * v
         resid_s = jnp.linalg.norm(svec)
+
+        # Breakdown guard: zero shadow products or non-finite residuals
+        # mean the recurrence is dead; stop with the best iterate instead
+        # of spinning NaNs to the matvec cap (the reference spins; scipy
+        # reports info=-10 on the same systems, e.g. jpwh_991 with r0=b).
+        broken1 = (denom == 0) | (rho == 0) | ~jnp.isfinite(resid_s)
+
+        def on_break(_):
+            return dict(s, k=s["k"] + 1, nmv=nmv, broken=True, done=True)
 
         early = resid_s <= thresh
         capped = nmv >= matvec_max
@@ -100,17 +112,26 @@ def _bicgstab(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
             r = svec - omega * t
             x2 = s["x"] + omega * z + alpha * q
             resid = jnp.linalg.norm(r)
-            done = (resid <= thresh) | (nmv2 >= matvec_max)
+            broken2 = (tt == 0) | ~jnp.isfinite(resid)
+            keep = ~jnp.isfinite(resid)
+            x2 = jnp.where(keep, s["x"], x2)
+            resid = jnp.where(keep, s["resid"], resid)
+            done = (resid <= thresh) | (nmv2 >= matvec_max) | broken2
             return dict(x=x2, r=r, p=p, v=v, rho=rho, rho_next=rho_next,
                         alpha=alpha, omega=omega, resid=resid,
-                        k=s["k"] + 1, nmv=nmv2, done=done,
+                        k=s["k"] + 1, nmv=nmv2, broken=broken2, done=done,
                         hist=history_push(s["hist"], s["k"] + 1, resid))
 
-        return jax.lax.cond(early | capped, finish_early, second_half, None)
+        def not_broken(_):
+            return jax.lax.cond(early | capped, finish_early, second_half,
+                                None)
+
+        return jax.lax.cond(broken1, on_break, not_broken, None)
 
     s = jax.lax.while_loop(cond, body, state0)
     converged = s["resid"] <= thresh
-    istop = jnp.where(converged, 0, 1).astype(jnp.int32)
+    istop = jnp.where(converged, 0,
+                      jnp.where(s["broken"], 3, 1)).astype(jnp.int32)
     return SolveResult(
         x=s["x"], converged=converged, istop=istop,
         n_iter=s["k"], n_matvec=s["nmv"],

@@ -32,6 +32,7 @@ __all__ = ["cgs", "ISTOP_MSG"]
 ISTOP_MSG = {
     0: "residual small enough (relative/absolute tolerance reached)",
     1: "matvec budget exhausted before convergence",
+    3: "breakdown: rho or sigma vanished / residual not finite",
 }
 
 
@@ -56,7 +57,7 @@ def _cgs(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
     state0 = dict(
         x=x, r=r0, u=r0, p=r0, rho=rho, resid=resid0,
         k=jnp.zeros((), jnp.int32), nmv=jnp.zeros((), jnp.int32),
-        done=(resid0 <= thresh), hist=hist)
+        broken=jnp.asarray(False), done=(resid0 <= thresh), hist=hist)
 
     def cond(s):
         return ~s["done"]
@@ -73,19 +74,29 @@ def _cgs(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
         nmv = s["nmv"] + 2
         r = s["r"] - alpha * Az
         resid = jnp.linalg.norm(r)
-        done = (resid <= thresh) | (nmv >= matvec_max)
-        # Direction updates (harmless when done; loop exits before use).
+        # Breakdown: a zero rho/sigma or a non-finite residual means the
+        # recurrence is dead; stop with the best iterate so far instead of
+        # spinning NaNs to the matvec cap (the reference spins,
+        # cgs.py:85-118; scipy reports info=-10 on the same systems).
+        broken = (sigma == 0) | ~jnp.isfinite(resid)
         rho_next = jnp.vdot(r0, r).real.astype(dtype)
+        broken = broken | (rho_next == 0)
+        done = (resid <= thresh) | (nmv >= matvec_max) | broken
+        # Direction updates (harmless when done; loop exits before use).
         beta = rho_next / s["rho"]
         u = r + beta * q
         p = u + beta * (q + beta * s["p"])
-        return dict(x=x, r=r, u=u, p=p, rho=rho_next, resid=resid,
-                    k=s["k"] + 1, nmv=nmv, done=done,
-                    hist=history_push(s["hist"], s["k"] + 1, resid))
+        keep = ~jnp.isfinite(resid)
+        x = jnp.where(keep, s["x"], x)
+        resid_out = jnp.where(keep, s["resid"], resid)
+        return dict(x=x, r=r, u=u, p=p, rho=rho_next, resid=resid_out,
+                    k=s["k"] + 1, nmv=nmv, broken=broken, done=done,
+                    hist=history_push(s["hist"], s["k"] + 1, resid_out))
 
     s = jax.lax.while_loop(cond, body, state0)
     converged = s["resid"] <= thresh
-    istop = jnp.where(converged, 0, 1).astype(jnp.int32)
+    istop = jnp.where(converged, 0,
+                      jnp.where(s["broken"], 3, 1)).astype(jnp.int32)
     return SolveResult(
         x=s["x"], converged=converged, istop=istop,
         n_iter=s["k"], n_matvec=s["nmv"],

@@ -35,6 +35,7 @@ __all__ = ["tfqmr", "ISTOP_MSG"]
 ISTOP_MSG = {
     0: "quasi-residual small enough (relative/absolute tolerance reached)",
     1: "matvec budget exhausted before convergence",
+    3: "breakdown: rho or sigma vanished / residual not finite",
 }
 
 
@@ -68,7 +69,7 @@ def _tfqmr(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
         theta=zero, eta=zero, rho=rho, resid=resid0, m=zero,
         k=jnp.zeros((), jnp.int32),
         nmv=jnp.where(started, 1, 0).astype(jnp.int32),
-        done=~started, hist=hist)
+        broken=jnp.asarray(False), done=~started, hist=hist)
 
     def half_step(s, w, d, x, alpha, u, z, resid):
         """One quasi-minimization half-step (tfqmr.py:93-104,108-123)."""
@@ -90,6 +91,12 @@ def _tfqmr(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
         k = s["k"] + 1
         sigma = jnp.vdot(r0, s["v"]).real.astype(dtype)
         alpha = s["rho"] / sigma
+        # Breakdown guard: dead recurrence -> stop with the best iterate
+        # (the reference spins NaNs to the matvec cap).
+        broken0 = (sigma == 0) | (s["rho"] == 0) | ~jnp.isfinite(s["resid"])
+
+        def on_break(_):
+            return dict(s, k=k, broken=True, done=True)
 
         # First half-step.
         w, d, x, theta, eta, resid = half_step(
@@ -132,16 +139,21 @@ def _tfqmr(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
                 done = nmv3 >= matvec_max
                 return dict(x=x2, w=w2, y=y3, z=z3, u=u3, v=v3, d=d2,
                             theta=theta2, eta=eta2, rho=rho_next,
-                            resid=resid2, m=m2, k=k, nmv=nmv3, done=done,
+                            resid=resid2, m=m2, k=k, nmv=nmv3,
+                            broken=jnp.asarray(False), done=done,
                             hist=history_push(s["hist"], k, resid2))
 
             return jax.lax.cond(stop2, after_second, refresh, None)
 
-        return jax.lax.cond(stop1, after_first, second, None)
+        def not_broken(_):
+            return jax.lax.cond(stop1, after_first, second, None)
+
+        return jax.lax.cond(broken0, on_break, not_broken, None)
 
     s = jax.lax.while_loop(cond, body, state0)
     converged = s["resid"] * jnp.sqrt(s["m"] + 1) < thresh
-    istop = jnp.where(converged, 0, 1).astype(jnp.int32)
+    istop = jnp.where(converged, 0,
+                      jnp.where(s["broken"], 3, 1)).astype(jnp.int32)
     return SolveResult(
         x=s["x"], converged=converged, istop=istop,
         n_iter=s["k"], n_matvec=s["nmv"],

@@ -99,6 +99,22 @@ class TestUnsymmetric:
         np.testing.assert_array_equal(np.asarray(res.x), np.zeros(30))
 
 
+@pytest.mark.parametrize("solve", SOLVERS, ids=IDS)
+def test_breakdown_detected(solve):
+    """r0 = b on jpwh_991 is a degenerate shadow vector (scipy's BiCGSTAB
+    fails with info=-10 there too); the solver must stop with istop=3 and
+    a finite residual instead of spinning NaNs to the matvec cap."""
+    from pykrylov_tpu.sparse import sparse_operator
+    op = sparse_operator("jpwh_991")
+    b = op * jnp.ones(991, dtype=jnp.float64)
+    res = solve(op, b, rtol=1e-4)
+    assert not bool(res.converged)
+    assert int(res.istop) == 3
+    assert int(res.n_matvec) <= 10
+    assert bool(jnp.isfinite(res.resid_norm))
+    assert bool(jnp.all(jnp.isfinite(res.x)))
+
+
 def test_bicgstab_counts_guess_matvec(rng):
     """Bi-CGSTAB counts the r0-forming matvec (bicgstab.py:61-63); CGS and
     TFQMR do not (cgs.py:59-60, tfqmr.py:59-60)."""
