@@ -51,19 +51,25 @@ def main():
                                              DEFAULT_BLOCK)
 
     on_tpu = jax.default_backend() == "tpu"
-    # 2.1M unknowns, 7 diagonals, ~59 MB of f32 diagonal data on TPU;
+    # 7.1M unknowns, 7 diagonals, ~198 MB of f32 diagonal data on TPU so
+    # each timed dispatch is dominated by device work (remote-execution
+    # layers add ~10s of ms per dispatch; 400 chained matvecs x ~260 MB of
+    # traffic amortize it below a few percent);
     # a small grid on CPU where the kernel runs interpreted.
-    n = 128 if on_tpu else 16
+    n = 192 if on_tpu else 16
     dtype = np.float32
     vals, rows, cols, shape = poisson3d_coo(n, dtype=dtype)
-    dia = F.dia_from_coo(F.coo_from_arrays(vals, rows, cols, shape))
+    # Keep packing host-side: F.COO with NumPy fields avoids shipping the
+    # triples to the device and pulling them back for conversion.
+    dia = F.dia_from_coo(F.COO(vals, rows.astype(np.int32),
+                               cols.astype(np.int32), shape))
     block = DEFAULT_BLOCK if on_tpu else 1024
     dia, _ = ensure_dia_padded(dia, block)
     d3, offsets = pack_dia(dia, block)
     m = dia.shape[0]
     ndiag = dia.data.shape[0]
 
-    iters = 50
+    iters = 400 if on_tpu else 10
 
     @jax.jit
     def spmv_chain(d3, x):
@@ -75,14 +81,19 @@ def main():
             return y * 0.125
         return jax.lax.fori_loop(0, iters, body, x)
 
-    x0 = jnp.ones(m, dtype=dtype)
     # Warm up / compile.
-    jax.block_until_ready(spmv_chain(d3, x0))
+    float(spmv_chain(d3, jnp.ones(m, dtype=dtype))[0])
 
+    # Timing defenses for remote-execution backends: distinct input per
+    # call (identical dispatches can be result-cached) and a host fetch of
+    # a scalar that depends on the full chain (block_until_ready has been
+    # observed to return early through remote tunnels).  Best-of-3.
     best = np.inf
-    for _ in range(3):
+    for rep in range(3):
+        x0 = jnp.full(m, 1.0 + 0.125 * (rep + 1), dtype=dtype)
+        float(x0[0])
         t0 = time.perf_counter()
-        jax.block_until_ready(spmv_chain(d3, x0))
+        float(spmv_chain(d3, x0)[0])
         best = min(best, time.perf_counter() - t0)
 
     bytes_per_mv = (ndiag * m + 2 * m) * np.dtype(dtype).itemsize

@@ -160,6 +160,11 @@ def _dia_matvec_call(d3, x, offsets, block, interpret):
             transcendentals=0),
         interpret=interpret,
     )(d3, x2, x2, x2)
+    # Note: the OUTPUT buffer cannot be HBM-constrained here — the memory-
+    # space tag propagates through reshape and is rejected at the jit
+    # boundary.  With block > DEFAULT_BLOCK XLA sometimes parks the multi-MB
+    # output in VMEM and fails scoped allocation; stick to the default
+    # block size for large systems.
     return y.reshape(m)
 
 

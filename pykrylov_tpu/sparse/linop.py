@@ -21,7 +21,8 @@ from ..ops.base import LinearOperator, _register_as_linop
 from . import formats as F
 
 __all__ = ["SparseOperator", "sparse_operator", "operator_from_coo",
-           "jacobi_preconditioner", "diag_of_coo"]
+           "jacobi_preconditioner", "diag_of_coo",
+           "pallas_dia_sparse_operator"]
 
 
 def _mv_fwd(params, x):
@@ -81,7 +82,7 @@ def operator_from_coo(vals, rows, cols, shape, symmetric=False,
                       max_diags=64):
     """Build a SparseOperator from COO triples, choosing a compute format.
 
-    ``fmt`` is one of ``auto | dia | ell | csr | coo``.  ``auto`` picks DIA
+    ``fmt`` is one of ``auto | dia | pallas-dia | ell | csr | coo``.  ``auto`` picks DIA
     when the nonzeros land on at most ``max_diags`` distinct diagonals with
     at least ``dia_density_threshold`` fill, else ELL.
     """
@@ -90,6 +91,16 @@ def operator_from_coo(vals, rows, cols, shape, symmetric=False,
         ndiag, density = F.bandwidth_profile(coo)
         fmt = "dia" if (ndiag <= max_diags and
                         density >= dia_density_threshold) else "ell"
+        # On the TPU backend, large DIA-eligible matrices get the Pallas
+        # streaming kernel (the padded-block layout needs enough rows to
+        # amortize; small systems stay on the fused-XLA path).
+        import jax as _jax
+        if (fmt == "dia" and shape[0] == shape[1]
+                and shape[0] >= 1 << 16
+                and _jax.default_backend() == "tpu"):
+            return pallas_dia_sparse_operator(coo, symmetric=symmetric)
+    if fmt == "pallas-dia":
+        return pallas_dia_sparse_operator(coo, symmetric=symmetric)
     if fmt == "dia":
         fwd = F.dia_from_coo(coo)
         bwd = None if symmetric else F.dia_from_coo(F.transpose_coo(coo))
@@ -159,3 +170,40 @@ def jacobi_preconditioner(source, floor=0.0):
     if floor:
         d = np.maximum(d, floor)
     return DiagonalOperator(1.0 / d)
+
+
+def pallas_dia_sparse_operator(coo, symmetric=False):
+    """DIA-format SparseOperator whose matvec is the Pallas kernel, acting
+    on the *logical* length-m vectors (pad/trim handled internally).
+
+    Used by :func:`sparse_operator` on the TPU backend for DIA-eligible
+    matrices; the padded kernel operator itself
+    (:func:`~pykrylov_tpu.sparse.kernels.pallas_dia_operator`) is exposed
+    for callers that want to manage padding (e.g. the benchmark).
+    """
+    from . import formats as F
+    from .kernels import pallas_dia_operator
+
+    m = coo.shape[0]
+    dia = F.dia_from_coo(coo)
+    inner = pallas_dia_operator(dia, symmetric=symmetric)
+    mp = inner.nargin
+
+    def mv(params, x):
+        (op,) = params
+        xp = jnp.zeros(mp, dtype=x.dtype).at[:m].set(x)
+        return op.apply_with(op._mv, xp)[:m]
+
+    def rmv(params, x):
+        (op,) = params
+        xp = jnp.zeros(mp, dtype=x.dtype).at[:m].set(x)
+        return op.apply_with(op._rmv, xp)[:m]
+
+    op = LinearOperator(m, m, matvec=mv,
+                        matvec_transp=rmv,
+                        params=(inner,), _takes_params=True,
+                        symmetric=symmetric,
+                        hermitian=inner.hermitian and symmetric,
+                        dtype=inner.dtype)
+    op.container = dia
+    return op
