@@ -74,21 +74,30 @@ def _dia_kernel(offsets, brows, hrows, ndiag, data_ref, xl_ref, xc_ref,
     # HBM traffic is (1 + 2*hrows/brows)x instead of 3x.
     xw = jnp.concatenate([xl_ref[:], xc_ref[:], xr_ref[:]], axis=0)
 
+    # A flat shift by static `off` on the (rows, 128) view is a row shift
+    # dr plus a lane rotate dl.  Mosaic cannot concatenate lane-misaligned
+    # slices, so the rotate is a circular pltpu.roll + lane-mask select —
+    # and since offsets sharing the same dl need the SAME rotation, the
+    # whole window is rolled once per distinct dl (2.5x fewer rolls than
+    # rolling the two contributing row blocks per offset).
+    rolled = {0: xw}
+    lane = jax.lax.broadcasted_iota(jnp.int32, (brows, LANES), 1)
+    for off in offsets:
+        dl = off % LANES
+        if dl and dl not in rolled:
+            rolled[dl] = pltpu.roll(xw, LANES - dl, 1)  # roll left by dl
+
     def shifted(off):
-        # Flat shift by `off` on the (rows, 128) view: row shift dr plus
-        # lane rotate dl, all offsets static.  Mosaic cannot concatenate
-        # lane-misaligned slices, so the rotate is a circular pltpu.roll
-        # of the two contributing row blocks + a lane-mask select.
         dr, dl = divmod(off, LANES)  # dl in [0, 128)
         base = hrows + dr
-        a = xw[base:base + brows, :]
+        rw = rolled[dl]
         if dl == 0:
-            return a
-        b = xw[base + 1:base + 1 + brows, :]
-        ra = pltpu.roll(a, LANES - dl, 1)  # == roll left by dl
-        rb = pltpu.roll(b, LANES - dl, 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (brows, LANES), 1)
-        return jnp.where(lane < LANES - dl, ra, rb)
+            return rw[base:base + brows, :]
+        # Lanes < 128-dl come from row base+r, the carry lanes from the
+        # next row — both static slices of the same rolled window.
+        return jnp.where(lane < LANES - dl,
+                         rw[base:base + brows, :],
+                         rw[base + 1:base + 1 + brows, :])
 
     acc = data_ref[0] * shifted(offsets[0])
     for k in range(1, ndiag):  # static unroll over diagonals
