@@ -24,6 +24,7 @@ from .ops import (
 )
 from .utils import (machine_epsilon, roots_quadratic, check_symmetric,
                     check_positive_definite)
+from .solve import solve
 
 # Subpackages with heavier imports are imported lazily by attribute access.
 _LAZY_SUBMODULES = ("solvers", "sparse", "parallel", "io", "gallery", "compat")

@@ -93,3 +93,45 @@ def test_vmap_lsqr(rng):
     out = jax.vmap(lambda b: lsqr(A, b, atol=1e-12, btol=1e-12,
                                   etol=0.0, itnlim=100).x)(bs)
     np.testing.assert_allclose(np.asarray(out), xs, atol=1e-8)
+
+
+class TestSolveDispatcher:
+    def test_spd_auto(self):
+        from pykrylov_tpu import solve
+        op = poisson1d_operator(80, dtype=jnp.float64)
+        b = op * jnp.ones(80, dtype=jnp.float64)
+        res = solve(op, b, rtol=1e-10)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-8)
+
+    def test_indefinite_falls_back_to_minres(self, rng):
+        from pykrylov_tpu import solve
+        n = 40
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        d = np.concatenate([np.linspace(1, 4, 25), -np.linspace(1, 2, 15)])
+        A = (Q * d) @ Q.T
+        xs = rng.standard_normal(n)
+        res = solve(MatrixOperator(jnp.asarray(A), symmetric=True),
+                    jnp.asarray(A @ xs))
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), xs, atol=1e-4)
+
+    def test_rectangular_uses_lsmr(self, rng):
+        from pykrylov_tpu import solve
+        A = rng.standard_normal((50, 20))
+        b = A @ np.ones(20)
+        res = solve(MatrixOperator(jnp.asarray(A)), jnp.asarray(b))
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-6)
+
+    def test_unsymmetric_and_explicit_method(self, rng):
+        from pykrylov_tpu import solve
+        A = rng.standard_normal((30, 30)) + 30 * np.eye(30)
+        b = jnp.asarray(A @ np.ones(30))
+        res = solve(MatrixOperator(jnp.asarray(A)), b, rtol=1e-10)
+        assert bool(res.converged)
+        res2 = solve(MatrixOperator(jnp.asarray(A)), b, method="cgs",
+                     rtol=1e-10)
+        assert bool(res2.converged)
+        with pytest.raises(ValueError, match="unknown method"):
+            solve(MatrixOperator(jnp.asarray(A)), b, method="nope")
