@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import (as_operator, apply_op, threshold_of, history_init,
-                     history_push, promote_rhs)
+                     history_push, promote_rhs, require_square)
 from .result import SolveResult
 
 __all__ = ["cgs", "ISTOP_MSG"]
@@ -116,6 +116,7 @@ def cgs(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
     A = as_operator(A)
     M = as_operator(M) if M is not None else None
     b = promote_rhs(b, A, M)
+    require_square(A, b, "cgs")
     n = b.shape[0]
     if matvec_max is None:
         matvec_max = 2 * n

@@ -17,7 +17,7 @@ from ..ops.base import BaseLinearOperator, LinearOperator, MatrixOperator
 
 __all__ = ["as_operator", "as_apply_pair", "apply_op", "apply_op_T",
            "apply_op_H", "threshold_of", "history_init", "history_push",
-           "default_maxiter", "promote_rhs"]
+           "default_maxiter", "promote_rhs", "require_square"]
 
 
 def _apply_lo(op, x):
@@ -96,3 +96,16 @@ def history_push(hist, k, value):
     if hist is None:
         return None
     return hist.at[k].set(value)
+
+
+def require_square(A, b, solver_name):
+    """Shape guard for square-system solvers: A square, b length-matched."""
+    m, n = A.shape
+    if m != n:
+        raise ValueError(
+            "%s expects a square operator, got %dx%d (use lsqr/lsmr/craig "
+            "for rectangular systems)" % (solver_name, m, n))
+    if jnp.ndim(b) != 1 or jnp.shape(b)[0] != n:
+        raise ValueError(
+            "%s: rhs has shape %s, expected (%d,)"
+            % (solver_name, (jnp.shape(b),), n))

@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import as_operator, apply_op, history_init, history_push, promote_rhs
+from .common import as_operator, apply_op, history_init, history_push, promote_rhs, require_square
 from .result import SolveResult
 from ..utils.utils import check_symmetric as _check_symmetric
 
@@ -224,6 +224,7 @@ def minres(A, b, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
     A = as_operator(A)
     M = as_operator(M) if M is not None else None
     b = promote_rhs(b, A, M)
+    require_square(A, b, "minres")
     n = b.shape[0]
     if itnlim is None:
         itnlim = 5 * n

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import (as_operator, apply_op, threshold_of, history_init,
-                     history_push, default_maxiter, promote_rhs)
+                     history_push, default_maxiter, promote_rhs, require_square)
 from .result import SolveResult
 
 __all__ = ["cg_pipelined", "ISTOP_MSG"]
@@ -173,6 +173,7 @@ def cg_pipelined(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
     A = as_operator(A)
     M = as_operator(M) if M is not None else None
     b = promote_rhs(b, A, M)
+    require_square(A, b, "cg_pipelined")
     if maxiter is None:
         maxiter = default_maxiter(b.shape[0], 1, matvec_max)
     x0 = jnp.asarray(x0) if x0 is not None else None

@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import as_operator, apply_op, history_init, history_push, promote_rhs
+from .common import as_operator, apply_op, history_init, history_push, promote_rhs, require_square
 from .result import SolveResult
 from ..utils.utils import check_symmetric as _check_symmetric
 
@@ -262,6 +262,7 @@ def symmlq(A, b, *, M=None, shift=0.0, rtol=1.0e-9, matvec_max=None,
     A = as_operator(A)
     M = as_operator(M) if M is not None else None
     b = promote_rhs(b, A, M)
+    require_square(A, b, "symmlq")
     n = b.shape[0]
     if matvec_max is None:
         matvec_max = 2 * n + 2

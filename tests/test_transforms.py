@@ -135,3 +135,14 @@ class TestSolveDispatcher:
         assert bool(res2.converged)
         with pytest.raises(ValueError, match="unknown method"):
             solve(MatrixOperator(jnp.asarray(A)), b, method="nope")
+
+
+def test_square_solver_shape_guards(rng):
+    from pykrylov_tpu.solvers import cg, bicgstab, minres
+    rect = MatrixOperator(jnp.asarray(rng.standard_normal((10, 6))))
+    sq = MatrixOperator(jnp.asarray(np.eye(6)))
+    for f in (cg, bicgstab, minres):
+        with pytest.raises(ValueError, match="square operator"):
+            f(rect, jnp.ones(10))
+        with pytest.raises(ValueError, match="rhs has shape"):
+            f(sq, jnp.ones(10))
