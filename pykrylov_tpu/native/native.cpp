@@ -178,7 +178,7 @@ int dia_fill(int64_t nnz, const int32_t* rows, const int32_t* cols,
       if (offsets[mid] < off) lo = mid + 1; else hi = mid - 1;
     }
     if (k < 0) return -1;
-    dia_data[k * m + rows[i]] = vals[i];
+    dia_data[k * m + rows[i]] += vals[i];  // duplicates accumulate
   }
   return 0;
 }

@@ -81,7 +81,15 @@ def shard_operator(op, mesh, axis=ROW_AXIS):
     entries are structurally zero.  Supported container formats: ELL (the
     general case — transpose container sharded the same way) and DIA.
     """
-    fwd, bwd = op._params
+    params = getattr(op, "_params", None)
+    if (not isinstance(params, tuple) or len(params) != 2
+            or not isinstance(params[0], (F.ELL, F.DIA))):
+        raise TypeError(
+            "shard_operator expects a SparseOperator over ELL/DIA "
+            "containers; got %s (note: the TPU auto path may return a "
+            "Pallas-backed operator — build with fmt='dia'/'ell' to "
+            "shard)" % type(op).__name__)
+    fwd, bwd = params
     m, n = fwd.shape
     if m != n:
         raise ValueError("shard_operator expects a square operator")

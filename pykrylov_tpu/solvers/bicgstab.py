@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from .common import (as_operator, apply_op, threshold_of, history_init,
-                     history_push, default_maxiter, promote_rhs, require_square)
+                     history_push, default_maxiter, promote_rhs, require_square,
+                     dotu)
 from .result import SolveResult
 
 __all__ = ["bicgstab", "ISTOP_MSG"]
@@ -52,8 +53,10 @@ def _bicgstab(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
         r0 = b - apply_op(A, x)
         nmv0 = 1
 
-    rho_next = jnp.vdot(r0, r0).real
-    resid0 = jnp.sqrt(jnp.abs(rho_next))
+    # Unconjugated dots (reference np.dot semantics): correct for complex
+    # unsymmetric systems; residual norms stay real.
+    rho_next = dotu(r0, r0)
+    resid0 = jnp.abs(jnp.sqrt(rho_next)).real
     thresh = threshold_of(resid0, rtol, atol)
     hist = history_init(store_history, maxiter, resid0.dtype)
     hist = history_push(hist, 0, resid0)
@@ -61,11 +64,12 @@ def _bicgstab(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
     one = jnp.ones((), dtype)
     state0 = dict(
         x=x, r=r0, p=jnp.zeros(n, dtype), v=jnp.zeros(n, dtype),
-        rho=one, rho_next=rho_next.astype(dtype), alpha=one, omega=one,
+        rho=one, rho_next=rho_next, alpha=one, omega=one,
         resid=resid0, k=jnp.zeros((), jnp.int32),
         nmv=jnp.asarray(nmv0, jnp.int32),
-        broken=jnp.asarray(False),
-        done=(resid0 <= thresh) | (nmv0 >= matvec_max),
+        broken=~jnp.isfinite(resid0),
+        done=(resid0 <= thresh) | (nmv0 >= matvec_max)
+             | ~jnp.isfinite(resid0),
         hist=hist)
 
     def cond(s):
@@ -78,7 +82,7 @@ def _bicgstab(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
         q = apply_op(M, p) if M is not None else p
         v = apply_op(A, q)
         nmv = s["nmv"] + 1
-        denom = jnp.vdot(r0, v).real.astype(dtype)
+        denom = dotu(r0, v)
         alpha = rho / denom
         svec = s["r"] - alpha * v
         resid_s = jnp.linalg.norm(svec)
@@ -87,7 +91,8 @@ def _bicgstab(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
         # mean the recurrence is dead; stop with the best iterate instead
         # of spinning NaNs to the matvec cap (the reference spins; scipy
         # reports info=-10 on the same systems, e.g. jpwh_991 with r0=b).
-        broken1 = (denom == 0) | (rho == 0) | ~jnp.isfinite(resid_s)
+        broken1 = ((denom == 0) | ~jnp.isfinite(denom) | (rho == 0)
+                   | ~jnp.isfinite(resid_s))
 
         def on_break(_):
             return dict(s, k=s["k"] + 1, nmv=nmv, broken=True, done=True)
@@ -106,9 +111,9 @@ def _bicgstab(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
             z = apply_op(M, svec) if M is not None else svec
             t = apply_op(A, z)
             nmv2 = nmv + 1
-            tt = jnp.vdot(t, t).real.astype(dtype)
-            omega = jnp.vdot(t, svec).real.astype(dtype) / tt
-            rho_next = -omega * jnp.vdot(r0, t).real.astype(dtype)
+            tt = dotu(t, t)
+            omega = dotu(t, svec) / tt
+            rho_next = -omega * dotu(r0, t)
             r = svec - omega * t
             x2 = s["x"] + omega * z + alpha * q
             resid = jnp.linalg.norm(r)

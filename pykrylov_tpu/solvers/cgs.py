@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import (as_operator, apply_op, threshold_of, history_init,
-                     history_push, promote_rhs, require_square)
+                     history_push, promote_rhs, require_square, dotu)
 from .result import SolveResult
 
 __all__ = ["cgs", "ISTOP_MSG"]
@@ -48,16 +48,20 @@ def _cgs(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
         x = x0.astype(dtype)
         r0 = b - apply_op(A, x)  # not counted (cgs.py:59-60)
 
-    rho = jnp.vdot(r0, r0).real.astype(dtype)
-    resid0 = jnp.sqrt(jnp.abs(rho))
+    # Unconjugated dots throughout (reference np.dot semantics) so the
+    # recurrence is correct for complex unsymmetric systems too; the
+    # residual norms stay real.
+    rho = dotu(r0, r0)
+    resid0 = jnp.abs(jnp.sqrt(rho)).real  # |sqrt(rho)| as in cgs.py:63
     thresh = threshold_of(resid0, rtol, atol)
     hist = history_init(store_history, maxiter, resid0.dtype)
     hist = history_push(hist, 0, resid0)
 
+    bad0 = ~jnp.isfinite(resid0)  # ||b|| overflowed: nothing to solve
     state0 = dict(
         x=x, r=r0, u=r0, p=r0, rho=rho, resid=resid0,
         k=jnp.zeros((), jnp.int32), nmv=jnp.zeros((), jnp.int32),
-        broken=jnp.asarray(False), done=(resid0 <= thresh), hist=hist)
+        broken=bad0, done=(resid0 <= thresh) | bad0, hist=hist)
 
     def cond(s):
         return ~s["done"]
@@ -65,7 +69,7 @@ def _cgs(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
     def body(s):
         y = apply_op(M, s["p"]) if M is not None else s["p"]
         v = apply_op(A, y)
-        sigma = jnp.vdot(r0, v).real.astype(dtype)
+        sigma = dotu(r0, v)
         alpha = s["rho"] / sigma
         q = s["u"] - alpha * v
         z = apply_op(M, s["u"] + q) if M is not None else s["u"] + q
@@ -78,8 +82,8 @@ def _cgs(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
         # recurrence is dead; stop with the best iterate so far instead of
         # spinning NaNs to the matvec cap (the reference spins,
         # cgs.py:85-118; scipy reports info=-10 on the same systems).
-        broken = (sigma == 0) | ~jnp.isfinite(resid)
-        rho_next = jnp.vdot(r0, r).real.astype(dtype)
+        broken = (sigma == 0) | ~jnp.isfinite(sigma) | ~jnp.isfinite(resid)
+        rho_next = dotu(r0, r)
         broken = broken | (rho_next == 0)
         done = (resid <= thresh) | (nmv >= matvec_max) | broken
         # Direction updates (harmless when done; loop exits before use).

@@ -17,7 +17,7 @@ from ..ops.base import BaseLinearOperator, LinearOperator, MatrixOperator
 
 __all__ = ["as_operator", "as_apply_pair", "apply_op", "apply_op_T",
            "apply_op_H", "threshold_of", "history_init", "history_push",
-           "default_maxiter", "promote_rhs", "require_square"]
+           "default_maxiter", "promote_rhs", "require_square", "dotu"]
 
 
 def _apply_lo(op, x):
@@ -58,6 +58,15 @@ def apply_op_T(op, x):
 
 def apply_op_H(op, x):
     return _apply_lo_H(op, x)
+
+
+def dotu(a, b):
+    """Unconjugated vector dot — the reference's ``np.dot`` semantics
+    (``bicgstab.py:103``, ``cgs.py:83``): for complex operands this is
+    sum(a*b), NOT the inner product.  Full-precision reduction.
+    """
+    import jax
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def promote_rhs(b, *ops):

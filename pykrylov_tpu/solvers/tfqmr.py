@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import (as_operator, apply_op, threshold_of, history_init,
-                     history_push, promote_rhs, require_square)
+                     history_push, promote_rhs, require_square, dotu)
 from .result import SolveResult
 
 __all__ = ["tfqmr", "ISTOP_MSG"]
@@ -51,8 +51,12 @@ def _tfqmr(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
         x = x0.astype(dtype)
         r0 = b - apply_op(A, x)  # not counted (tfqmr.py:59-60)
 
-    rho = jnp.vdot(r0, r0).real.astype(dtype)
-    resid0 = jnp.sqrt(jnp.abs(rho))
+    # Unconjugated dots (reference np.dot semantics) keep the recurrence
+    # correct for complex systems; theta/c/residNorm are real, while
+    # rho/alpha/eta follow the (possibly complex) system dtype.
+    rho = dotu(r0, r0)
+    rdtype = jnp.zeros((), dtype).real.dtype
+    resid0 = jnp.abs(jnp.sqrt(rho)).real.astype(rdtype)
     thresh = threshold_of(resid0, rtol, atol)
     hist = history_init(store_history, maxiter, resid0.dtype)
     hist = history_push(hist, 0, resid0)
@@ -64,23 +68,25 @@ def _tfqmr(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
     u = jax.lax.cond(started, lambda _: apply_op(A, z),
                      lambda _: jnp.zeros(n, dtype), None)
     zero = jnp.zeros((), dtype)
+    rzero = jnp.zeros((), rdtype)
     state0 = dict(
         x=x, w=r0, y=y, z=z, u=u, v=u, d=jnp.zeros(n, dtype),
-        theta=zero, eta=zero, rho=rho, resid=resid0, m=zero,
+        theta=rzero, eta=zero, rho=rho, resid=resid0, m=rzero,
         k=jnp.zeros((), jnp.int32),
         nmv=jnp.where(started, 1, 0).astype(jnp.int32),
-        broken=jnp.asarray(False), done=~started, hist=hist)
+        broken=~jnp.isfinite(resid0),
+        done=~started | ~jnp.isfinite(resid0), hist=hist)
 
     def half_step(s, w, d, x, alpha, u, z, resid):
         """One quasi-minimization half-step (tfqmr.py:93-104,108-123)."""
         w2 = w - alpha * u
         scale = jnp.where(s["theta"] == 0, zero,
-                          s["theta"] * s["theta"] * s["eta"] / alpha)
+                          (s["theta"] * s["theta"] / alpha) * s["eta"])
         d2 = z + scale * d
-        theta2 = jnp.linalg.norm(w2) / resid
+        theta2 = (jnp.linalg.norm(w2) / resid).astype(rdtype)
         c = 1.0 / jnp.sqrt(1.0 + theta2 * theta2)
-        resid2 = resid * theta2 * c
-        eta2 = c * c * alpha
+        resid2 = (resid * theta2 * c).astype(rdtype)
+        eta2 = (c * c) * alpha
         x2 = x + eta2 * d2
         return w2, d2, x2, theta2, eta2, resid2
 
@@ -89,11 +95,12 @@ def _tfqmr(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
 
     def body(s):
         k = s["k"] + 1
-        sigma = jnp.vdot(r0, s["v"]).real.astype(dtype)
+        sigma = dotu(r0, s["v"])
         alpha = s["rho"] / sigma
         # Breakdown guard: dead recurrence -> stop with the best iterate
         # (the reference spins NaNs to the matvec cap).
-        broken0 = (sigma == 0) | (s["rho"] == 0) | ~jnp.isfinite(s["resid"])
+        broken0 = ((sigma == 0) | ~jnp.isfinite(sigma) | (s["rho"] == 0)
+                   | ~jnp.isfinite(s["resid"]))
 
         def on_break(_):
             return dict(s, k=k, broken=True, done=True)
@@ -101,13 +108,19 @@ def _tfqmr(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
         # First half-step.
         w, d, x, theta, eta, resid = half_step(
             s, s["w"], s["d"], s["x"], alpha, s["u"], s["z"], s["resid"])
-        m = 2.0 * k.astype(dtype) - 1.0
-        stop1 = (resid * jnp.sqrt(m + 1) < thresh) | (s["nmv"] >= matvec_max)
+        m = 2.0 * k.astype(rdtype) - 1.0
+        stop1 = ((resid * jnp.sqrt(m + 1) < thresh)
+                 | (s["nmv"] >= matvec_max) | ~jnp.isfinite(resid))
 
         def after_first(_):
-            return dict(s, x=x, w=w, d=d, theta=theta, eta=eta, resid=resid,
-                        m=m, k=k, done=True,
-                        hist=history_push(s["hist"], k, resid))
+            # Non-finite restore (contract: breakdown keeps the best
+            # finite iterate, as in cgs/bicgstab).
+            keep = ~jnp.isfinite(resid)
+            x1 = jnp.where(keep, s["x"], x)
+            r1 = jnp.where(keep, s["resid"], resid)
+            return dict(s, x=x1, w=w, d=d, theta=theta, eta=eta, resid=r1,
+                        m=m, k=k, broken=s["broken"] | keep, done=True,
+                        hist=history_push(s["hist"], k, r1))
 
         def second(_):
             m2 = m + 1.0
@@ -118,17 +131,22 @@ def _tfqmr(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
             s1 = dict(s, theta=theta, eta=eta)
             w2, d2, x2, theta2, eta2, resid2 = half_step(
                 s1, w, d, x, alpha, u2, z2, resid)
-            stop2 = (resid2 * jnp.sqrt(m2 + 1) < thresh) | (nmv2 >= matvec_max)
+            stop2 = ((resid2 * jnp.sqrt(m2 + 1) < thresh)
+                     | (nmv2 >= matvec_max) | ~jnp.isfinite(resid2))
 
             def after_second(_):
-                return dict(s, x=x2, w=w2, y=y2, z=z2, u=u2, d=d2,
-                            theta=theta2, eta=eta2, resid=resid2, m=m2,
-                            k=k, nmv=nmv2, done=True,
-                            hist=history_push(s["hist"], k, resid2))
+                keep = ~jnp.isfinite(resid2)
+                x3 = jnp.where(keep, s["x"], x2)
+                r3 = jnp.where(keep, s["resid"], resid2)
+                return dict(s, x=x3, w=w2, y=y2, z=z2, u=u2, d=d2,
+                            theta=theta2, eta=eta2, resid=r3, m=m2,
+                            k=k, nmv=nmv2, broken=s["broken"] | keep,
+                            done=True,
+                            hist=history_push(s["hist"], k, r3))
 
             def refresh(_):
                 # Direction refresh (tfqmr.py:128-151).
-                rho_next = jnp.vdot(r0, w2).real.astype(dtype)
+                rho_next = dotu(r0, w2)
                 beta = rho_next / s["rho"]
                 y3 = w2 + beta * y2
                 v_part = beta * (beta * s["v"] + u2)
@@ -136,12 +154,17 @@ def _tfqmr(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
                 u3 = apply_op(A, z3)
                 nmv3 = nmv2 + 1
                 v3 = v_part + u3
-                done = nmv3 >= matvec_max
-                return dict(x=x2, w=w2, y=y3, z=z3, u=u3, v=v3, d=d2,
+                # Non-finite mid-loop: stop now with the previous iterate
+                # rather than committing NaNs for one more round.
+                bad = ~jnp.isfinite(resid2)
+                x3 = jnp.where(bad, s["x"], x2)
+                r3 = jnp.where(bad, s["resid"], resid2)
+                done = (nmv3 >= matvec_max) | bad
+                return dict(x=x3, w=w2, y=y3, z=z3, u=u3, v=v3, d=d2,
                             theta=theta2, eta=eta2, rho=rho_next,
-                            resid=resid2, m=m2, k=k, nmv=nmv3,
-                            broken=jnp.asarray(False), done=done,
-                            hist=history_push(s["hist"], k, resid2))
+                            resid=r3, m=m2, k=k, nmv=nmv3,
+                            broken=bad, done=done,
+                            hist=history_push(s["hist"], k, r3))
 
             return jax.lax.cond(stop2, after_second, refresh, None)
 

@@ -105,13 +105,14 @@ def coo_from_arrays(vals, rows, cols, shape, dtype=None, sort=True) -> COO:
                (int(shape[0]), int(shape[1])))
 
 
-def csr_from_coo(coo: COO) -> CSR:
+def csr_from_coo(coo: COO, assume_sorted=False) -> CSR:
     m, n = coo.shape
     rows = np.asarray(coo.row)
     cols = np.asarray(coo.col)
     data = np.asarray(coo.data)
-    order = np.lexsort((cols, rows))
-    rows, cols, data = rows[order], cols[order], data[order]
+    if not assume_sorted:  # coo_from_arrays(sort=True) already row-sorted
+        order = np.lexsort((cols, rows))
+        rows, cols, data = rows[order], cols[order], data[order]
     indptr = np.zeros(m + 1, dtype=np.int32)
     np.add.at(indptr, rows + 1, 1)
     indptr = np.cumsum(indptr).astype(np.int32)
@@ -120,7 +121,7 @@ def csr_from_coo(coo: COO) -> CSR:
                (m, n))
 
 
-def ell_from_coo(coo: COO, pad_to: int = 1) -> ELL:
+def ell_from_coo(coo: COO, pad_to: int = 1, assume_sorted=False) -> ELL:
     """Build padded-row ELL.  ``pad_to`` rounds K up (lane alignment).
 
     Packing runs in the native C++ pipeline when available
@@ -133,8 +134,11 @@ def ell_from_coo(coo: COO, pad_to: int = 1) -> ELL:
     counts = np.bincount(rows, minlength=m)
     K = int(counts.max()) if len(counts) and counts.max() > 0 else 1
     K = max(1, -(-K // pad_to) * pad_to)
-    order = np.lexsort((cols, rows))
-    rows_s, cols_s, data_s = rows[order], cols[order], data[order]
+    if assume_sorted:
+        rows_s, cols_s, data_s = rows, cols, data
+    else:
+        order = np.lexsort((cols, rows))
+        rows_s, cols_s, data_s = rows[order], cols[order], data[order]
 
     filled = None
     try:
@@ -178,9 +182,11 @@ def dia_from_coo(coo: COO, max_diags: int = 4096) -> DIA:
         dd = dd.astype(data.dtype, copy=False)
     else:
         # Vectorized fallback: diagonal index by binary search.
+        # add.at: duplicate COO entries accumulate, matching to_dense/
+        # coo_matvec/ELL/BSR semantics.
         k = np.searchsorted(offs, cols.astype(np.int64) - rows)
         dd = np.zeros((len(offs), m), dtype=data.dtype)
-        dd[k, rows] = data
+        np.add.at(dd, (k, rows), data)
     return DIA(jnp.asarray(dd), tuple(int(o) for o in offs), (m, n))
 
 

@@ -126,12 +126,14 @@ def sparse_operator(source, symmetric=False, fmt="auto", dtype=None):
         vals, rows, cols, shape = load_bundled(source, dtype=dtype or np.float64)
         return operator_from_coo(vals, rows, cols, shape,
                                  symmetric=symmetric, fmt=fmt, dtype=dtype)
+    # Containers first: COO is itself a length-4 NamedTuple, so the
+    # plain-triples check below would otherwise capture (and rebuild) it.
+    if isinstance(source, (F.COO, F.CSR, F.ELL, F.DIA)):
+        return SparseOperator(source, None, symmetric=symmetric)
     if isinstance(source, tuple) and len(source) == 4:
         vals, rows, cols, shape = source
         return operator_from_coo(vals, rows, cols, shape,
                                  symmetric=symmetric, fmt=fmt, dtype=dtype)
-    if isinstance(source, (F.COO, F.CSR, F.ELL, F.DIA)):
-        return SparseOperator(source, None, symmetric=symmetric)
     if isinstance(source, (np.ndarray, jnp.ndarray)):
         a = np.asarray(source)
         rows, cols = np.nonzero(a)
@@ -169,6 +171,10 @@ def jacobi_preconditioner(source, floor=0.0):
     d = np.abs(d)
     if floor:
         d = np.maximum(d, floor)
+    # Structurally zero diagonal entries (saddle-point/constraint rows)
+    # would make 1/d infinite and poison the first preconditioner apply;
+    # act as the identity on those rows instead.
+    d = np.where(d == 0, 1.0, d)
     return DiagonalOperator(1.0 / d)
 
 

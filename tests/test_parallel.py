@@ -155,3 +155,11 @@ class TestShardedSolves:
         # The final entry sits at the 1e-10 threshold where reduction-order
         # noise dominates; compare the trajectory up to it.
         np.testing.assert_allclose(h8[:-1], h1[:-1], rtol=1e-6)
+
+
+def test_shard_operator_rejects_non_container_ops(mesh):
+    """Non-SparseOperator inputs get a clear TypeError, not a bare unpack
+    failure (review finding)."""
+    from pykrylov_tpu.ops import IdentityOperator
+    with pytest.raises(TypeError, match="ELL/DIA"):
+        shard_operator(IdentityOperator(16), mesh)

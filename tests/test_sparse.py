@@ -170,3 +170,33 @@ class TestJacobi:
         assert M.shape == (1138, 1138)
         x = np.ones(1138)
         assert np.isfinite(np.asarray(M * jnp.asarray(x))).all()
+
+
+def test_dia_duplicates_accumulate():
+    """Duplicate COO entries must accumulate in every format (review
+    finding: DIA used last-write-wins while COO/ELL/BSR accumulated)."""
+    from pykrylov_tpu.sparse import formats as F
+    coo = F.coo_from_arrays([1.0, 2.0], [0, 0], [0, 0], (4, 4))
+    for conv in (F.dia_from_coo, F.ell_from_coo, F.csr_from_coo):
+        d = np.asarray(F.to_dense(conv(coo)))
+        assert d[0, 0] == pytest.approx(3.0), conv.__name__
+
+
+def test_sparse_operator_preserves_coo_container():
+    """A COO container must hit the container branch, not be re-built from
+    raw triples (review finding: COO is itself a length-4 tuple)."""
+    from pykrylov_tpu.sparse import formats as F, sparse_operator
+    from pykrylov_tpu.sparse.linop import SparseOperator
+    coo = F.coo_from_arrays([1.0, 2.0], [0, 1], [1, 0], (2, 2))
+    op = sparse_operator(coo)
+    assert isinstance(op, SparseOperator)
+    assert isinstance(op.container, F.COO)
+
+
+def test_jacobi_zero_diagonal_guard():
+    """Structurally zero diagonal entries must not produce inf in the
+    preconditioner (review finding)."""
+    from pykrylov_tpu.sparse import jacobi_preconditioner
+    M = jacobi_preconditioner((np.array([1.0, 2.0]), np.array([0, 1]),
+                               np.array([1, 1]), (2, 2)))
+    assert bool(jnp.all(jnp.isfinite(M.diag)))

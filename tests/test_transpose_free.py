@@ -132,3 +132,34 @@ def test_bicgstab_counts_guess_matvec(rng):
     assert int(res_t.n_matvec) == 0
     for r in (res_b, res_c, res_t):
         assert bool(r.converged)
+
+
+@pytest.mark.parametrize("solve", SOLVERS, ids=IDS)
+def test_complex_unsymmetric_system(solve, rng):
+    """The reference's np.dot is unconjugated; the recurrences must stay
+    correct for genuinely complex unsymmetric A (review finding)."""
+    n = 24
+    A = (8j * np.eye(n)
+         + 0.5 * (rng.standard_normal((n, n))
+                  + 1j * rng.standard_normal((n, n))))
+    xs = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = jnp.asarray(A @ xs)
+    res = solve(MatrixOperator(jnp.asarray(A)), b, rtol=1e-10)
+    assert bool(res.converged)
+    relres = (np.linalg.norm(A @ np.asarray(res.x) - np.asarray(b))
+              / np.linalg.norm(b))
+    assert relres < 1e-8
+
+
+@pytest.mark.parametrize("solve", SOLVERS, ids=IDS)
+def test_overflow_returns_finite_iterate(solve):
+    """When the matvec overflows f32 mid-iteration, the solver must stop
+    with istop=3 and a finite best iterate, never committing NaNs."""
+    A = np.eye(16, dtype=np.float32)
+    A[0, 0] = np.float32(3.4e38)
+    A[0, 1] = np.float32(-3.4e38)
+    res = solve(MatrixOperator(jnp.asarray(A)),
+                jnp.ones(16, dtype=jnp.float32), rtol=1e-12, matvec_max=64)
+    assert int(res.istop) == 3
+    assert bool(jnp.all(jnp.isfinite(res.x)))
+    assert bool(jnp.isfinite(res.resid_norm))
