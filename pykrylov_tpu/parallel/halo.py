@@ -117,14 +117,13 @@ class HaloDiaOperator(LinearOperator):
         def mv(params, x):
             return mapped(params, x)
 
-        is_complex = np.issubdtype(np.asarray(dia.data).dtype,
-                                   np.complexfloating)
+        is_complex = np.issubdtype(dia.data.dtype, np.complexfloating)
         # Structural symmetry of the *values* is the caller's contract
         # (gallery stencils are symmetric); offsets symmetry checked above.
         super().__init__(mp, mp, matvec=mv, params=data,
                          _takes_params=True, symmetric=True,
                          hermitian=not is_complex,
-                         dtype=np.asarray(dia.data).dtype, **kwargs)
+                         dtype=dia.data.dtype, **kwargs)
         self.pad = mp - m
         self.mesh = mesh
         self.offsets = dia.offsets

@@ -125,8 +125,9 @@ def sharded_poisson3d(n, mesh, dtype=np.float64, halo=True):
     from .halo import HaloDiaOperator
 
     vals, rows, cols, shape = poisson3d_coo(n, dtype=dtype)
-    coo = F.coo_from_arrays(vals, rows, cols, shape)
-    dia = F.dia_from_coo(coo)
+    # Host-resident intermediate: conversions read triples on the host.
+    coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+    dia = F.dia_from_coo(coo, device=False)
     if halo:
         op = HaloDiaOperator(dia, mesh)
         pad = op.pad

@@ -136,7 +136,7 @@ def bsr_to_dense(bsr: BSR):
     m, n = bsr.shape
     mp = ngroups * GROUP * BR
     npad = (n + BC - 1) // BC * BC
-    d = np.zeros((mp, npad), dtype=np.asarray(bsr.data).dtype)
+    d = np.zeros((mp, npad), dtype=bsr.data.dtype)
     data = np.asarray(bsr.data)
     bc = np.asarray(bsr.block_col)
     rg = np.asarray(bsr.row_in_group)
@@ -293,7 +293,7 @@ def bsr_operator(source, shape=None, symmetric=False, use_pallas=None):
         b = params[0] if symmetric else params[1]
         return _apply(b, x, m, n)
 
-    dtype = np.asarray(bsr.data).dtype
+    dtype = bsr.data.dtype
     op = LinearOperator(n, m, matvec=mv, matvec_transp=rmv,
                         params=(bsr, bsr_t), _takes_params=True,
                         symmetric=symmetric,

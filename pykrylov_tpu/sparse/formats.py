@@ -92,7 +92,15 @@ _reg(DIA, ("data",), ("offsets", "shape"))
 # ---------------------------------------------------------------------------
 
 
-def coo_from_arrays(vals, rows, cols, shape, dtype=None, sort=True) -> COO:
+def coo_from_arrays(vals, rows, cols, shape, dtype=None, sort=True,
+                    device=True) -> COO:
+    """Build a COO container from triples (host-side sort).
+
+    ``device=False`` keeps the fields as NumPy arrays — use it for
+    intermediate containers in conversion pipelines: pulling arrays back
+    from a (possibly remote) device for the next host-side conversion
+    step is far more expensive than the conversion itself.
+    """
     vals = np.asarray(vals)
     if dtype is not None:
         vals = vals.astype(dtype)
@@ -101,11 +109,13 @@ def coo_from_arrays(vals, rows, cols, shape, dtype=None, sort=True) -> COO:
     if sort:
         order = np.lexsort((cols, rows))
         vals, rows, cols = vals[order], rows[order], cols[order]
+    if not device:
+        return COO(vals, rows, cols, (int(shape[0]), int(shape[1])))
     return COO(jnp.asarray(vals), jnp.asarray(rows), jnp.asarray(cols),
                (int(shape[0]), int(shape[1])))
 
 
-def csr_from_coo(coo: COO, assume_sorted=False) -> CSR:
+def csr_from_coo(coo: COO, assume_sorted=False, device=True) -> CSR:
     m, n = coo.shape
     rows = np.asarray(coo.row)
     cols = np.asarray(coo.col)
@@ -116,12 +126,13 @@ def csr_from_coo(coo: COO, assume_sorted=False) -> CSR:
     indptr = np.zeros(m + 1, dtype=np.int32)
     np.add.at(indptr, rows + 1, 1)
     indptr = np.cumsum(indptr).astype(np.int32)
-    return CSR(jnp.asarray(data), jnp.asarray(cols.astype(np.int32)),
-               jnp.asarray(indptr), jnp.asarray(rows.astype(np.int32)),
-               (m, n))
+    arr = jnp.asarray if device else (lambda a: a)
+    return CSR(arr(data), arr(cols.astype(np.int32)),
+               arr(indptr), arr(rows.astype(np.int32)), (m, n))
 
 
-def ell_from_coo(coo: COO, pad_to: int = 1, assume_sorted=False) -> ELL:
+def ell_from_coo(coo: COO, pad_to: int = 1, assume_sorted=False,
+                 device=True) -> ELL:
     """Build padded-row ELL.  ``pad_to`` rounds K up (lane alignment).
 
     Packing runs in the native C++ pipeline when available
@@ -158,10 +169,12 @@ def ell_from_coo(coo: COO, pad_to: int = 1, assume_sorted=False) -> ELL:
         ec = np.zeros((m, K), dtype=np.int32)
         ed[rows_s, slots] = data_s
         ec[rows_s, slots] = cols_s
+    if not device:
+        return ELL(ed, ec, (m, n))
     return ELL(jnp.asarray(ed), jnp.asarray(ec), (m, n))
 
 
-def dia_from_coo(coo: COO, max_diags: int = 4096) -> DIA:
+def dia_from_coo(coo: COO, max_diags: int = 4096, device=True) -> DIA:
     """Build diagonal storage; raises if the matrix has too many distinct
     diagonals to be a sensible DIA candidate."""
     m, n = coo.shape
@@ -187,13 +200,17 @@ def dia_from_coo(coo: COO, max_diags: int = 4096) -> DIA:
         k = np.searchsorted(offs, cols.astype(np.int64) - rows)
         dd = np.zeros((len(offs), m), dtype=data.dtype)
         np.add.at(dd, (k, rows), data)
+    if not device:
+        return DIA(dd, tuple(int(o) for o in offs), (m, n))
     return DIA(jnp.asarray(dd), tuple(int(o) for o in offs), (m, n))
 
 
-def transpose_coo(coo: COO) -> COO:
+def transpose_coo(coo: COO, device=None) -> COO:
+    if device is None:  # preserve the input's host/device residency
+        device = isinstance(coo.data, jnp.ndarray)
     return coo_from_arrays(np.asarray(coo.data), np.asarray(coo.col),
                            np.asarray(coo.row),
-                           (coo.shape[1], coo.shape[0]))
+                           (coo.shape[1], coo.shape[0]), device=device)
 
 
 def bandwidth_profile(coo: COO):

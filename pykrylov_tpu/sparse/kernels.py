@@ -62,7 +62,7 @@ def ensure_dia_padded(dia: F.DIA, block: int = DEFAULT_BLOCK):
     mp = (m + block - 1) // block * block
     if mp == m:
         return dia, 0
-    data = np.zeros((dia.data.shape[0], mp), dtype=np.asarray(dia.data).dtype)
+    data = np.zeros((dia.data.shape[0], mp), dtype=dia.data.dtype)
     data[:, :m] = np.asarray(dia.data)
     return F.DIA(jnp.asarray(data), dia.offsets, (mp, mp)), mp - m
 
@@ -281,7 +281,7 @@ def pallas_dia_operator(dia: F.DIA, symmetric=False,
             return _dia_matvec_call(params[1], x, offsets_t, block,
                                     interpret)
 
-    dtype = np.asarray(dia.data).dtype
+    dtype = dia.data.dtype
     op = LinearOperator(mp, mp, matvec=mv, matvec_transp=rmv,
                         params=(d3, None if symmetric else bwd[0]),
                         _takes_params=True, symmetric=symmetric,

@@ -55,8 +55,7 @@ class SparseOperator(LinearOperator):
 
     def __init__(self, fwd, bwd=None, symmetric=False, **kwargs):
         m, n = fwd.shape
-        is_complex = np.issubdtype(np.asarray(fwd.data).dtype,
-                                   np.complexfloating)
+        is_complex = np.issubdtype(fwd.data.dtype, np.complexfloating)
         super().__init__(
             n, m, matvec=_mv_fwd,
             matvec_transp=_mv_bwd if (bwd is not None or symmetric) else None,
@@ -64,7 +63,7 @@ class SparseOperator(LinearOperator):
             _takes_params=True,
             symmetric=symmetric,
             hermitian=symmetric and not is_complex,
-            dtype=np.asarray(fwd.data).dtype, **kwargs)
+            dtype=fwd.data.dtype, **kwargs)
 
     @property
     def container(self):
@@ -86,7 +85,10 @@ def operator_from_coo(vals, rows, cols, shape, symmetric=False,
     when the nonzeros land on at most ``max_diags`` distinct diagonals with
     at least ``dia_density_threshold`` fill, else ELL.
     """
-    coo = F.coo_from_arrays(vals, rows, cols, shape, dtype=dtype)
+    # Host-resident intermediate: every conversion below reads the triples
+    # on the host, and device round-trips dominate construction cost.
+    coo = F.coo_from_arrays(vals, rows, cols, shape, dtype=dtype,
+                            device=False)
     if fmt == "auto":
         ndiag, density = F.bandwidth_profile(coo)
         fmt = "dia" if (ndiag <= max_diags and
@@ -112,7 +114,9 @@ def operator_from_coo(vals, rows, cols, shape, symmetric=False,
         fwd = F.csr_from_coo(coo)
         bwd = None if symmetric else F.csr_from_coo(F.transpose_coo(coo))
     elif fmt == "coo":
-        fwd, bwd = coo, (None if symmetric else F.transpose_coo(coo))
+        fwd = F.coo_from_arrays(coo.data, coo.row, coo.col, coo.shape,
+                                sort=False)  # device-resident
+        bwd = None if symmetric else F.transpose_coo(coo, device=True)
     else:
         raise ValueError("unknown format %r" % fmt)
     return SparseOperator(fwd, bwd, symmetric=symmetric)
@@ -191,7 +195,8 @@ def pallas_dia_sparse_operator(coo, symmetric=False):
     from .kernels import pallas_dia_operator
 
     m = coo.shape[0]
-    dia = F.dia_from_coo(coo)
+    # Host-resident DIA: padding/packing below read the data on the host.
+    dia = F.dia_from_coo(coo, device=False)
     inner = pallas_dia_operator(dia, symmetric=symmetric)
     mp = inner.nargin
 
