@@ -101,8 +101,10 @@ def read_matrix_market(path, expand_symmetric=True, dtype=None):
                 rows, cols = np.nonzero(np.ones((m, n), bool))
                 vals = dense[rows, cols]
             else:
-                # packed lower triangle, column-major
-                rows_l, cols_l = np.tril_indices(m)
+                # packed lower triangle, column-major; skew-symmetric
+                # array storage omits the (zero) diagonal
+                k = -1 if symmetry == "skew-symmetric" else 0
+                rows_l, cols_l = np.tril_indices(m, k=k)
                 order = np.lexsort((rows_l, cols_l))
                 rows, cols = rows_l[order], cols_l[order]
                 vals = flat

@@ -34,6 +34,8 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 
 import jax
@@ -143,10 +145,6 @@ class BaseLinearOperator:
 # Module-level combinators (kept at module scope so pytree aux-data stays
 # hashable and jit caches are shared across operator instances).
 # ---------------------------------------------------------------------------
-
-
-def _mv_of(op):
-    return op._mv
 
 
 def _apply_fn(fn, params, x):
@@ -600,6 +598,7 @@ class DiagonalOperator(LinearOperator):
         return DiagonalOperator(jnp.sqrt(self._params))
 
 
+@_functools.lru_cache(maxsize=None)
 def _zero_mv_factory(nargout):
     def mv(params, x):
         dt = jnp.result_type(params, x.dtype)
@@ -676,6 +675,7 @@ def linop_from_ndarray(A, symmetric=False, hermitian=False, **kwargs):
 # ---------------------------------------------------------------------------
 
 
+@_functools.lru_cache(maxsize=None)
 def _coo_mv_factory(nargout, symmetric):
     def mv(params, x):
         vals, rows, cols = params
@@ -687,6 +687,7 @@ def _coo_mv_factory(nargout, symmetric):
     return mv
 
 
+@_functools.lru_cache(maxsize=None)
 def _coo_rmv_factory(nargin, symmetric):
     def mv(params, x):
         vals, rows, cols = params
@@ -741,6 +742,7 @@ class CoordLinearOperator(LinearOperator):
         return self._params[2]
 
 
+@_register_as_linop
 class PysparseLinearOperator(LinearOperator):
     """Adapter for external sparse-matrix objects (``linop.py:688-720``).
 
@@ -795,17 +797,31 @@ class PysparseLinearOperator(LinearOperator):
 
 
 def _reduced_mv(params, x):
-    op, row_idx, col_idx, nargin = params
-    z = jnp.zeros(nargin, dtype=jnp.result_type(op.dtype, x.dtype))
-    z = z.at[col_idx].set(x)
-    return op.apply_with(op._mv, z)[row_idx]
+    o, ri, ci = params
+    z = jnp.zeros(o.nargin, dtype=jnp.result_type(o.dtype, x.dtype))
+    z = z.at[ci].set(x)
+    return o.apply_with(o._mv, z)[ri]
 
 
 def _reduced_rmv(params, x):
-    op, row_idx, col_idx, nargout_full = params
-    z = jnp.zeros(nargout_full, dtype=jnp.result_type(op.dtype, x.dtype))
-    z = z.at[row_idx].set(x)
-    return op.apply_with(op._rmv, z)[col_idx]
+    o, ri, ci = params
+    z = jnp.zeros(o.nargout, dtype=jnp.result_type(o.dtype, x.dtype))
+    z = z.at[ri].set(x)
+    return o.apply_with(o._rmv, z)[ci]
+
+
+def _symreduced_mv(params, x):
+    o, ix = params
+    z = jnp.zeros(o.nargin, dtype=jnp.result_type(o.dtype, x.dtype))
+    z = z.at[ix].set(x)
+    return o.apply_with(o._mv, z)[ix]
+
+
+def _symreduced_rmv(params, x):
+    o, ix = params
+    z = jnp.zeros(o.nargout, dtype=jnp.result_type(o.dtype, x.dtype))
+    z = z.at[ix].set(x)
+    return o.apply_with(o._rmv, z)[ix]
 
 
 def ReducedLinearOperator(op, row_indices, col_indices):
@@ -818,20 +834,8 @@ def ReducedLinearOperator(op, row_indices, col_indices):
     row_idx = jnp.asarray(row_indices, dtype=jnp.int32).ravel()
     col_idx = jnp.asarray(col_indices, dtype=jnp.int32).ravel()
     m, n = int(row_idx.shape[0]), int(col_idx.shape[0])
-
-    def mv(params, x):
-        o, ri, ci = params
-        z = jnp.zeros(o.nargin, dtype=jnp.result_type(o.dtype, x.dtype))
-        z = z.at[ci].set(x)
-        return o.apply_with(o._mv, z)[ri]
-
-    def rmv(params, x):
-        o, ri, ci = params
-        z = jnp.zeros(o.nargout, dtype=jnp.result_type(o.dtype, x.dtype))
-        z = z.at[ri].set(x)
-        return o.apply_with(o._rmv, z)[ci]
-
-    return LinearOperator(n, m, matvec=mv, matvec_transp=rmv,
+    return LinearOperator(n, m, matvec=_reduced_mv,
+                          matvec_transp=_reduced_rmv,
                           params=(op, row_idx, col_idx), _takes_params=True,
                           symmetric=False, dtype=op.dtype)
 
@@ -840,20 +844,8 @@ def SymmetricallyReducedLinearOperator(op, indices):
     """Symmetric restriction to one index set (``linop.py:594-623``)."""
     idx = jnp.asarray(indices, dtype=jnp.int32).ravel()
     k = int(idx.shape[0])
-
-    def mv(params, x):
-        o, ix = params
-        z = jnp.zeros(o.nargin, dtype=jnp.result_type(o.dtype, x.dtype))
-        z = z.at[ix].set(x)
-        return o.apply_with(o._mv, z)[ix]
-
-    def rmv(params, x):
-        o, ix = params
-        z = jnp.zeros(o.nargout, dtype=jnp.result_type(o.dtype, x.dtype))
-        z = z.at[ix].set(x)
-        return o.apply_with(o._rmv, z)[ix]
-
-    return LinearOperator(k, k, matvec=mv, matvec_transp=rmv,
+    return LinearOperator(k, k, matvec=_symreduced_mv,
+                          matvec_transp=_symreduced_rmv,
                           params=(op, idx), _takes_params=True,
                           symmetric=op.symmetric, hermitian=op.hermitian,
                           dtype=op.dtype)

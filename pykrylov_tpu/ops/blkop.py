@@ -140,9 +140,13 @@ class BlockLinearOperator(LinearOperator):
         sub = grid[indices]
         if isinstance(sub, np.ndarray):
             if sub.ndim == 1:
-                # A single row/col of blocks: wrap as 1xk or kx1 grid.
-                sub = sub.reshape(1, -1) if isinstance(indices, tuple) and \
-                    not isinstance(indices[0], slice) else sub.reshape(-1, 1)
+                # A 1-D selection is a block ROW unless the column index
+                # was the scalar one: blk[0] / blk[0, :] -> 1xk row;
+                # blk[:, 0] / blk[[0,1], 1] -> kx1 column.
+                if isinstance(indices, tuple) and np.isscalar(indices[1]):
+                    sub = sub.reshape(-1, 1)
+                else:
+                    sub = sub.reshape(1, -1)
             return BlockLinearOperator([list(r) for r in sub])
         return sub
 
@@ -151,8 +155,16 @@ class BlockLinearOperator(LinearOperator):
         i, j = indices
         if not isinstance(val, BaseLinearOperator):
             raise ValueError("block must be a linear operator")
+        if val.shape != (self._row_sizes[i], self._col_sizes[j]):
+            raise ShapeError(
+                "block (%d,%d) must have shape %s, got %s"
+                % (i, j, (self._row_sizes[i], self._col_sizes[j]),
+                   val.shape))
         grid[i][j] = val
         self._params = tuple(tuple(row) for row in grid)
+        # Cached .T/.H twins captured the old params tuple at creation;
+        # drop them so they are rebuilt against the mutated grid.
+        self._transpose_of = self._adjoint_of = self._conjugate_of = None
 
     def __contains__(self, op):
         return any(op is b or op == b for row in self._params for b in row)

@@ -318,7 +318,10 @@ class StructuredLBFGSOperator(LinearOperator):
             mem = npairs
             base = jnp.where(params["insert"] >= mem, params["insert"] % mem, 0)
             order = (base + jnp.arange(mem)) % mem
-            r = v * (params["gamma"] if scaling else 1.0)
+            # Forward approximation seeds with B0 = I/gamma
+            # (reference lbfgs.py:306-307), like the other
+            # forward variants above.
+            r = v / params["gamma"] if scaling else v
 
             def body(i, r_and_Bs):
                 r, = r_and_Bs
@@ -329,7 +332,7 @@ class StructuredLBFGSOperator(LinearOperator):
                 # B_k s is approximated by applying the recursion so far to s;
                 # to keep the loop first-order we use the standard structured
                 # update with B_k s ~ previous accumulated application.
-                Bs = s * (params["gamma"] if scaling else 1.0)
+                Bs = s / params["gamma"] if scaling else s
                 a = yd - Bs
                 t = jnp.where(use, 1.0 / ys, 0.0)
                 upd = (jnp.vdot(a, v) * t) * y + (jnp.vdot(y, v) * t) * a \

@@ -46,8 +46,13 @@ def solve(A, b, method=None, **opts):
         res = _S.cg(A, b, check_curvature=True, **opts)
         if int(res.istop) == 2:  # indefinite → MINRES handles it
             minres_opts = {k: v for k, v in opts.items()
-                           if k in ("M", "x0", "store_history")}
-            minres_opts.pop("x0", None)  # minres has no warm start
+                           if k in ("M", "rtol", "etol", "window",
+                                    "store_history")}
+            # Map the square-solver caps onto MINRES's itnlim.
+            if "maxiter" in opts:
+                minres_opts["itnlim"] = opts["maxiter"]
+            elif "matvec_max" in opts:
+                minres_opts["itnlim"] = opts["matvec_max"]
             return _S.minres(A, b, **minres_opts)
         return res
 

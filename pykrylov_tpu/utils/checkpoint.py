@@ -95,6 +95,13 @@ def checkpointed_solve(solve_fn, A, b, path, chunk_iters=500,
     # Freeze the absolute threshold max(atol, rtol*resid0) after the first
     # chunk instead (resumed runs inherit it from the checkpoint).
     can_freeze = "rtol" in params and "atol" in params
+    if can_freeze:
+        # Resolve solver defaults so the freeze below also happens when the
+        # caller relied on default tolerances — otherwise every chunk would
+        # re-derive its relative threshold from its own warm start and the
+        # overall stopping rule silently loosens.
+        solve_kwargs.setdefault("rtol", params["rtol"].default)
+        solve_kwargs.setdefault("atol", params["atol"].default)
     if state is not None and can_freeze \
             and "extra_abs_threshold" in state:
         solve_kwargs["atol"] = float(state["extra_abs_threshold"])

@@ -19,7 +19,6 @@ TPU-native extras SURVEY §5 calls for:
 from __future__ import annotations
 
 import contextlib
-import time
 
 import numpy as np
 import jax

@@ -68,13 +68,6 @@ def roots_quadratic(q2, q1, q0, tol=1.0e-8, nitref=1):
     return polished
 
 
-def _probe(op, n, dtype, key, nprobe):
-    keys = jax.random.split(key, 2 * nprobe)
-    xs = [jax.random.normal(k, (n,), dtype=dtype) for k in keys[:nprobe]]
-    ys = [jax.random.normal(k, (n,), dtype=dtype) for k in keys[nprobe:]]
-    return xs, ys
-
-
 def check_symmetric(op, key=None, nprobe: int = 10, tol=None) -> bool:
     """Randomized symmetry test: compares <Ax, Ax> with <x, A(Ax)>.
 
@@ -99,8 +92,12 @@ def check_symmetric(op, key=None, nprobe: int = 10, tol=None) -> bool:
         x = jax.random.normal(k, (n,), dtype=rdtype).astype(dtype)
         Ax = op * x
         AAx = op * Ax
-        s1 = jnp.vdot(Ax, Ax)
-        s2 = jnp.vdot(x, AAx)
+        # Unconjugated dots, matching the reference oracle's np.dot
+        # (tools/utils.py:74-75): this tests SYMMETRY; jnp.vdot would
+        # conjugate and test hermitian-ness, rejecting complex symmetric
+        # operators.
+        s1 = jnp.dot(Ax, Ax)
+        s2 = jnp.dot(x, AAx)
         scale = jnp.abs(s1)
         thresh = tol if tol is not None else float((scale + eps) * eps ** (1.0 / 3.0))
         if float(jnp.abs(s1 - s2)) > thresh:

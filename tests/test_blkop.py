@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from pykrylov_tpu.ops import (
     MatrixOperator, DiagonalOperator, IdentityOperator, ZeroOperator,
     BlockLinearOperator, BlockDiagonalLinearOperator,
@@ -132,3 +134,41 @@ class TestPreconditioners:
         ])
         x = rng.standard_normal(5)
         np.testing.assert_allclose(op.solve(x), op * x)
+
+
+def test_getitem_row_and_column_orientation(rng):
+    """blk[0] is the 1xk block ROW, blk[:, 0] the kx1 column (review
+    finding: the old guard transposed scalar-row selections)."""
+    from pykrylov_tpu.ops import BlockLinearOperator, MatrixOperator
+    A = MatrixOperator(jnp.asarray(rng.standard_normal((2, 2))))
+    B = MatrixOperator(jnp.asarray(rng.standard_normal((2, 3))))
+    C = MatrixOperator(jnp.asarray(rng.standard_normal((4, 2))))
+    D = MatrixOperator(jnp.asarray(rng.standard_normal((4, 3))))
+    blk = BlockLinearOperator([[A, B], [C, D]])
+    row0 = blk[0]
+    assert row0.shape == (2, 5)
+    x = jnp.asarray(rng.standard_normal(5))
+    expect = np.asarray(A.matrix) @ np.asarray(x[:2]) \
+        + np.asarray(B.matrix) @ np.asarray(x[2:])
+    np.testing.assert_allclose(np.asarray(row0 * x), expect, atol=1e-12)
+    col0 = blk[:, 0]
+    assert col0.shape == (6, 2)
+
+
+def test_setitem_validates_and_resets_twins(rng):
+    from pykrylov_tpu.ops import (BlockLinearOperator, MatrixOperator,
+                                  ShapeError)
+    A = MatrixOperator(jnp.asarray(rng.standard_normal((2, 2))))
+    B = MatrixOperator(jnp.asarray(rng.standard_normal((2, 2))))
+    blk = BlockLinearOperator([[A, B]])
+    t_before = blk.T
+    with pytest.raises(ShapeError):
+        blk[0, 1] = MatrixOperator(jnp.asarray(np.ones((3, 3))))
+    B2 = MatrixOperator(jnp.asarray(2.0 * np.asarray(B.matrix)))
+    blk[0, 1] = B2
+    x = jnp.asarray(rng.standard_normal(2))
+    # the rebuilt transpose sees the NEW block
+    y = np.asarray(blk.T * x)
+    expect = np.concatenate([np.asarray(A.matrix).T @ np.asarray(x),
+                             np.asarray(B2.matrix).T @ np.asarray(x)])
+    np.testing.assert_allclose(y, expect, atol=1e-12)

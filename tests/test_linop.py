@@ -327,3 +327,32 @@ class TestCounters:
         assert op.nMatvec == 2
         op.reset_counters()
         assert op.nMatvec == 0
+
+
+def test_pysparse_adapter_inside_jit():
+    """PysparseLinearOperator must be a registered pytree so it can be a
+    jitted-solver argument (review finding)."""
+    import scipy.sparse as sp
+    from pykrylov_tpu.ops import PysparseLinearOperator
+    from pykrylov_tpu.solvers import cg
+    n = 30
+    A = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+    op = PysparseLinearOperator(A)
+    op._BaseLinearOperator__symmetric = True  # scipy csr has no issym
+    b = jnp.asarray(A @ np.ones(n))
+    res = cg(op, b, rtol=1e-10)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-8)
+
+
+def test_shared_jit_cache_across_equal_coord_operators():
+    """Two CoordLinearOperators with identical config share pytree aux
+    (closure factories are memoized), so solvers don't recompile."""
+    from pykrylov_tpu.ops import CoordLinearOperator
+    a1 = CoordLinearOperator([2.0, 2.0], [0, 1], [0, 1], 2, 2,
+                             symmetric=True)
+    a2 = CoordLinearOperator([3.0, 3.0], [0, 1], [0, 1], 2, 2,
+                             symmetric=True)
+    t1 = jax.tree_util.tree_structure(a1)
+    t2 = jax.tree_util.tree_structure(a2)
+    assert t1 == t2
