@@ -753,6 +753,10 @@ class PysparseLinearOperator(LinearOperator):
     ``jax.pure_callback`` so the operator remains jit-compatible; for
     performance-critical paths convert to a native container in
     :mod:`pykrylov_tpu.sparse` instead.
+
+    Note: host callbacks require a backend with send/recv support —
+    directly-attached TPU/CPU/GPU work; remote-execution transports
+    (e.g. the axon tunnel) reject ``pure_callback`` at run time.
     """
 
     def __init__(self, A, **kwargs):
