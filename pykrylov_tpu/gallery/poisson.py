@@ -68,8 +68,26 @@ Poisson2dMatvec = poisson2d_matvec
 # ---------------------------------------------------------------------------
 
 
+def _p1d_mv(params, x):
+    return poisson1d_matvec(x)
+
+
+def _p2d_mv(params, x):
+    return poisson2d_matvec(x)
+
+
+def _p3d_mv(params, x):
+    return poisson3d_matvec(x)
+
+
+_MODULE_MV = {poisson1d_matvec: _p1d_mv, poisson2d_matvec: _p2d_mv,
+              poisson3d_matvec: _p3d_mv}
+
+
 def _op(n, mv, dtype):
-    return LinearOperator(n, n, matvec=lambda p, x: mv(x), params=(),
+    # Module-level apply functions keep the pytree aux data identical for
+    # equal configurations, so jitted solvers don't retrace per instance.
+    return LinearOperator(n, n, matvec=_MODULE_MV[mv], params=(),
                           _takes_params=True, symmetric=True, hermitian=True,
                           dtype=np.dtype(dtype))
 

@@ -243,6 +243,15 @@ def dia_transpose(a: F.DIA) -> F.DIA:
     return F.DIA(jnp.asarray(out), offsets_t, (m, n))
 
 
+@functools.lru_cache(maxsize=None)
+def _packed_mv_factory(slot, offsets, block, interpret):
+    # Memoized per config: equal-config operators share one function
+    # object in their pytree aux data (shared solver jit caches).
+    def mv(params, x):
+        return _dia_matvec_call(params[slot], x, offsets, block, interpret)
+    return mv
+
+
 def pallas_dia_operator(dia: F.DIA, symmetric=False,
                         block: int = DEFAULT_BLOCK, interpret=None):
     """Build a :class:`~pykrylov_tpu.ops.LinearOperator` whose matvec is the
@@ -269,17 +278,9 @@ def pallas_dia_operator(dia: F.DIA, symmetric=False,
     interpret = bool(interpret)
     mp = dia_p.shape[0]
 
-    def mv(params, x):
-        return _dia_matvec_call(params[0], x, offsets, block, interpret)
-
-    if symmetric:
-        rmv = mv
-    else:
-        offsets_t = bwd[1]
-
-        def rmv(params, x):
-            return _dia_matvec_call(params[1], x, offsets_t, block,
-                                    interpret)
+    mv = _packed_mv_factory(0, offsets, block, interpret)
+    rmv = mv if symmetric else _packed_mv_factory(1, bwd[1], block,
+                                                  interpret)
 
     dtype = dia.data.dtype
     op = LinearOperator(mp, mp, matvec=mv, matvec_transp=rmv,
