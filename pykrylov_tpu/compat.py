@@ -98,14 +98,18 @@ class CG(KrylovMethod):
     acronym = "CG"
 
     def solve(self, rhs, guess=None, matvec_max=None, check_curvature=False,
-              store_resids=False, **kwargs):
+              store_resids=False, store_iterates=False, **kwargs):
         res = self._store(_S.cg(
             self.op, jnp.asarray(rhs), x0=guess, M=self.precon,
             rtol=self.reltol, atol=self.abstol, matvec_max=matvec_max,
-            check_curvature=check_curvature, store_history=True))
+            check_curvature=check_curvature, store_history=True,
+            store_iterates=store_iterates))
         self.definite = bool(res.info.get("definite", True))
         if check_curvature and not self.definite:
             self.infiniteDescent = res.info["infinite_descent"]
+        if store_iterates:
+            buf = res.info["iterates"]
+            self.iterates = [buf[i] for i in range(int(res.n_iter) + 1)]
         return res
 
 

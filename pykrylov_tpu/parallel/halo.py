@@ -19,6 +19,8 @@ sparsity uses the ELL all-gather fallback in :mod:`.sharded`.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,6 +39,23 @@ from .sharded import pad_to_multiple
 __all__ = ["HaloDiaOperator"]
 
 
+@functools.lru_cache(maxsize=None)
+def _halo_mv_factory(offsets, axis, n_dev, mesh):
+    """shard_map-wrapped matvec, memoized per (offsets, axis, mesh) so
+    equal-config operators share one function object in their pytree aux
+    (otherwise every HaloDiaOperator instance forces a solver retrace)."""
+    local_mv = _halo_matvec_factory(offsets, axis, n_dev)
+    mapped = shard_map(local_mv, mesh=mesh,
+                       in_specs=(P(None, axis), P(axis)),
+                       out_specs=P(axis))
+
+    def mv(params, x):
+        return mapped(params, x)
+
+    return mv
+
+
+@functools.lru_cache(maxsize=None)
 def _halo_matvec_factory(offsets, axis, n_dev):
     """Build the per-shard matvec: halo exchange + local shifted axpys.
 
@@ -108,14 +127,7 @@ class HaloDiaOperator(LinearOperator):
         sh = NamedSharding(mesh, P(None, axis))
         data = jax.device_put(jnp.asarray(data), sh)
 
-        local_mv = _halo_matvec_factory(dia.offsets, axis, n_dev)
-        mapped = shard_map(
-            local_mv, mesh=mesh,
-            in_specs=(P(None, axis), P(axis)),
-            out_specs=P(axis))
-
-        def mv(params, x):
-            return mapped(params, x)
+        mv = _halo_mv_factory(tuple(dia.offsets), axis, n_dev, mesh)
 
         is_complex = np.issubdtype(dia.data.dtype, np.complexfloating)
         # Structural symmetry of the *values* is the caller's contract

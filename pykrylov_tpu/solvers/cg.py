@@ -38,8 +38,9 @@ ISTOP_MSG = {
 
 
 @partial(jax.jit, static_argnames=("maxiter", "check_curvature",
-                                   "store_history"))
-def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history):
+                                   "store_history", "store_iterates"))
+def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
+        store_iterates):
     dtype = b.dtype
     n = b.shape[0]
 
@@ -58,19 +59,27 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history):
     thresh = threshold_of(resid0, rtol, atol)
     hist = history_init(store_history, maxiter, resid0.dtype)
     hist = history_push(hist, 0, resid0)
+    # Optional iterate history (reference ``store_iterates``/``iterates``,
+    # cg.py:66-67,79-80): a fixed (maxiter+1, n) device buffer.
+    iters_buf = (jnp.full((maxiter + 1, n), jnp.nan, dtype=dtype)
+                 .at[0].set(x) if store_iterates else None)
+
+    def iters_push(buf, k, xk):
+        return buf.at[k].set(xk) if store_iterates else None
 
     def cond(carry):
-        x, r, y, p, ry, k, resid, definite, inf_desc, hist = carry
+        x, r, y, p, ry, k, resid, definite, inf_desc, hist, ib = carry
         return (resid > thresh) & (k < maxiter) & definite
 
     def body(carry):
-        x, r, y, p, ry, k, resid, definite, inf_desc, hist = carry
+        x, r, y, p, ry, k, resid, definite, inf_desc, hist, ib = carry
         Ap = apply_op(A, p)
         pAp = jnp.vdot(p, Ap).real
 
         def indefinite(_):
             # Record the direction of nonpositive curvature and abort.
-            return (x, r, y, p, ry, k + 1, resid, jnp.asarray(False), p, hist)
+            return (x, r, y, p, ry, k + 1, resid, jnp.asarray(False), p,
+                    hist, ib)
 
         def step(_):
             alpha = ry / pAp
@@ -82,7 +91,9 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history):
             p2 = y2 + beta * p
             resid2 = jnp.sqrt(ry2)
             h2 = history_push(hist, k + 1, resid2)
-            return (x2, r2, y2, p2, ry2, k + 1, resid2, definite, inf_desc, h2)
+            ib2 = iters_push(ib, k + 1, x2)
+            return (x2, r2, y2, p2, ry2, k + 1, resid2, definite, inf_desc,
+                    h2, ib2)
 
         if check_curvature:
             return jax.lax.cond(pAp <= 0, indefinite, step, None)
@@ -90,8 +101,8 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history):
 
     p0 = y
     carry0 = (x, r, y, p0, ry, jnp.zeros((), jnp.int32), resid0,
-              jnp.asarray(True), jnp.zeros_like(b), hist)
-    x, r, y, p, ry, k, resid, definite, inf_desc, hist = \
+              jnp.asarray(True), jnp.zeros_like(b), hist, iters_buf)
+    x, r, y, p, ry, k, resid, definite, inf_desc, hist, iters_buf = \
         jax.lax.while_loop(cond, body, carry0)
 
     converged = resid <= thresh
@@ -99,6 +110,8 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history):
     info = {"definite": definite}
     if check_curvature:
         info["infinite_descent"] = inf_desc
+    if store_iterates:
+        info["iterates"] = iters_buf
     return SolveResult(
         x=x, converged=converged, istop=istop.astype(jnp.int32),
         n_iter=k, n_matvec=k + extra_matvec,
@@ -107,7 +120,8 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history):
 
 
 def cg(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8, maxiter=None,
-       matvec_max=None, check_curvature=False, store_history=False):
+       matvec_max=None, check_curvature=False, store_history=False,
+       store_iterates=False):
     """Solve SPD ``A x = b`` by preconditioned conjugate gradients.
 
     Parameters
@@ -122,6 +136,11 @@ def cg(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8, maxiter=None,
     check_curvature : abort on nonpositive curvature and report the
         direction of infinite descent in ``result.info`` (trust-region use).
     store_history : keep the residual-norm history in a device buffer.
+    store_iterates : keep every iterate in a (maxiter+1, n) device buffer
+        returned as ``result.info["iterates"]`` (NaN rows beyond
+        ``n_iter``) — the reference's ``store_iterates`` (cg.py:66-67).
+        Memory scales with maxiter*n; prefer ``checkpointed_solve`` for
+        long runs.
 
     Returns :class:`SolveResult`.
     """
@@ -133,4 +152,5 @@ def cg(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8, maxiter=None,
         maxiter = default_maxiter(b.shape[0], 1, matvec_max)
     x0 = jnp.asarray(x0) if x0 is not None else None
     return _cg(A, b, x0, M, rtol, atol, int(maxiter),
-               bool(check_curvature), bool(store_history))
+               bool(check_curvature), bool(store_history),
+               bool(store_iterates))

@@ -149,3 +149,20 @@ class TestCGSemantics:
         assert int(res.n_matvec) <= 55
         err = float(jnp.linalg.norm(res.x - e) / jnp.sqrt(n))
         assert err < 1e-12
+
+
+def test_store_iterates():
+    """Reference parity: cg.py:66-67 iterate history (review parity gap)."""
+    import jax.numpy as jnp
+    from pykrylov_tpu.solvers import cg
+    from pykrylov_tpu.gallery import poisson1d_operator
+    op = poisson1d_operator(40, dtype=jnp.float64)
+    e = jnp.ones(40, dtype=jnp.float64)
+    b = op * e
+    res = cg(op, b, rtol=1e-10, store_iterates=True, maxiter=100)
+    buf = res.info["iterates"]
+    k = int(res.n_iter)
+    assert buf.shape == (101, 40)
+    np.testing.assert_array_equal(np.asarray(buf[0]), np.zeros(40))
+    np.testing.assert_allclose(np.asarray(buf[k]), np.asarray(res.x))
+    assert bool(jnp.all(jnp.isnan(buf[k + 1:])))
