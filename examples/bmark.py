@@ -14,6 +14,13 @@ import os as _os
 import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 
+import jax as _jax
+# The benchmark's metric is matvec counts (convergence quality, the
+# reference's published table) — reproduced exactly in f64 on the CPU
+# backend.  Wall-clock TPU kernels are benchmarked by bench.py instead.
+_jax.config.update("jax_platforms", "cpu")
+_jax.config.update("jax_enable_x64", True)
+
 
 import argparse
 from math import sqrt
