@@ -60,9 +60,14 @@ def main():
     dtype = np.float32
     vals, rows, cols, shape = poisson3d_coo(n, dtype=dtype)
     # Keep packing host-side: F.COO with NumPy fields avoids shipping the
-    # triples to the device and pulling them back for conversion.
-    dia = F.dia_from_coo(F.COO(vals, rows.astype(np.int32),
-                               cols.astype(np.int32), shape))
+    # triples to the device and pulling them back for conversion
+    # (device=False keeps ensure_dia_padded's np copies free too).
+    # The 1/12 scale normalizes the spectral radius to just under 1 so the
+    # 400-iteration chain below neither overflows nor underflows — and is
+    # folded into the data ONCE, so each timed iteration is a pure matvec
+    # and the traffic model is exact.
+    dia = F.dia_from_coo(F.COO(vals / 12.0, rows.astype(np.int32),
+                               cols.astype(np.int32), shape), device=False)
     block = DEFAULT_BLOCK if on_tpu else 1024
     dia, _ = ensure_dia_padded(dia, block)
     d3, offsets = pack_dia(dia, block)
@@ -74,11 +79,8 @@ def main():
     @jax.jit
     def spmv_chain(d3, x):
         def body(_, x):
-            y = dia_matvec_packed(d3, offsets, x, block=block,
-                                  interpret=not on_tpu)
-            # Constant rescale keeps values bounded (spectral radius < 12)
-            # without the extra HBM pass a max-reduction would cost.
-            return y * 0.125
+            return dia_matvec_packed(d3, offsets, x, block=block,
+                                     interpret=not on_tpu)
         return jax.lax.fori_loop(0, iters, body, x)
 
     # Warm up / compile.

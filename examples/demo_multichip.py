@@ -40,9 +40,11 @@ from pykrylov_tpu.solvers import cg
 
 def run(n_devices, n_grid, repeats=3):
     mesh = make_mesh(n_devices)
-    op, b, e, pad = sharded_poisson3d(n_grid, mesh, halo=True)
+    op, b, e, pad = sharded_poisson3d(n_grid, mesh, halo=True,
+                                      dtype=np.float32)
     m = n_grid**3 + pad
-    M = DiagonalOperator(replicate(jnp.full(m, 1.0 / 6.0), mesh))
+    M = DiagonalOperator(replicate(jnp.full(m, 1.0 / 6.0,
+                                            dtype=jnp.float32), mesh))
     res = cg(op, b, M=M, rtol=1e-6, maxiter=2 * m)  # compile + converge
     jax.block_until_ready(res.x)
     best = np.inf

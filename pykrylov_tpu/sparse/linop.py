@@ -160,10 +160,15 @@ def jacobi_preconditioner(source, floor=0.0):
     Mirrors the reference benchmark's ``DiagonalPrec`` (max(|diag|, 1),
     ``examples/bmark.py:14-23``) when ``floor=1``.
     """
+    import os
     from ..ops.base import DiagonalOperator
     if isinstance(source, str):
-        from ..io.datasets import load_bundled
-        vals, rows, cols, shape = load_bundled(source)
+        if os.path.exists(source):  # a .mtx file path
+            from ..io.matrix_market import read_matrix_market
+            vals, rows, cols, shape, _ = read_matrix_market(source)
+        else:
+            from ..io.datasets import load_bundled
+            vals, rows, cols, shape = load_bundled(source)
         d = diag_of_coo(vals, rows, cols, shape[0])
     elif isinstance(source, tuple) and len(source) == 4:
         vals, rows, cols, shape = source

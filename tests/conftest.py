@@ -9,8 +9,13 @@ importing jax.
 
 import os
 
-os.environ.setdefault("XLA_FLAGS",
-                      "--xla_force_host_platform_device_count=8")
+_FLAG = "--xla_force_host_platform_device_count=8"
+if "xla_force_host_platform_device_count" not in \
+        os.environ.get("XLA_FLAGS", ""):
+    # Append rather than setdefault: a pre-set XLA_FLAGS (sitecustomize,
+    # user dump flags) must not silently drop the virtual device count.
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " "
+                               + _FLAG).strip()
 
 import jax  # noqa: E402
 
