@@ -48,15 +48,16 @@ def main():
     from pykrylov_tpu.sparse import formats as F
     from pykrylov_tpu.sparse.kernels import (ensure_dia_padded, pack_dia,
                                              dia_matvec_packed,
-                                             DEFAULT_BLOCK)
+                                             choose_block)
 
     on_tpu = jax.default_backend() == "tpu"
-    # 7.1M unknowns, 7 diagonals, ~198 MB of f32 diagonal data on TPU so
-    # each timed dispatch is dominated by device work (remote-execution
-    # layers add ~10s of ms per dispatch; 400 chained matvecs x ~260 MB of
-    # traffic amortize it below a few percent);
+    # 13.8M unknowns, 7 diagonals, ~387 MB of f32 diagonal data on TPU so
+    # each timed dispatch is dominated by device work: the fixed
+    # per-pallas_call overhead (~75 us in this stack) and the per-dispatch
+    # remote overhead both amortize below a few percent over 400 chained
+    # matvecs x ~600 MB of traffic;
     # a small grid on CPU where the kernel runs interpreted.
-    n = 192 if on_tpu else 16
+    n = 240 if on_tpu else 16  # n^2 offset must stay < the 64k block
     dtype = np.float32
     vals, rows, cols, shape = poisson3d_coo(n, dtype=dtype)
     # Keep packing host-side: F.COO with NumPy fields avoids shipping the
@@ -68,7 +69,8 @@ def main():
     # and the traffic model is exact.
     dia = F.dia_from_coo(F.COO(vals / 12.0, rows.astype(np.int32),
                                cols.astype(np.int32), shape), device=False)
-    block = DEFAULT_BLOCK if on_tpu else 1024
+    block = choose_block(dia.data.shape[0], dia.offsets) if on_tpu \
+        else 1024
     dia, _ = ensure_dia_padded(dia, block)
     d3, offsets = pack_dia(dia, block)
     m = dia.shape[0]
