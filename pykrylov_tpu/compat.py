@@ -103,13 +103,16 @@ class CG(KrylovMethod):
             self.op, jnp.asarray(rhs), x0=guess, M=self.precon,
             rtol=self.reltol, atol=self.abstol, matvec_max=matvec_max,
             check_curvature=check_curvature, store_history=True,
-            store_iterates=store_iterates))
+            store_iterates=store_iterates, store_resids=store_resids))
         self.definite = bool(res.info.get("definite", True))
         if check_curvature and not self.definite:
             self.infiniteDescent = res.info["infinite_descent"]
         if store_iterates:
             buf = res.info["iterates"]
             self.iterates = [buf[i] for i in range(int(res.n_iter) + 1)]
+        if store_resids:
+            buf = res.info["resids"]
+            self.resids = [buf[i] for i in range(int(res.n_iter) + 1)]
         return res
 
 

@@ -38,9 +38,10 @@ ISTOP_MSG = {
 
 
 @partial(jax.jit, static_argnames=("maxiter", "check_curvature",
-                                   "store_history", "store_iterates"))
+                                   "store_history", "store_iterates",
+                                   "store_resids"))
 def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
-        store_iterates):
+        store_iterates, store_resids):
     dtype = b.dtype
     n = b.shape[0]
 
@@ -59,27 +60,33 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
     thresh = threshold_of(resid0, rtol, atol)
     hist = history_init(store_history, maxiter, resid0.dtype)
     hist = history_push(hist, 0, resid0)
-    # Optional iterate history (reference ``store_iterates``/``iterates``,
-    # cg.py:66-67,79-80): a fixed (maxiter+1, n) device buffer.
+    # Optional iterate / residual-vector histories (reference
+    # ``store_iterates``/``store_resids``, cg.py:66-67,79-80,133-143):
+    # fixed (maxiter+1, n) device buffers.
     iters_buf = (jnp.full((maxiter + 1, n), jnp.nan, dtype=dtype)
                  .at[0].set(x) if store_iterates else None)
+    resids_buf = (jnp.full((maxiter + 1, n), jnp.nan, dtype=dtype)
+                  .at[0].set(r) if store_resids else None)
 
     def iters_push(buf, k, xk):
         return buf.at[k].set(xk) if store_iterates else None
 
+    def resids_push(buf, k, rk):
+        return buf.at[k].set(rk) if store_resids else None
+
     def cond(carry):
-        x, r, y, p, ry, k, resid, definite, inf_desc, hist, ib = carry
+        x, r, y, p, ry, k, resid, definite, inf_desc, hist, ib, rb = carry
         return (resid > thresh) & (k < maxiter) & definite
 
     def body(carry):
-        x, r, y, p, ry, k, resid, definite, inf_desc, hist, ib = carry
+        x, r, y, p, ry, k, resid, definite, inf_desc, hist, ib, rb = carry
         Ap = apply_op(A, p)
         pAp = jnp.vdot(p, Ap).real
 
         def indefinite(_):
             # Record the direction of nonpositive curvature and abort.
             return (x, r, y, p, ry, k + 1, resid, jnp.asarray(False), p,
-                    hist, ib)
+                    hist, ib, rb)
 
         def step(_):
             alpha = ry / pAp
@@ -92,8 +99,9 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
             resid2 = jnp.sqrt(ry2)
             h2 = history_push(hist, k + 1, resid2)
             ib2 = iters_push(ib, k + 1, x2)
+            rb2 = resids_push(rb, k + 1, r2)
             return (x2, r2, y2, p2, ry2, k + 1, resid2, definite, inf_desc,
-                    h2, ib2)
+                    h2, ib2, rb2)
 
         if check_curvature:
             return jax.lax.cond(pAp <= 0, indefinite, step, None)
@@ -101,9 +109,10 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
 
     p0 = y
     carry0 = (x, r, y, p0, ry, jnp.zeros((), jnp.int32), resid0,
-              jnp.asarray(True), jnp.zeros_like(b), hist, iters_buf)
-    x, r, y, p, ry, k, resid, definite, inf_desc, hist, iters_buf = \
-        jax.lax.while_loop(cond, body, carry0)
+              jnp.asarray(True), jnp.zeros_like(b), hist, iters_buf,
+              resids_buf)
+    (x, r, y, p, ry, k, resid, definite, inf_desc, hist, iters_buf,
+     resids_buf) = jax.lax.while_loop(cond, body, carry0)
 
     converged = resid <= thresh
     istop = jnp.where(converged, 0, jnp.where(definite, 1, 2))
@@ -112,6 +121,8 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
         info["infinite_descent"] = inf_desc
     if store_iterates:
         info["iterates"] = iters_buf
+    if store_resids:
+        info["resids"] = resids_buf
     return SolveResult(
         x=x, converged=converged, istop=istop.astype(jnp.int32),
         n_iter=k, n_matvec=k + extra_matvec,
@@ -121,7 +132,7 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
 
 def cg(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8, maxiter=None,
        matvec_max=None, check_curvature=False, store_history=False,
-       store_iterates=False):
+       store_iterates=False, store_resids=False):
     """Solve SPD ``A x = b`` by preconditioned conjugate gradients.
 
     Parameters
@@ -141,6 +152,8 @@ def cg(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8, maxiter=None,
         ``n_iter``) — the reference's ``store_iterates`` (cg.py:66-67).
         Memory scales with maxiter*n; prefer ``checkpointed_solve`` for
         long runs.
+    store_resids : likewise for the residual vectors
+        (``result.info["resids"]``; reference cg.py:133-143).
 
     Returns :class:`SolveResult`.
     """
@@ -153,4 +166,4 @@ def cg(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8, maxiter=None,
     x0 = jnp.asarray(x0) if x0 is not None else None
     return _cg(A, b, x0, M, rtol, atol, int(maxiter),
                bool(check_curvature), bool(store_history),
-               bool(store_iterates))
+               bool(store_iterates), bool(store_resids))

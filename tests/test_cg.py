@@ -166,3 +166,20 @@ def test_store_iterates():
     np.testing.assert_array_equal(np.asarray(buf[0]), np.zeros(40))
     np.testing.assert_allclose(np.asarray(buf[k]), np.asarray(res.x))
     assert bool(jnp.all(jnp.isnan(buf[k + 1:])))
+
+
+def test_store_resids():
+    """Reference parity: cg.py:133-143 residual-vector history."""
+    import jax.numpy as jnp
+    from pykrylov_tpu.solvers import cg
+    from pykrylov_tpu.gallery import poisson1d_operator
+    op = poisson1d_operator(30, dtype=jnp.float64)
+    e = jnp.ones(30, dtype=jnp.float64)
+    b = op * e
+    res = cg(op, b, rtol=1e-10, store_resids=True, maxiter=80)
+    buf = res.info["resids"]
+    k = int(res.n_iter)
+    np.testing.assert_allclose(np.asarray(buf[0]), np.asarray(b))
+    # last stored residual vector matches b - A x
+    r_true = np.asarray(b) - np.asarray(op * res.x)
+    np.testing.assert_allclose(np.asarray(buf[k]), r_true, atol=1e-9)
