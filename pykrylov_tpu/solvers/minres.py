@@ -52,8 +52,10 @@ ISTOP_MSG = {
 _CONVERGED_CODES = (1, 2, 3, 4, 10)
 
 
-@partial(jax.jit, static_argnames=("itnlim", "window", "store_history"))
-def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history):
+@partial(jax.jit, static_argnames=("itnlim", "window", "store_history",
+                                   "store_iterates"))
+def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history,
+            store_iterates):
     dtype = b.dtype
     n = b.shape[0]
     eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
@@ -69,6 +71,12 @@ def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history):
 
     hist = history_init(store_history, itnlim, dtype)
     hist = history_push(hist, 0, beta1)
+    # Optional iterate history + direct-error telemetry (the reference's
+    # ``store_iterates``/``dir_errors_window``, minres.py:105-107,303-310).
+    iters_buf = (jnp.full((itnlim + 1, n), jnp.nan, dtype=dtype)
+                 .at[0].set(x) if store_iterates else None)
+    derr_hist = (jnp.full((itnlim + 1,), jnp.nan, dtype=dtype)
+                 if store_history else None)
 
     zero = jnp.zeros((), dtype)
     state0 = dict(
@@ -84,7 +92,7 @@ def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history):
         istop=jnp.where(indef_precon, 9, 0).astype(jnp.int32),
         itn=jnp.zeros((), jnp.int32),
         done=indef_precon | zero_b,
-        hist=hist)
+        hist=hist, iters=iters_buf, derrs=derr_hist)
 
     def cond(s):
         return ~s["done"] & (s["itn"] < itnlim)
@@ -106,6 +114,7 @@ def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history):
         def on_indef(_):
             return dict(s, itn=itn, istop=jnp.asarray(6, jnp.int32),
                         done=True)
+
 
         def step(_):
             beta = jnp.sqrt(beta_sq)
@@ -140,6 +149,10 @@ def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history):
             x_nrg2 = s["x_nrg2"] + phi * phi
             d_err = s["d_err"].at[itn % window].set(phi)
             trnc = jnp.linalg.norm(d_err)
+            derrs = (s["derrs"].at[itn].set(trnc / jnp.sqrt(x_nrg2))
+                     if store_history else None)
+            iters2 = (s["iters"].at[itn].set(x) if store_iterates
+                      else None)
             small_err = (itn > window) & (trnc < etol * jnp.sqrt(x_nrg2))
             istop = jnp.where((istop == 0) & small_err,
                               jnp.asarray(10, jnp.int32), istop)
@@ -182,7 +195,8 @@ def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history):
                 gmax=gmax, gmin=gmin, x_nrg2=x_nrg2, d_err=d_err,
                 anorm=anorm, acond=acond, ynorm=ynorm, arnorm=arnorm,
                 rnorm=rnorm, istop=istop, itn=itn, done=istop > 0,
-                hist=history_push(s["hist"], itn, rnorm))
+                hist=history_push(s["hist"], itn, rnorm),
+                iters=iters2, derrs=derrs)
 
         return jax.lax.cond(indef, on_indef, step, None)
 
@@ -196,12 +210,22 @@ def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history):
         n_iter=s["itn"], n_matvec=s["itn"],
         resid_norm=jnp.where(zero_b, zero, s["rnorm"]), resid_norm0=beta1,
         resid_history=s["hist"],
-        info={"Anorm": s["anorm"], "Acond": s["acond"],
-              "Arnorm": s["arnorm"], "ynorm": s["ynorm"]})
+        info=_minres_info(s, store_iterates, store_history))
+
+
+def _minres_info(s, store_iterates, store_history):
+    info = {"Anorm": s["anorm"], "Acond": s["acond"],
+            "Arnorm": s["arnorm"], "ynorm": s["ynorm"]}
+    if store_iterates:
+        info["iterates"] = s["iters"]
+    if store_history:
+        info["dir_errors_window"] = s["derrs"]
+    return info
 
 
 def minres(A, b, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
-           window=5, itnlim=None, check=False, store_history=False):
+           window=5, itnlim=None, check=False, store_history=False,
+           store_iterates=False):
     """Solve symmetric (possibly indefinite/singular) ``(A - shift I) x = b``
     or ``min ||Ax - b||`` by MINRES.
 
@@ -217,7 +241,11 @@ def minres(A, b, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
     check : host-side randomized symmetry checks of A and M before the
         solve (``minres.py:186-197``); failures yield istop 7/8 without
         running the iteration.
-    store_history : keep residual norms in a device buffer.
+    store_history : keep residual norms in a device buffer; also records
+        the reference's ``dir_errors_window`` telemetry
+        (``info["dir_errors_window"]``, minres.py:105-107).
+    store_iterates : keep every iterate (``info["iterates"]``,
+        an (itnlim+1, n) buffer with NaN rows beyond ``n_iter``).
 
     Returns :class:`SolveResult`; ``info`` carries Anorm/Acond/Arnorm/ynorm.
     """
@@ -247,4 +275,5 @@ def minres(A, b, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
                 resid_norm=zero, resid_norm0=zero, info={})
 
     return _minres(A, b, M, float(shift), float(rtol), float(etol),
-                   int(itnlim), int(window), bool(store_history))
+                   int(itnlim), int(window), bool(store_history),
+                   bool(store_iterates))

@@ -172,3 +172,18 @@ def test_minres_symmlq_1138bus_jacobi():
     assert bool(rm.converged) and bool(rs.converged)
     assert float(jnp.linalg.norm(rm.x - e) / jnp.sqrt(n)) < 5e-3
     assert float(jnp.linalg.norm(rs.x - e) / jnp.sqrt(n)) < 5e-4
+
+
+def test_minres_telemetry_buffers():
+    """store_iterates + dir_errors_window parity (minres.py:105-107)."""
+    op = poisson1d_operator(60, dtype=jnp.float64)
+    b = op * jnp.ones(60, dtype=jnp.float64)
+    res = minres(op, b, rtol=1e-12, store_history=True,
+                 store_iterates=True, itnlim=200)
+    k = int(res.n_iter)
+    it = res.info["iterates"]
+    assert it.shape == (201, 60)
+    np.testing.assert_allclose(np.asarray(it[k]), np.asarray(res.x))
+    de = np.asarray(res.info["dir_errors_window"])
+    vals = de[~np.isnan(de)]
+    assert len(vals) >= 1 and np.all(vals >= 0)
