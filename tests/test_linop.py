@@ -356,3 +356,23 @@ def test_shared_jit_cache_across_equal_coord_operators():
     t1 = jax.tree_util.tree_structure(a1)
     t2 = jax.tree_util.tree_structure(a2)
     assert t1 == t2
+
+
+def test_multi_rhs_application(rng):
+    """Operators apply columnwise to matrices (reference linop semantics:
+    op * X for 2-D X), including sparse-backed operators."""
+    from pykrylov_tpu.sparse import sparse_operator
+    A = rng.standard_normal((20, 20))
+    rr, cc = np.nonzero(np.abs(A) > 0.8)
+    from pykrylov_tpu.sparse import formats as F
+    op = sparse_operator((A[rr, cc], rr, cc, (20, 20)))
+    dense = np.zeros((20, 20))
+    dense[rr, cc] = A[rr, cc]
+    X = rng.standard_normal((20, 5))
+    Y = np.asarray(op * jnp.asarray(X))
+    np.testing.assert_allclose(Y, dense @ X, atol=1e-12)
+    # dense operator too
+    from pykrylov_tpu.ops import MatrixOperator
+    B = MatrixOperator(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(B * jnp.asarray(X)), A @ X,
+                               atol=1e-12)
