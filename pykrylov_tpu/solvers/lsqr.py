@@ -65,6 +65,10 @@ def _lsqr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
 
     hist = history_init(store_history, itnlim, dtype)
     hist = history_push(hist, 0, beta)
+    # Normal-equations residual history ||A'r|| (the reference's
+    # ``normal_eqns_resids``, lsqr.py:80,304) alongside the r2norm history.
+    ne_hist = history_init(store_history, itnlim, dtype)
+    ne_hist = history_push(ne_hist, 0, arnorm0)
 
     state0 = dict(
         x=jnp.zeros(n, dtype), w=v, u=u, Mu=Mu, v=v, Nv=Nv,
@@ -77,7 +81,7 @@ def _lsqr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
         var=jnp.zeros(n, dtype) if wantvar else zero,
         x_nrg2=zero, d_err=jnp.zeros(window, dtype),
         istop=jnp.zeros((), jnp.int32), itn=jnp.zeros((), jnp.int32),
-        done=x_is_zero, hist=hist)
+        done=x_is_zero, hist=hist, ne_hist=ne_hist)
     bnorm = beta
 
     def cond(s):
@@ -170,7 +174,8 @@ def _lsqr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
             rnorm=rnorm, r1norm=r1norm, r2norm=r2norm, arnorm=arnorm,
             var=var, x_nrg2=x_nrg2, d_err=d_err,
             istop=istop, itn=itn, done=istop > 0,
-            hist=history_push(s["hist"], itn, r2norm))
+            hist=history_push(s["hist"], itn, r2norm),
+            ne_hist=history_push(s["ne_hist"], itn, arnorm))
 
     s = jax.lax.while_loop(cond, body, state0)
     istop = s["istop"]
@@ -179,6 +184,8 @@ def _lsqr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
             "Anorm": s["anorm"], "Acond": s["acond"],
             "Arnorm": s["arnorm"], "xnorm": s["xnorm"],
             "optimal": optimal}
+    if store_history:
+        info["normal_eqns_resids"] = s["ne_hist"]
     if wantvar:
         info["var"] = s["var"]
     return SolveResult(

@@ -53,8 +53,10 @@ ISTOP_MSG = {
 _CONVERGED_CODES = (1, 2)
 
 
-@partial(jax.jit, static_argnames=("matvec_max", "store_history"))
-def _symmlq(A, b, M, shift, rtol, matvec_max, store_history):
+@partial(jax.jit, static_argnames=("matvec_max", "store_history",
+                                   "store_iterates"))
+def _symmlq(A, b, M, shift, rtol, matvec_max, store_history,
+            store_iterates):
     dtype = b.dtype
     n = b.shape[0]
     eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
@@ -96,6 +98,11 @@ def _symmlq(A, b, M, shift, rtol, matvec_max, store_history):
     zero = jnp.zeros((), dtype)
     hist = history_init(store_history, itnlim, dtype)
     hist = history_push(hist, 0, beta1)
+    # Optional LQ-point iterate history (the reference's store_iterates,
+    # symmlq.py:94,124,321).
+    iters_buf = (jnp.full((itnlim + 1, n), jnp.nan, dtype=dtype)
+                 .at[0].set(jnp.zeros(n, dtype)) if store_iterates
+                 else None)
 
     state0 = dict(
         x=jnp.zeros(n, dtype), w=jnp.zeros(n, dtype),
@@ -109,7 +116,7 @@ def _symmlq(A, b, M, shift, rtol, matvec_max, store_history):
         istop=istop0.astype(jnp.int32),
         itn=jnp.zeros((), jnp.int32),
         nmv=jnp.where(dead, 0, 1).astype(jnp.int32),
-        done=dead, hist=hist)
+        done=dead, hist=hist, iters=iters_buf)
 
     def cond(s):
         return ~s["done"] & (s["nmv"] < matvec_max)
@@ -187,6 +194,8 @@ def _symmlq(A, b, M, shift, rtol, matvec_max, store_history):
                 ynorm2 = z**2 + s["ynorm2"]
                 rhs1 = s["rhs2"] - delta * z
                 rhs2 = -epsln * z
+                iters2 = (s["iters"].at[itn].set(x) if store_iterates
+                          else None)
                 return dict(
                     x=x, w=w, r1=r1, r2=r2, y=y2,
                     oldb=oldb, beta=beta, gbar=gbar, dbar=dbar,
@@ -195,7 +204,7 @@ def _symmlq(A, b, M, shift, rtol, matvec_max, store_history):
                     cgnorm=cgnorm, lqnorm=lqnorm, diag=diag,
                     acond=acond, anorm=anorm,
                     istop=istop, itn=itn, nmv=nmv, done=False,
-                    hist=s_tested["hist"])
+                    hist=s_tested["hist"], iters=iters2)
 
             return jax.lax.cond(indef, on_indef, rotate, None)
 
@@ -235,11 +244,12 @@ def _symmlq(A, b, M, shift, rtol, matvec_max, store_history):
         resid_norm=rnorm, resid_norm0=beta1,
         resid_history=s["hist"],
         info={"Anorm": s["anorm"], "Acond": s["acond"], "xnorm": xnorm,
-              "cgnorm": s["cgnorm"], "lqnorm": s["lqnorm"]})
+              "cgnorm": s["cgnorm"], "lqnorm": s["lqnorm"],
+              **({"iterates": s["iters"]} if store_iterates else {})})
 
 
 def symmlq(A, b, *, M=None, shift=0.0, rtol=1.0e-9, matvec_max=None,
-           check=False, store_history=False):
+           check=False, store_history=False, store_iterates=False):
     """Solve symmetric (possibly indefinite) ``(A - shift I) x = b`` by
     SYMMLQ.
 
@@ -283,4 +293,4 @@ def symmlq(A, b, *, M=None, shift=0.0, rtol=1.0e-9, matvec_max=None,
                 resid_norm=zero, resid_norm0=zero, info={})
 
     return _symmlq(A, b, M, float(shift), float(rtol), int(matvec_max),
-                   bool(store_history))
+                   bool(store_history), bool(store_iterates))

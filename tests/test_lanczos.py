@@ -187,3 +187,24 @@ def test_minres_telemetry_buffers():
     de = np.asarray(res.info["dir_errors_window"])
     vals = de[~np.isnan(de)]
     assert len(vals) >= 1 and np.all(vals >= 0)
+
+
+def test_symmlq_store_iterates():
+    op = poisson1d_operator(50, dtype=jnp.float64)
+    b = op * jnp.ones(50, dtype=jnp.float64)
+    res = symmlq(op, b, rtol=1e-10, store_iterates=True, matvec_max=200)
+    buf = np.asarray(res.info["iterates"])
+    k = int(res.n_iter)
+    assert buf.shape[1] == 50
+    # SYMMLQ tests at the top of each iteration: the stopping iteration k
+    # performs no step, so LQ iterates occupy rows 0..k-1 (the returned x
+    # additionally applies the CG-point move and the b-step).
+    assert np.all(np.isfinite(buf[:k]))
+    assert np.all(np.isnan(buf[k + 1:]))
+    # Like the reference's buffers, LQ iterates exclude the component
+    # along b that SYMMLQ accumulates separately (bstep, symmlq.py:331,
+    # applied only at exit) — so they are NOT directly solution
+    # approximations; check the stored trajectory is the LQ sequence by
+    # confirming the first step is nonzero and iterates change each step.
+    assert np.linalg.norm(buf[1]) > 0
+    assert np.linalg.norm(buf[k - 1] - buf[k - 2]) > 0

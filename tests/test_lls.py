@@ -204,3 +204,19 @@ def test_sym_ortho_matches_reference_semantics():
         if r_r != 0:
             assert float(c_j) * a + float(s_j) * b == pytest.approx(
                 r_r, rel=1e-10)
+
+
+def test_lsqr_normal_eqns_history(rng):
+    """Reference parity: lsqr.py:80,304 normal_eqns_resids telemetry —
+    LSMR-adjacent monotonicity isn't guaranteed for LSQR, but values track
+    the Arnorm estimate per iteration."""
+    m, n = 60, 25
+    A = rng.standard_normal((m, n))
+    b = A @ np.ones(n) + 0.01 * rng.standard_normal(m)
+    res = lsqr(MatrixOperator(jnp.asarray(A)), jnp.asarray(b),
+               atol=1e-10, btol=1e-10, etol=0.0, itnlim=200,
+               store_history=True)
+    ne = np.asarray(res.info["normal_eqns_resids"])
+    k = int(res.n_iter)
+    assert np.all(np.isfinite(ne[:k + 1]))
+    assert ne[k] == pytest.approx(float(res.info["Arnorm"]), rel=1e-6)
