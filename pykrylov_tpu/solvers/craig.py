@@ -49,8 +49,10 @@ ISTOP_MSG = {
 _OPTIMAL_CODES = (0, 1, 2, 4, 5, 8)
 
 
-@partial(jax.jit, static_argnames=("itnlim", "window", "store_history"))
-def _craig(A, b, M, N, atol, btol, etol, itnlim, window, store_history):
+@partial(jax.jit, static_argnames=("itnlim", "window", "store_history",
+                                   "store_iterates"))
+def _craig(A, b, M, N, atol, btol, etol, itnlim, window, store_history,
+           store_iterates):
     m, n = A.nargout, A.nargin
     dtype = b.dtype
     zero = jnp.zeros((), dtype)
@@ -78,6 +80,12 @@ def _craig(A, b, M, N, atol, btol, etol, itnlim, window, store_history):
 
     hist = history_init(store_history, itnlim, dtype)
     hist = history_push(hist, 0, jnp.sqrt(rnorm))
+    # Primal and dual iterate histories (the reference's iterates_p /
+    # iterates_d, craig.py:100-101,248-262,347-365).
+    ip_buf = (jnp.full((itnlim + 1, n), jnp.nan, dtype=dtype).at[0].set(x)
+              if store_iterates else None)
+    id_buf = (jnp.full((itnlim + 1, m), jnp.nan, dtype=dtype).at[0].set(r)
+              if store_iterates else None)
 
     state0 = dict(
         x=x, r=r, w=w, wbar=wbar, d=d,
@@ -87,7 +95,7 @@ def _craig(A, b, M, N, atol, btol, etol, itnlim, window, store_history):
         arnorm=zero, r_nrg2=zero, x_nrg2=zero,
         d_err=jnp.zeros(window, dtype),
         istop=jnp.zeros((), jnp.int32), itn=jnp.zeros((), jnp.int32),
-        done=x_is_zero, hist=hist)
+        done=x_is_zero, hist=hist, ip=ip_buf, id=id_buf)
 
     def cond(st):
         return ~st["done"] & (st["itn"] < itnlim)
@@ -149,7 +157,9 @@ def _craig(A, b, M, N, atol, btol, etol, itnlim, window, store_history):
             rnorm=rnorm, r1norm=r1norm, xnorm=xnorm,
             arnorm=arnorm, r_nrg2=r_nrg2, x_nrg2=x_nrg2, d_err=d_err,
             istop=istop, itn=itn, done=istop > 0,
-            hist=history_push(st["hist"], itn, jnp.sqrt(rnorm)))
+            hist=history_push(st["hist"], itn, jnp.sqrt(rnorm)),
+            ip=(st["ip"].at[itn].set(x) if store_iterates else None),
+            id=(st["id"].at[itn].set(r) if store_iterates else None))
 
     st = jax.lax.while_loop(cond, body, state0)
     istop = st["istop"]
@@ -165,11 +175,14 @@ def _craig(A, b, M, N, atol, btol, etol, itnlim, window, store_history):
               "r2norm": jnp.sqrt(st["rnorm"]),
               "Arnorm": st["arnorm"], "xnorm": st["xnorm"],
               "rNrgNorm2": st["r_nrg2"], "xNrgNorm2": st["x_nrg2"],
-              "optimal": optimal})
+              "optimal": optimal,
+              **({"iterates_p": st["ip"], "iterates_d": st["id"]}
+                 if store_iterates else {})})
 
 
 def craig(A, b, *, M=None, N=None, atol=1.0e-9, btol=1.0e-9, etol=1.0e-6,
-          window=5, itnlim=None, store_history=False):
+          window=5, itnlim=None, store_history=False,
+          store_iterates=False):
     """Solve consistent ``Ax = b`` or the SQD system
     ``[M A; A' -N][r; x] = [b; 0]`` by the generalized CRAIG method.
 
@@ -194,4 +207,5 @@ def craig(A, b, *, M=None, N=None, atol=1.0e-9, btol=1.0e-9, etol=1.0e-6,
     if itnlim is None:
         itnlim = 3 * A.nargin
     return _craig(A, b, M, N, float(atol), float(btol), float(etol),
-                  int(itnlim), int(window), bool(store_history))
+                  int(itnlim), int(window), bool(store_history),
+                  bool(store_iterates))

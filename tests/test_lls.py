@@ -220,3 +220,20 @@ def test_lsqr_normal_eqns_history(rng):
     k = int(res.n_iter)
     assert np.all(np.isfinite(ne[:k + 1]))
     assert ne[k] == pytest.approx(float(res.info["Arnorm"]), rel=1e-6)
+
+
+def test_craig_primal_dual_iterates(rng):
+    """Reference parity: craig.py:100-101 iterates_p / iterates_d."""
+    m, n = 30, 70
+    A = rng.standard_normal((m, n))
+    b = A @ rng.standard_normal(n)
+    res = craig(MatrixOperator(jnp.asarray(A)), jnp.asarray(b),
+                btol=1e-10, etol=1e-12, itnlim=200, store_iterates=True)
+    k = int(res.n_iter)
+    ip = np.asarray(res.info["iterates_p"])
+    idu = np.asarray(res.info["iterates_d"])
+    assert ip.shape[1] == n and idu.shape[1] == m
+    np.testing.assert_allclose(ip[k], np.asarray(res.x), atol=1e-12)
+    np.testing.assert_allclose(idu[k], np.asarray(res.info["r"]),
+                               atol=1e-12)
+    assert np.all(np.isnan(ip[k + 1:]))
