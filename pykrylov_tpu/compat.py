@@ -60,6 +60,8 @@ class KrylovMethod:
         self.residNorm = None
         self.residNorm0 = None
         self.residHistory = []
+        self.resids = []       # vector histories (reference cg.py:39-40)
+        self.iterates = []
         self.nMatvec = 0
         self.nIter = 0
         self.converged = False

@@ -63,16 +63,12 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
     # Optional iterate / residual-vector histories (reference
     # ``store_iterates``/``store_resids``, cg.py:66-67,79-80,133-143):
     # fixed (maxiter+1, n) device buffers.
+    # The reference stores the PRECONDITIONED residual vectors y = M r
+    # (cg.py:97,143), which coincide with r only when M is None.
     iters_buf = (jnp.full((maxiter + 1, n), jnp.nan, dtype=dtype)
                  .at[0].set(x) if store_iterates else None)
     resids_buf = (jnp.full((maxiter + 1, n), jnp.nan, dtype=dtype)
-                  .at[0].set(r) if store_resids else None)
-
-    def iters_push(buf, k, xk):
-        return buf.at[k].set(xk) if store_iterates else None
-
-    def resids_push(buf, k, rk):
-        return buf.at[k].set(rk) if store_resids else None
+                  .at[0].set(y) if store_resids else None)
 
     def cond(carry):
         x, r, y, p, ry, k, resid, definite, inf_desc, hist, ib, rb = carry
@@ -85,8 +81,13 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
 
         def indefinite(_):
             # Record the direction of nonpositive curvature and abort.
+            # Telemetry rows for the aborted iteration repeat the current
+            # (unchanged) values so the buffers stay finite through
+            # n_iter (the reference appends nothing on abort).
             return (x, r, y, p, ry, k + 1, resid, jnp.asarray(False), p,
-                    hist, ib, rb)
+                    history_push(hist, k + 1, resid),
+                    history_push(ib, k + 1, x),
+                    history_push(rb, k + 1, y))
 
         def step(_):
             alpha = ry / pAp
@@ -98,8 +99,8 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
             p2 = y2 + beta * p
             resid2 = jnp.sqrt(ry2)
             h2 = history_push(hist, k + 1, resid2)
-            ib2 = iters_push(ib, k + 1, x2)
-            rb2 = resids_push(rb, k + 1, r2)
+            ib2 = history_push(ib, k + 1, x2)
+            rb2 = history_push(rb, k + 1, y2)
             return (x2, r2, y2, p2, ry2, k + 1, resid2, definite, inf_desc,
                     h2, ib2, rb2)
 
@@ -152,8 +153,9 @@ def cg(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8, maxiter=None,
         ``n_iter``) — the reference's ``store_iterates`` (cg.py:66-67).
         Memory scales with maxiter*n; prefer ``checkpointed_solve`` for
         long runs.
-    store_resids : likewise for the residual vectors
-        (``result.info["resids"]``; reference cg.py:133-143).
+    store_resids : likewise for the preconditioned residual vectors
+        ``y = M r`` (``result.info["resids"]``; reference cg.py:97,143 —
+        equal to the raw residuals when ``M`` is None).
 
     Returns :class:`SolveResult`.
     """

@@ -158,8 +158,8 @@ def _craig(A, b, M, N, atol, btol, etol, itnlim, window, store_history,
             arnorm=arnorm, r_nrg2=r_nrg2, x_nrg2=x_nrg2, d_err=d_err,
             istop=istop, itn=itn, done=istop > 0,
             hist=history_push(st["hist"], itn, jnp.sqrt(rnorm)),
-            ip=(st["ip"].at[itn].set(x) if store_iterates else None),
-            id=(st["id"].at[itn].set(r) if store_iterates else None))
+            ip=history_push(st["ip"], itn, x),
+            id=history_push(st["id"], itn, r))
 
     st = jax.lax.while_loop(cond, body, state0)
     istop = st["istop"]

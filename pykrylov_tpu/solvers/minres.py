@@ -149,10 +149,13 @@ def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history,
             x_nrg2 = s["x_nrg2"] + phi * phi
             d_err = s["d_err"].at[itn % window].set(phi)
             trnc = jnp.linalg.norm(d_err)
-            derrs = (s["derrs"].at[itn].set(trnc / jnp.sqrt(x_nrg2))
-                     if store_history else None)
-            iters2 = (s["iters"].at[itn].set(x) if store_iterates
-                      else None)
+            # The reference only emits direct-error estimates once the
+            # window is full (minres.py:303-310); earlier slots stay NaN.
+            derr_val = jnp.where(itn > window,
+                                 trnc / jnp.sqrt(x_nrg2),
+                                 jnp.asarray(jnp.nan, dtype))
+            derrs = history_push(s["derrs"], itn, derr_val)
+            iters2 = history_push(s["iters"], itn, x)
             small_err = (itn > window) & (trnc < etol * jnp.sqrt(x_nrg2))
             istop = jnp.where((istop == 0) & small_err,
                               jnp.asarray(10, jnp.int32), istop)
@@ -259,20 +262,28 @@ def minres(A, b, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
 
     if check:
         zero = jnp.zeros((), b.dtype)
+
+        def _checkfail(code):
+            # Keep the documented info keys present (empty buffers) so
+            # telemetry consumers don't KeyError on the failure path.
+            info = {"Anorm": zero, "Acond": zero, "Arnorm": zero,
+                    "ynorm": zero}
+            if store_iterates:
+                info["iterates"] = jnp.full((1, n), jnp.nan, b.dtype)
+            if store_history:
+                info["dir_errors_window"] = jnp.full((1,), jnp.nan,
+                                                     b.dtype)
+            return SolveResult(
+                x=jnp.zeros(n, b.dtype), converged=jnp.asarray(False),
+                istop=jnp.asarray(code, jnp.int32),
+                n_iter=jnp.asarray(0, jnp.int32),
+                n_matvec=jnp.asarray(0, jnp.int32),
+                resid_norm=zero, resid_norm0=zero, info=info)
+
         if not _check_symmetric(A):
-            return SolveResult(
-                x=jnp.zeros(n, b.dtype), converged=jnp.asarray(False),
-                istop=jnp.asarray(7, jnp.int32),
-                n_iter=jnp.asarray(0, jnp.int32),
-                n_matvec=jnp.asarray(0, jnp.int32),
-                resid_norm=zero, resid_norm0=zero, info={})
+            return _checkfail(7)
         if M is not None and not _check_symmetric(M):
-            return SolveResult(
-                x=jnp.zeros(n, b.dtype), converged=jnp.asarray(False),
-                istop=jnp.asarray(8, jnp.int32),
-                n_iter=jnp.asarray(0, jnp.int32),
-                n_matvec=jnp.asarray(0, jnp.int32),
-                resid_norm=zero, resid_norm0=zero, info={})
+            return _checkfail(8)
 
     return _minres(A, b, M, float(shift), float(rtol), float(etol),
                    int(itnlim), int(window), bool(store_history),

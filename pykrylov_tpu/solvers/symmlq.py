@@ -194,8 +194,7 @@ def _symmlq(A, b, M, shift, rtol, matvec_max, store_history,
                 ynorm2 = z**2 + s["ynorm2"]
                 rhs1 = s["rhs2"] - delta * z
                 rhs2 = -epsln * z
-                iters2 = (s["iters"].at[itn].set(x) if store_iterates
-                          else None)
+                iters2 = history_push(s["iters"], itn, x)
                 return dict(
                     x=x, w=w, r1=r1, r2=r2, y=y2,
                     oldb=oldb, beta=beta, gbar=gbar, dbar=dbar,

@@ -364,7 +364,6 @@ def test_multi_rhs_application(rng):
     from pykrylov_tpu.sparse import sparse_operator
     A = rng.standard_normal((20, 20))
     rr, cc = np.nonzero(np.abs(A) > 0.8)
-    from pykrylov_tpu.sparse import formats as F
     op = sparse_operator((A[rr, cc], rr, cc, (20, 20)))
     dense = np.zeros((20, 20))
     dense[rr, cc] = A[rr, cc]
