@@ -12,17 +12,39 @@ scipy users expect from ``spsolve``-style entry points):
 
 Explicit ``method=`` accepts any solver name exported by
 :mod:`pykrylov_tpu.solvers`.
+
+Traceability contract: the automatic fallbacks (CG→MINRES, BiCGSTAB→TFQMR)
+dispatch on the *concrete* stop code, which requires a host synchronization.
+Inside ``jit``/``vmap`` the stop code is a tracer, so ``solve`` returns the
+first solver's result as-is (no fallback) — call a concrete solver
+(``pykrylov_tpu.solvers.cg`` etc.) directly when tracing, or run ``solve``
+outside the traced region.
 """
 
 from __future__ import annotations
 
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
 from . import solvers as _S
-from .solvers.common import as_operator
+from .solvers.common import as_operator, apply_op
 
 __all__ = ["solve"]
 
 _METHODS = ("cg", "cg_pipelined", "minres", "symmlq", "bicgstab", "cgs",
             "tfqmr", "lsqr", "lsmr", "craig", "craigmr")
+
+
+def _concrete_istop(res):
+    """The stop code as a host int, or None when it is a tracer (inside
+    jit/vmap, where fallback dispatch is impossible)."""
+    try:
+        return int(res.istop)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError, TypeError):
+        return None
 
 
 def solve(A, b, method=None, **opts):
@@ -44,19 +66,45 @@ def solve(A, b, method=None, **opts):
 
     if A.symmetric or A.hermitian:
         res = _S.cg(A, b, check_curvature=True, **opts)
-        if int(res.istop) == 2:  # indefinite → MINRES handles it
-            minres_opts = {k: v for k, v in opts.items()
-                           if k in ("M", "rtol", "etol", "window",
-                                    "store_history")}
-            # Map the square-solver caps onto MINRES's itnlim.
-            if "maxiter" in opts:
-                minres_opts["itnlim"] = opts["maxiter"]
-            elif "matvec_max" in opts:
-                minres_opts["itnlim"] = opts["matvec_max"]
-            return _S.minres(A, b, **minres_opts)
+        if _concrete_istop(res) == 2:  # indefinite → MINRES handles it
+            return _minres_fallback(A, b, res, opts)
         return res
 
     res = _S.bicgstab(A, b, **opts)
-    if int(res.istop) == 3:  # breakdown → different recurrence
+    if _concrete_istop(res) == 3:  # breakdown → different recurrence
+        # BiCGSTAB and TFQMR share their whole keyword surface, so every
+        # option (x0, rtol, atol, matvec_max, store_history, M) carries over.
         return _S.tfqmr(A, b, **opts)
     return res
+
+
+def _minres_fallback(A, b, cg_res, opts):
+    """Re-solve an indefinite system with MINRES, preserving the square-
+    solver options CG accepted.
+
+    MINRES has no ``x0``/``atol`` knobs (reference ``minres.py:115-130``),
+    so ``x0`` is honored by solving the residual system ``A d = b - A x0``
+    and returning ``x0 + d``, and ``atol`` is folded into MINRES's relative
+    tolerance via the initial residual norm measured by the CG attempt.
+    """
+    minres_opts = {k: v for k, v in opts.items()
+                   if k in ("M", "rtol", "etol", "window", "store_history")}
+    # Map the square-solver caps onto MINRES's itnlim.
+    if "maxiter" in opts:
+        minres_opts["itnlim"] = opts["maxiter"]
+    elif "matvec_max" in opts:
+        minres_opts["itnlim"] = opts["matvec_max"]
+    atol = opts.get("atol")
+    if atol is not None:
+        resid0 = float(cg_res.resid_norm0)
+        if resid0 > 0:
+            minres_opts["rtol"] = max(float(minres_opts.get("rtol", 1e-12)),
+                                      float(atol) / resid0)
+    x0 = opts.get("x0")
+    if x0 is None:
+        return _S.minres(A, b, **minres_opts)
+    x0 = jnp.asarray(x0)
+    res = _S.minres(A, b - apply_op(A, x0.astype(b.dtype)), **minres_opts)
+    return dataclasses.replace(
+        res, x=res.x + x0.astype(res.x.dtype),
+        n_matvec=res.n_matvec + 1)

@@ -176,7 +176,7 @@ def _bsr_matvec_call(data, block_col, row_in_group, x, interpret):
         in_specs=[
             pl.BlockSpec((1, bmax, BR, BC), lambda g, *_: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
         ],
         out_specs=pl.BlockSpec((1, GROUP, BR), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),

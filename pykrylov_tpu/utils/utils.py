@@ -87,20 +87,31 @@ def check_symmetric(op, key=None, nprobe: int = 10, tol=None) -> bool:
     else:
         rdtype = dtype
     eps = machine_epsilon(rdtype)
-    keys = jax.random.split(key, nprobe)
-    for k in keys:
-        x = jax.random.normal(k, (n,), dtype=rdtype).astype(dtype)
-        Ax = op * x
-        AAx = op * Ax
+    # All probes in ONE device program + ONE host pull: the per-probe loop
+    # costs 2*nprobe device round-trips, which is prohibitive through a
+    # remote TPU transport (10-150 s each when congested).
+    X = jax.random.normal(key, (nprobe, n), dtype=rdtype).astype(dtype)
+
+    def probe(x):
+        Ax = op.apply_with(op._mv, x)
+        AAx = op.apply_with(op._mv, Ax)
         # Unconjugated dots, matching the reference oracle's np.dot
         # (tools/utils.py:74-75): this tests SYMMETRY; jnp.vdot would
         # conjugate and test hermitian-ness, rejecting complex symmetric
         # operators.
-        s1 = jnp.dot(Ax, Ax)
-        s2 = jnp.dot(x, AAx)
-        scale = jnp.abs(s1)
-        thresh = tol if tol is not None else float((scale + eps) * eps ** (1.0 / 3.0))
-        if float(jnp.abs(s1 - s2)) > thresh:
+        return jnp.dot(Ax, Ax), jnp.dot(x, AAx)
+
+    s1, s2 = jax.vmap(probe)(X)
+    # apply_with bypasses the host-side call counter; preserve the
+    # reference's accounting (2 matvecs per probe, tools/utils.py:72-73).
+    op._nMatvec += 2 * nprobe
+    s1 = np.asarray(s1)
+    s2 = np.asarray(s2)
+    for k in range(nprobe):
+        scale = abs(s1[k])
+        thresh = (tol if tol is not None
+                  else float((scale + eps) * eps ** (1.0 / 3.0)))
+        if abs(s1[k] - s2[k]) > thresh:
             return False
     return True
 
@@ -121,15 +132,23 @@ def check_positive_definite(op, key=None, nprobe: int = 10, semi: bool = False) 
     else:
         rdtype = dtype
     eps = machine_epsilon(rdtype)
-    keys = jax.random.split(key, nprobe)
-    for k in keys:
-        x = jax.random.normal(k, (n,), dtype=rdtype).astype(dtype)
-        xAx = jnp.vdot(x, op * x)
+    # Batched like check_symmetric: one device program, one host pull.
+    X = jax.random.normal(key, (nprobe, n), dtype=rdtype).astype(dtype)
+
+    def probe(x):
+        return jnp.vdot(x, op.apply_with(op._mv, x)), jnp.vdot(x, x).real
+
+    xAx, xx = jax.vmap(probe)(X)
+    op._nMatvec += nprobe
+    xAx = np.asarray(xAx)
+    xx = np.asarray(xx)
+    for k in range(nprobe):
+        v = xAx[k]
         if jnp.issubdtype(dtype, jnp.complexfloating):
-            if float(jnp.abs(xAx.imag)) > eps ** (1.0 / 3.0) * float(jnp.abs(xAx)):
+            if abs(v.imag) > eps ** (1.0 / 3.0) * abs(v):
                 return False
-            xAx = xAx.real
-        bound = -eps if semi else eps * float(jnp.vdot(x, x).real)
-        if float(xAx) <= bound:
+            v = v.real
+        bound = -eps if semi else eps * float(xx[k])
+        if float(v) <= bound:
             return False
     return True

@@ -1,0 +1,107 @@
+"""Front-door ``solve`` dispatch and fallback hardening.
+
+Covers the VERDICT round-1 findings on ``solve.py``: the CG→MINRES fallback
+must preserve ``x0``/``atol``/caps, and calling ``solve`` inside a traced
+region must not crash on the tracer stop code (no-fallback contract).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pykrylov_tpu import solve
+from pykrylov_tpu.ops import MatrixOperator
+
+
+def _indefinite_system(n=24, seed=3):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    # Strongly indefinite spectrum so CG's curvature check trips early.
+    eigs = np.linspace(-5.0, 5.0, n)
+    eigs[np.abs(eigs) < 0.4] = 0.5
+    A = (Q * eigs) @ Q.T
+    A = 0.5 * (A + A.T)
+    x_true = rng.standard_normal(n)
+    return A, x_true, A @ x_true
+
+
+class TestMinresFallback:
+    def test_fallback_triggers_and_solves(self):
+        A, x_true, b = _indefinite_system()
+        op = MatrixOperator(jnp.asarray(A), symmetric=True)
+        res = solve(op, jnp.asarray(b), rtol=1e-10)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6)
+
+    def test_fallback_honors_x0(self):
+        A, x_true, b = _indefinite_system()
+        op = MatrixOperator(jnp.asarray(A), symmetric=True)
+        # Warm start very close to the solution: the fallback must keep it
+        # (round 1 silently dropped x0, restarting from zero).  With atol
+        # already met at x0, the fallback stops almost immediately; a
+        # dropped x0 would restart from zero and need dozens of iterations.
+        x0 = x_true + 1e-9 * np.ones_like(x_true)
+        res = solve(op, jnp.asarray(b), x0=jnp.asarray(x0),
+                    rtol=1e-14, atol=1e-6)
+        assert int(res.n_iter) <= 2
+        np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6)
+
+    def test_fallback_honors_atol(self):
+        A, x_true, b = _indefinite_system()
+        op = MatrixOperator(jnp.asarray(A), symmetric=True)
+        # Loose atol alone should stop MINRES early (mapped onto its rtol).
+        res_loose = solve(op, jnp.asarray(b), rtol=1e-14,
+                          atol=1e-2 * float(np.linalg.norm(b)))
+        res_tight = solve(op, jnp.asarray(b), rtol=1e-14, atol=0.0)
+        assert int(res_loose.n_iter) < int(res_tight.n_iter)
+
+    def test_fallback_respects_matvec_cap(self):
+        A, _, b = _indefinite_system()
+        op = MatrixOperator(jnp.asarray(A), symmetric=True)
+        res = solve(op, jnp.asarray(b), matvec_max=5, rtol=1e-14, atol=0.0)
+        assert int(res.n_iter) <= 5
+
+
+class TestTraceability:
+    def test_solve_inside_jit_returns_first_result(self):
+        A, _, b = _indefinite_system()
+        op = MatrixOperator(jnp.asarray(A), symmetric=True)
+
+        @jax.jit
+        def run(b):
+            return solve(op, b, rtol=1e-8)
+
+        res = run(jnp.asarray(b))  # must not crash on tracer istop
+        # CG aborts on indefiniteness; inside jit no fallback is possible.
+        assert int(res.istop) == 2
+
+    def test_solve_inside_jit_spd_path(self):
+        rng = np.random.default_rng(0)
+        B = rng.standard_normal((16, 16))
+        A = B @ B.T + 16 * np.eye(16)
+        b = rng.standard_normal(16)
+        op = MatrixOperator(jnp.asarray(A), symmetric=True)
+
+        @jax.jit
+        def run(b):
+            return solve(op, b, rtol=1e-10)
+
+        res = run(jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(op.to_array() @ res.x), b,
+                                   rtol=1e-8)
+
+
+class TestBreakdownFallback:
+    def test_bicgstab_breakdown_forwards_all_opts(self):
+        # rhs orthogonal-ish setup that breaks BiCGSTAB: r0 = b with a
+        # skew-symmetric-dominant operator makes rho vanish.  Simpler: use
+        # a rotation-like matrix where BiCGSTAB's shadow dot collapses.
+        n = 12
+        A = np.eye(n, k=1) + np.eye(n, k=-1) * -1.0 + np.eye(n) * 1e-12
+        b = np.zeros(n)
+        b[0] = 1.0
+        op = MatrixOperator(jnp.asarray(A))
+        res = solve(op, jnp.asarray(b), rtol=1e-8, matvec_max=4 * n)
+        # Whichever path won, the result must be a finite SolveResult.
+        assert np.all(np.isfinite(np.asarray(res.x)))
