@@ -5,33 +5,37 @@ its solvers use for *general* matrices
 (``/root/reference/pykrylov/linop/linop.py:697-706``).  TPUs have no
 arbitrary gather: Mosaic supports exactly one dynamic-index primitive on
 vectors, the lane-dimension ``take_along_axis`` over a (rows, 128) tile.
-BELL is a storage layout that reduces every sparse row to that primitive:
+BELL is a storage layout that reduces every sparse row to that primitive.
 
-  * Matrix rows are mapped to LANES, 128 per block.  Each (8, 128) f32
-    tile covers one block: lane r = matrix row ``128*blk + r``, sublane
-    ``s`` = one *(column-band, depth)* slot.  A column band is a 128-wide
-    column range; entry value at (s, r) multiplies
-    ``x[128*band(s) + lane(s, r)]``.
-  * Per-sublane (not per-tile) band ids: a block's (band, depth) pairs
-    pack densely into sublanes, so fill is ``nnz / (8*128*ceil(Σ_β d_β/8))``
-    per block — no 8-slot round-up per band.  ``d_β`` is the max number of
-    entries any of the 128 rows has in band β.
-  * The gather is staged in two supported steps: (1) a one-hot MXU matmul
-    ``onehot(bands) @ x_window`` materializes, per sublane-slot, the
-    128-wide x band it needs (amortized over the whole grid step — per
-    tile it would be MXU-latency-bound); (2) ``take_along_axis(axis=1)``
-    picks each lane's element.
-  * Each grid step covers NBLK consecutive blocks and G tiles; its x
-    window (NB bands, chosen at pack time) is DMA'd from HBM with a
-    dynamic start (``make_async_copy`` + scalar prefetch) and
-    double-buffered across steps.  x/window traffic is O(NB*512 B) per
-    step — negligible next to the 8 B/slot data+lane stream, so achieved
-    nnz/s ≈ BW / (8 * pad_factor): at fill ≥ 0.8 this meets the >80%%-of-
-    roofline BASELINE target under the standard data+index accounting.
+Layout (v2):
+
+  * Matrix rows are mapped to LANES, 128 per block.  Each *sublane row*
+    of a step is a *(column-window, depth)* slot shared by the block's
+    128 rows: a window is one or two consecutive 128-wide column bands
+    (chosen per block by a small DP minimizing padded depth), and entry
+    (q, r) multiplies ``x[128*base(q) + idx(q, r)]`` with
+    ``idx ∈ [0, 256)``.
+  * Indices are packed 4-per-int32 (1 byte per slot — idx < 256 exactly
+    fits): with 4 B values the stream is 5 B/slot, so achieved nnz/s is
+    ``BW / (5 / fill)`` — at the measured fills (0.27–0.37 on
+    RCM-reordered circuit matrices, 0.8+ on banded/stencil remainders)
+    this beats the classic 8 B/nnz CSR-stream accounting at fill ≥ 0.6.
+  * The gather is staged in two supported steps: one-hot MXU matmuls
+    select each sublane row's two candidate bands from the step's x
+    window (``_dot_onehot``: the one-hot operand is bf16-exact, so three
+    bf16 passes reconstruct f32 — half the passes of Precision.HIGHEST),
+    then two ``take_along_axis`` + select pick each lane's element.
+  * The y scatter is a second one-hot matmul over the step's sublane
+    rows (fuses the depth reduction), so the kernel body is loop-free —
+    a per-tile loop is iteration-latency-bound (~130 ns/tile measured).
+  * Each grid step covers ``nblk`` consecutive 128-row blocks; its x
+    window (``nb`` bands) is DMA'd from HBM with a dynamic start
+    (scalar-prefetched) into a WIN_AHEAD-deep ring buffer.
 
 Matrices whose rows span a wider column range than the window budget
-(``SpanError``) should be RCM-reordered first (``reorder_rcm``) or fall
-back to the XLA ELL path — ``operator_from_coo`` does this automatically.
+(:class:`SpanError`) should be RCM-reordered first (``reorder_rcm``) or
+fall back to the XLA ELL path — ``operator_from_coo`` does this
+automatically.
 
 Containers are host-built (NumPy — device round-trips through a remote
 transport dominate construction otherwise) and immutable pytrees.
@@ -52,12 +56,12 @@ from . import formats as F
 
 __all__ = ["BELL", "SpanError", "bell_from_coo", "bell_fill",
            "bell_matvec_pallas", "bell_to_dense", "bell_operator",
-           "reorder_rcm", "LANES", "SLOTS"]
+           "reorder_rcm", "LANES"]
 
-LANES = 128   # matrix rows per block (lane dimension)
-SLOTS = 8     # sublane slots per tile (f32 tile height)
-NB_MAX = 1024  # window budget: 1024 bands = 512 KB of x in VMEM
-G_TARGET = 128  # tiles per grid step the packer aims for
+LANES = 128     # matrix rows per block (lane dimension)
+NB_MAX = 1024   # window budget: 1024 bands = 512 KB of x in VMEM
+GS_TARGET = 1024  # sublane rows per grid step the packer aims for
+WIN_AHEAD = 4   # x-window prefetch depth (ring buffer slots)
 
 
 class SpanError(ValueError):
@@ -66,24 +70,26 @@ class SpanError(ValueError):
 
 
 class BELL(NamedTuple):
-    """Packed band-sliced ELL.
+    """Packed band-sliced ELL (see module docstring).
 
-    ``data``:  (nsteps, G, SLOTS, LANES) f32/f64 values (zero-padded).
-    ``lanes``: (nsteps, G, SLOTS, LANES) int32 in [0, 128) — lane of the
-               entry's column within its band.
-    ``bands``: (nsteps, G*SLOTS, 1) int32 — window-relative band id per
-               sublane slot (dummy slots point at band 0 with zero data).
-    ``block_local``: (nsteps, G) int32 in [0, NBLK) — output block of each
-               tile within its step.
+    ``data``:  (nsteps, GS, 128) values (zero-padded).
+    ``lanes``: (nsteps, GS//4, 128) int32 — window-local indices in
+               [0, 256), packed 4 per word: byte j of word m is the index
+               of sublane row ``j*GS//4 + m``.
+    ``bands``: (nsteps, GS, 1) int32 — window-relative base band of each
+               sublane row (the window is bands [base, base+1]).
+    ``blocks``: (nsteps, 1, GS) int32 — output block of each sublane row
+               within its step; dummy rows point at ``nblk`` so no row of
+               the scatter one-hot matches.
     ``band_lo``: (nsteps,) int32 — first band of each step's x window.
-    ``shape``: logical (m, n); ``padded_shape``: (nsteps*NBLK*128,
-               ncb*128) the kernel actually computes with; ``nb``: window
-               bands; ``nblk``: blocks per step; ``nnz``: true nonzeros.
+    ``shape``: logical (m, n); ``padded_shape``: the kernel's operand
+               sizes; ``nb``: window bands; ``nblk``: blocks per step;
+               ``nnz``: true nonzeros.
     """
     data: jnp.ndarray
     lanes: jnp.ndarray
     bands: jnp.ndarray
-    block_local: jnp.ndarray
+    blocks: jnp.ndarray
     band_lo: jnp.ndarray
     shape: Tuple[int, int]
     padded_shape: Tuple[int, int]
@@ -94,7 +100,7 @@ class BELL(NamedTuple):
 
 def _reg():
     def flatten(v):
-        return ((v.data, v.lanes, v.bands, v.block_local, v.band_lo),
+        return ((v.data, v.lanes, v.bands, v.blocks, v.band_lo),
                 (v.shape, v.padded_shape, v.nb, v.nblk, v.nnz))
 
     def unflatten(aux, children):
@@ -106,14 +112,46 @@ def _reg():
 _reg()
 
 
+def _plan_block_windows(C, bu):
+    """DP: cover the present bands ``bu`` (ascending) of one block with
+    windows of 1–2 *consecutive* bands, minimizing total depth
+    Σ_w max_r count(r, w).  ``C`` is (128, len(bu)) per-row-per-band
+    counts.  Returns (window start band, window depth) lists."""
+    nbp = len(bu)
+    INF = 1 << 50
+    dp = np.full(nbp + 1, INF, dtype=np.int64)
+    choice = np.zeros(nbp + 1, dtype=np.int8)
+    dp[0] = 0
+    cmax1 = C.max(axis=0)
+    for j in range(1, nbp + 1):
+        dp[j] = dp[j - 1] + cmax1[j - 1]
+        choice[j] = 1
+        if j >= 2 and bu[j - 1] == bu[j - 2] + 1:
+            c2 = int((C[:, j - 1] + C[:, j - 2]).max())
+            if dp[j - 2] + c2 < dp[j]:
+                dp[j] = dp[j - 2] + c2
+                choice[j] = 2
+    starts, depths, width = [], [], []
+    j = nbp
+    while j > 0:
+        w = int(choice[j])
+        starts.append(int(bu[j - w]))
+        if w == 2:
+            depths.append(int((C[:, j - 1] + C[:, j - 2]).max()))
+        else:
+            depths.append(int(cmax1[j - 1]))
+        width.append(w)
+        j -= w
+    starts.reverse(); depths.reverse(); width.reverse()
+    return starts, depths, width
+
+
 def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
                   min_cols: int = 0) -> BELL:
-    """Pack COO triples into BELL (host-side, vectorized NumPy).
+    """Pack COO triples into BELL v2 (host-side).
 
-    ``nblk`` fixes the blocks-per-step (default: sized so a step carries
-    ~``G_TARGET`` tiles).  ``min_cols`` forces the padded column count up
-    (used to square-pad).  Raises :class:`SpanError` when some step's
-    column span exceeds ``nb_max`` bands.
+    Raises :class:`SpanError` when some step's column span exceeds
+    ``nb_max`` bands.
     """
     m, n = coo.shape
     rows = np.asarray(coo.row).astype(np.int64)
@@ -123,84 +161,114 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     if nnz == 0:
         rows = np.zeros(1, dtype=np.int64)
         cols = np.zeros(1, dtype=np.int64)
-        vals = np.zeros(1, dtype=np.float32)
+        vals = np.zeros(1, dtype=vals.dtype)
 
-    blk = rows // LANES
-    band = cols // LANES
-    lane = cols % LANES
     nblocks = max(1, -(-m // LANES))
     ncb = max(1, -(-n // LANES), -(-min_cols // LANES))
+    blk = rows // LANES
+    band = cols // LANES
 
-    # Per-(row, band) depth ordinal k: position of the entry within its
-    # row's entries in that band (column-sorted).
+    # --- per-block window plan (DP over present bands) ---------------
     order = np.lexsort((cols, rows))
-    r_s, b_s = rows[order], band[order]
-    grp = np.flatnonzero(np.r_[True, (np.diff(r_s) != 0) |
-                               (np.diff(b_s) != 0)])
-    sizes = np.diff(np.r_[grp, len(r_s)])
-    k_s = np.arange(len(r_s)) - np.repeat(grp, sizes)
-    k = np.empty(len(r_s), dtype=np.int64)
-    k[order] = k_s
+    rs, cs, bs, vs = rows[order], cols[order], band[order], vals[order]
+    blks = bs_blk = rs // LANES
+    bounds = np.searchsorted(bs_blk, np.arange(nblocks + 1))
 
-    # Per-(block, band) depth d = max_r count(r, band) = max k + 1, and the
-    # block's sublane list = [(band, depth-level)] pairs, bands ascending.
-    bb_key = blk * (ncb + 1) + band
-    uniq_bb, inv_bb = np.unique(bb_key, return_inverse=True)
-    d = np.zeros(len(uniq_bb), dtype=np.int64)
-    np.maximum.at(d, inv_bb, k + 1)
-    u_blk = uniq_bb // (ncb + 1)
-
-    # Sublane ordinal of each (block, band, level) triple within its block.
-    d_starts_in_block = np.zeros(len(uniq_bb), dtype=np.int64)
-    # cumulative depth within each block, bands ascending (uniq_bb sorted).
-    csum = np.cumsum(d)
-    blk_first = np.flatnonzero(np.r_[True, np.diff(u_blk) != 0])
-    base = np.zeros(len(uniq_bb), dtype=np.int64)
-    base[blk_first] = np.r_[0, csum[blk_first[1:] - 1]]
-    np.maximum.accumulate(base, out=base)
-    d_starts_in_block = csum - d - base          # start ordinal of (blk, β)
-    sub_ord = d_starts_in_block[inv_bb] + k      # sublane ordinal of entry
-
-    # Tiles per block, then steps of nblk blocks padded to uniform G.
+    e_base = np.zeros(len(rs), dtype=np.int64)   # window base band
+    e_woff = np.zeros(len(rs), dtype=np.int64)   # window row offset in blk
     depth_per_block = np.zeros(nblocks, dtype=np.int64)
-    np.add.at(depth_per_block, u_blk, d)
-    tiles_per_block = np.maximum(1, -(-depth_per_block // SLOTS))
+    for bi in range(nblocks):
+        lo, hi = bounds[bi], bounds[bi + 1]
+        if lo == hi:
+            continue
+        bloc = bs[lo:hi]
+        bu, bmap = np.unique(bloc, return_inverse=True)
+        C = np.zeros((LANES, len(bu)), dtype=np.int64)
+        np.add.at(C, (rs[lo:hi] % LANES, bmap), 1)
+        starts, depths, width = _plan_block_windows(C, bu)
+        # map band -> window index
+        wof = np.cumsum([0] + depths[:-1])
+        band2w = {}
+        for wi, (s, w) in enumerate(zip(starts, width)):
+            for bb in range(s, s + w):
+                band2w[bb] = wi
+        wsel = np.array([band2w[b] for b in bloc], dtype=np.int64)
+        e_base[lo:hi] = np.array(starts, dtype=np.int64)[wsel]
+        e_woff[lo:hi] = wof[wsel]
+        depth_per_block[bi] = int(np.sum(depths))
 
+    depth_per_block = np.maximum(depth_per_block, 1)
+
+    # per-block window-base extent, for sizing each step's x window
+    blk_lo = np.full(nblocks, np.iinfo(np.int64).max, dtype=np.int64)
+    blk_hi = np.full(nblocks, -1, dtype=np.int64)
+    np.minimum.at(blk_lo, blks, e_base)
+    np.maximum.at(blk_hi, blks, e_base)
+
+    def _step_span(nb_per_step):
+        ns = -(-nblocks // nb_per_step)
+        lo = np.full(ns * nb_per_step, np.iinfo(np.int64).max, np.int64)
+        hi = np.full(ns * nb_per_step, -1, np.int64)
+        lo[:nblocks], hi[:nblocks] = blk_lo, blk_hi
+        slo = lo.reshape(ns, nb_per_step).min(1)
+        shi = hi.reshape(ns, nb_per_step).max(1)
+        ok = shi >= 0
+        return int((shi[ok] - slo[ok]).max()) + 2 if ok.any() else 2
+
+    # --- steps of nblk blocks, padded to uniform GS -------------------
     if nblk is None:
-        avg_t = max(1.0, float(tiles_per_block.mean()))
-        nblk = int(max(1, min(64, round(G_TARGET / avg_t))))
-    # The y output block is (nblk, 128): Mosaic requires sublane-divisible
-    # block shapes, so round up to a multiple of 8.
+        avg_d = max(1.0, float(depth_per_block.mean()))
+        nblk = int(max(1, min(64, round(GS_TARGET / avg_d))))
+        nblk = max(8, -(-int(nblk) // 8) * 8)
+        # fewer blocks per step ⇒ narrower per-step column span; shrink
+        # until the x window fits the budget (the final check still
+        # raises if even 8 blocks/step cannot fit).
+        while nblk > 8 and _step_span(nblk) > nb_max:
+            nblk = max(8, nblk // 2)
     nblk = max(8, -(-int(nblk) // 8) * 8)
     nsteps = -(-nblocks // nblk)
     nblocks_p = nsteps * nblk
 
-    tpb = np.zeros(nblocks_p, dtype=np.int64)
-    tpb[:nblocks] = tiles_per_block
+    dpb = np.zeros(nblocks_p, dtype=np.int64)
+    dpb[:nblocks] = depth_per_block
     step_of_block = np.arange(nblocks_p) // nblk
-    tiles_per_step = np.zeros(nsteps, dtype=np.int64)
-    np.add.at(tiles_per_step, step_of_block, tpb)
-    G = int(max(1, tiles_per_step.max()))
+    rows_per_step = np.zeros(nsteps, dtype=np.int64)
+    np.add.at(rows_per_step, step_of_block, dpb)
+    GS = -(-int(rows_per_step.max()) // 32) * 32  # lanes/4 stays 8-aligned
 
-    # Tile index within step: running tile offset of each block.
-    tile_off = np.cumsum(tpb) - tpb              # global running offset
-    step_tile0 = np.zeros(nsteps, dtype=np.int64)
-    step_tile0[1:] = np.cumsum(tiles_per_step)[:-1]
-    tile_in_step_of_block = tile_off - step_tile0[step_of_block]
+    # sublane-row offset of each block within its step
+    roff = np.cumsum(dpb) - dpb
+    step_row0 = np.zeros(nsteps, dtype=np.int64)
+    step_row0[1:] = np.cumsum(rows_per_step)[:-1]
+    row_in_step_of_block = roff - step_row0[step_of_block]
 
-    # Per-entry placement.
-    e_step = blk // nblk
-    e_tile = (tile_in_step_of_block[blk] + sub_ord // SLOTS)
-    e_slot = sub_ord % SLOTS
-    e_sub = e_tile * SLOTS + e_slot              # sublane row within step
+    # --- per-entry depth ordinal within (row, window) -----------------
+    # entries are (row, col)-sorted; within a row, same-window entries
+    # are consecutive in this order only per band pair — order by
+    # (row, window) explicitly.
+    wkey = blks * (2 * ncb + 2) + e_base   # unique per (block, window)
+    okey = np.lexsort((cs, wkey, rs))
+    r2, w2 = rs[okey], wkey[okey]
+    gfirst = np.flatnonzero(np.r_[True, (np.diff(r2) != 0) |
+                                  (np.diff(w2) != 0)])
+    gsizes = np.diff(np.r_[gfirst, len(r2)])
+    k2 = np.arange(len(r2)) - np.repeat(gfirst, gsizes)
+    k = np.empty(len(rs), dtype=np.int64)
+    k[okey] = k2
 
-    # Window per step: span of bands referenced.
+    e_step = blks // nblk
+    e_q = row_in_step_of_block[blks] + e_woff + k     # sublane row in step
+    e_lane = rs % LANES
+    e_idx = cs - e_base * LANES                       # in [0, 256)
+    assert e_idx.min() >= 0 and e_idx.max() < 256
+
+    # --- window span per step ----------------------------------------
     band_lo_raw = np.full(nsteps, 2**31 - 1, dtype=np.int64)
     band_hi = np.zeros(nsteps, dtype=np.int64)
-    np.minimum.at(band_lo_raw, e_step, band)
-    np.maximum.at(band_hi, e_step, band)
-    band_lo_raw = np.minimum(band_lo_raw, band_hi)  # empty steps → 0
-    span = int((band_hi - band_lo_raw).max()) + 1 if nnz else 1
+    np.minimum.at(band_lo_raw, e_step, e_base)
+    np.maximum.at(band_hi, e_step, e_base)
+    band_lo_raw = np.minimum(band_lo_raw, band_hi)
+    span = int((band_hi - band_lo_raw).max()) + 2 if nnz else 2
     nb = max(8, -(-span // 8) * 8)
     if nb > nb_max:
         raise SpanError(
@@ -210,28 +278,32 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     ncb = max(ncb, nb)
     band_lo = np.minimum(band_lo_raw, ncb - nb).astype(np.int32)
 
-    data = np.zeros((nsteps, G, SLOTS, LANES), dtype=vals.dtype)
-    lanes = np.zeros((nsteps, G, SLOTS, LANES), dtype=np.int32)
-    bands = np.zeros((nsteps, G * SLOTS, 1), dtype=np.int32)
-    block_local = np.zeros((nsteps, G), dtype=np.int32)
+    # --- emit arrays ---------------------------------------------------
+    data = np.zeros((nsteps, GS, LANES), dtype=vals.dtype)
+    idx8 = np.zeros((nsteps, GS, LANES), dtype=np.int64)
+    bands = np.zeros((nsteps, GS, 1), dtype=np.int32)
+    blocks = np.full((nsteps, 1, GS), nblk, dtype=np.int32)
 
-    e_lane_r = rows % LANES
     # add.at: duplicate COO entries accumulate (matches to_dense).
-    np.add.at(data, (e_step, e_tile, e_slot, e_lane_r), vals)
-    lanes[e_step, e_tile, e_slot, e_lane_r] = lane.astype(np.int32)
-    bands[e_step, e_sub, 0] = (band - band_lo[e_step]).astype(np.int32)
-    # Tag every tile of every block (incl. a block's padded tail tiles
-    # that hold no entry); step-padding tiles stay at block 0, harmless.
-    all_blk = np.repeat(np.arange(nblocks_p), tpb)
-    all_tile = (np.arange(len(all_blk))
-                - np.repeat(step_tile0[step_of_block], tpb))
-    block_local[np.repeat(step_of_block, tpb), all_tile] = \
-        (all_blk % nblk).astype(np.int32)
+    # Every non-dummy sublane row (window, k) has k < d_w = max_r count,
+    # so some entry witnesses it: bands/blocks are fully covered by the
+    # per-entry writes (all entries at a row agree on base and block).
+    np.add.at(data, (e_step, e_q, e_lane), vs)
+    idx8[e_step, e_q, e_lane] = e_idx
+    bands[e_step, e_q, 0] = (e_base - band_lo[e_step]).astype(np.int32)
+    blocks[e_step, 0, e_q] = (blks % nblk).astype(np.int32)
 
-    return BELL(jnp.asarray(data), jnp.asarray(lanes), jnp.asarray(bands),
-                jnp.asarray(block_local), jnp.asarray(band_lo),
-                (m, n), (nblocks_p * LANES, ncb * LANES),
-                int(nb), nblk, nnz)
+    # pack indices: byte j of word m <- sublane row j*GS//4 + m
+    GQ = GS // 4
+    i4 = idx8.reshape(nsteps, 4, GQ, LANES)
+    lanes_packed = (i4[:, 0] | (i4[:, 1] << 8) | (i4[:, 2] << 16)
+                    | (i4[:, 3] << 24)).astype(np.uint32).view(np.int32)
+
+    return BELL(jnp.asarray(data), jnp.asarray(lanes_packed),
+                jnp.asarray(bands), jnp.asarray(blocks),
+                jnp.asarray(band_lo),
+                (m, n), (nsteps * nblk * LANES, ncb * LANES),
+                int(nb), int(nblk), nnz)
 
 
 def bell_fill(b: BELL) -> float:
@@ -239,82 +311,121 @@ def bell_fill(b: BELL) -> float:
     return b.nnz / max(1, int(np.prod(b.data.shape)))
 
 
+def _unpack_idx(b: BELL):
+    """(nsteps, GS, LANES) int window-local indices (host-side)."""
+    p = np.asarray(b.lanes).astype(np.int64) & 0xFFFFFFFF
+    parts = [(p >> (8 * j)) & 255 for j in range(4)]
+    return np.concatenate(parts, axis=1)
+
+
 def bell_to_dense(b: BELL):
     """Host-side oracle reconstruction (NumPy; tests only)."""
     mp, npad = b.padded_shape
     out = np.zeros((mp, npad), dtype=np.asarray(b.data).dtype)
     data = np.asarray(b.data)
-    lanes = np.asarray(b.lanes)
+    idx = _unpack_idx(b)
     bands = np.asarray(b.bands)[..., 0]
-    block_local = np.asarray(b.block_local)
+    blocks = np.asarray(b.blocks)[:, 0, :]
     band_lo = np.asarray(b.band_lo)
-    nsteps, G, S, L = data.shape
+    nsteps, GS, L = data.shape
     for st in range(nsteps):
-        for g in range(G):
-            blk = st * b.nblk + block_local[st, g]
-            for s in range(S):
-                bd = band_lo[st] + bands[st, g * S + s]
-                for r in range(L):
-                    v = data[st, g, s, r]
-                    if v != 0:
-                        out[blk * LANES + r,
-                            bd * LANES + lanes[st, g, s, r]] += v
+        for q in range(GS):
+            blko = blocks[st, q]
+            if blko >= b.nblk:
+                continue
+            blkrow = (st * b.nblk + blko) * LANES
+            col0 = (band_lo[st] + bands[st, q]) * LANES
+            for r in range(L):
+                v = data[st, q, r]
+                if v != 0:
+                    out[blkrow + r, col0 + idx[st, q, r]] += v
     return out[:b.shape[0], :b.shape[1]]
 
 
-def _bell_kernel(nb, nblk, G, block_local_ref, band_lo_ref,
-                 data_ref, lanes_ref, bands_ref, x_hbm,
-                 y_ref, win, xsel, sems):
-    st = pl.program_id(0)
-    nsteps = pl.num_programs(0)
-    S = SLOTS
+def _dot_onehot(oh, v):
+    """``oh @ v`` where ``oh`` is a 0/1 one-hot matrix, exact to ~f32.
 
-    def win_dma(slot, step):
+    One-hot entries are exact in bf16, so splitting only ``v`` into three
+    bf16 components gives a 3-pass f32-accurate product — half the MXU
+    passes of ``Precision.HIGHEST`` (which must split both operands).
+    f64 (CPU interpret oracle runs) keeps the native product.
+    """
+    dims = (((1,), (0,)), ((), ()))
+    if v.dtype != jnp.float32:
+        return jax.lax.dot_general(oh.astype(v.dtype), v, dims,
+                                   preferred_element_type=v.dtype)
+    ohb = oh.astype(jnp.bfloat16)
+    v1 = v.astype(jnp.bfloat16)
+    r = v - v1.astype(jnp.float32)
+    v2 = r.astype(jnp.bfloat16)
+    v3 = (r - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(ohb, v1, dims,
+                              preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(ohb, v2, dims,
+                               preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(ohb, v3, dims,
+                               preferred_element_type=jnp.float32)
+    return out
+
+
+def _bell_kernel(nb, nblk, GS, nsteps, band_lo_ref,
+                 data_ref, lanes_ref, bands_ref, blocks_ref, x_hbm,
+                 y_ref, win, sems):
+    st = pl.program_id(0)
+    L = LANES
+    GQ = GS // 4
+
+    # WIN_AHEAD+1 ring slots for a WIN_AHEAD prefetch distance: with only
+    # WIN_AHEAD slots, step st's start for st+WIN_AHEAD would overwrite
+    # the very slot st is about to read (distance-0 write/read race).
+    nslots = WIN_AHEAD + 1
+
+    def win_dma(step):
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(band_lo_ref[step], nb), :],
-            win.at[slot], sems.at[slot])
+            win.at[step % nslots], sems.at[step % nslots])
 
-    # Double-buffered window: step st computes from slot st%2 and prefetches
-    # st+1 into the other slot.
+    # Ring-buffered window prefetch: a one-step-ahead double buffer stalls
+    # every step on HBM DMA latency.
     @pl.when(st == 0)
     def _():
-        win_dma(0, 0).start()
-    win_dma(st % 2, st).wait()
+        for kk in range(min(WIN_AHEAD, nsteps)):
+            win_dma(kk).start()
+    win_dma(st).wait()
 
-    @pl.when(st + 1 < nsteps)
+    @pl.when(st + WIN_AHEAD < nsteps)
     def _():
-        win_dma((st + 1) % 2, st + 1).start()
+        win_dma(st + WIN_AHEAD).start()
 
-    # Stage the per-sublane-slot x bands with one one-hot MXU matmul for
-    # the whole step (per tile this would be MXU-latency-bound).
-    w = win[st % 2]                                        # (nb, 128)
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (G * S, nb), 1)
-              == bands_ref[0]).astype(w.dtype)             # (G*S, nb)
-    # HIGHEST: the MXU's default bf16 passes would round the staged x
-    # values to ~3 decimal digits; the one-hot operand is exact either
-    # way, so 3-pass f32 emulation reconstructs x to full f32.
-    xsel[:] = jax.lax.dot_general(
-        onehot, w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=w.dtype,
-        precision=jax.lax.Precision.HIGHEST)               # (G*S, 128)
+    w = win[st % nslots]                                   # (nb, 128)
 
-    y_ref[:] = jnp.zeros_like(y_ref)
+    # Stage each sublane row's two candidate bands (base, base+1).
+    iot = jax.lax.broadcasted_iota(jnp.int32, (GS, nb), 1)
+    base = bands_ref[0]                                    # (GS, 1)
+    xsel0 = _dot_onehot(iot == base, w)                    # (GS, 128)
+    xsel1 = _dot_onehot(iot == base + 1, w)                # (GS, 128)
 
-    def body(g, _):
-        xs = xsel[pl.ds(pl.multiple_of(g * S, S), S), :]   # (S, 128)
-        vals = jnp.take_along_axis(xs, lanes_ref[0, g], axis=1)
-        contrib = jnp.sum(data_ref[0, g] * vals, axis=0, keepdims=True)
-        blk = block_local_ref[st, g]
-        y_ref[pl.ds(blk, 1), :] = y_ref[pl.ds(blk, 1), :] + contrib
-        return 0
+    # Unpack the per-slot bytes: byte j of word m -> sublane row
+    # j*GS/4 + m, so a sublane-aligned concat restores row order.
+    p = lanes_ref[0]                                       # (GQ, 128)
+    idx = jnp.concatenate(
+        [(p >> (8 * j)) & 255 for j in range(4)], axis=0)  # (GS, 128)
 
-    jax.lax.fori_loop(0, G, body, 0)  # Mosaic supports only unroll=1/full
+    low = jnp.take_along_axis(xsel0, idx & 127, axis=1)
+    high = jnp.take_along_axis(xsel1, idx & 127, axis=1)
+    vals = jnp.where(idx < 128, low, high)
+    prod = data_ref[0] * vals                              # (GS, 128)
+
+    # Scatter sublane rows to y blocks (fuses the depth reduction).
+    ohY = (jax.lax.broadcasted_iota(jnp.int32, (nblk, GS), 0)
+           == blocks_ref[0])                               # (nblk, GS)
+    y_ref[:] = _dot_onehot(ohY, prod)                      # (nblk, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "nblk", "interpret"))
-def _bell_matvec_call(data, lanes, bands, block_local, band_lo, x2,
+def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
                       nb, nblk, interpret):
-    nsteps, G, S, L = data.shape
+    nsteps, GS, L = data.shape
     if not interpret:
         # Multi-MB inputs otherwise get parked in VMEM around the call and
         # blow the scoped budget (see kernels.py:155-160).
@@ -323,37 +434,37 @@ def _bell_matvec_call(data, lanes, bands, block_local, band_lo, x2,
         lanes = pltpu.with_memory_space_constraint(lanes, pltpu.HBM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,           # block_local, band_lo
+        num_scalar_prefetch=1,           # band_lo
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, G, S, L), lambda s, *_: (s, 0, 0, 0),
+            pl.BlockSpec((1, GS, L), lambda s, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, S, L), lambda s, *_: (s, 0, 0, 0),
+            pl.BlockSpec((1, GS // 4, L), lambda s, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G * S, 1), lambda s, *_: (s, 0, 0),
+            pl.BlockSpec((1, GS, 1), lambda s, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, GS), lambda s, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
         ],
         out_specs=pl.BlockSpec((nblk, L), lambda s, *_: (s, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, nb, L), data.dtype),     # x window, dbl-buffered
-            pltpu.VMEM((G * S, L), data.dtype),     # staged x rows
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((WIN_AHEAD + 1, nb, L), data.dtype),  # window ring
+            pltpu.SemaphoreType.DMA((WIN_AHEAD + 1,)),
         ],
     )
-    kernel = functools.partial(_bell_kernel, nb, nblk, G)
+    kernel = functools.partial(_bell_kernel, nb, nblk, GS, nsteps)
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nsteps * nblk, L), data.dtype),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=2 * nsteps * G * S * L + 2 * nsteps * G * S * nb * L,
-            bytes_accessed=2 * data.size * data.dtype.itemsize,
+            flops=2 * nsteps * GS * L * (2 * nb + nblk),
+            bytes_accessed=5 * data.size * data.dtype.itemsize // 4,
             transcendentals=0),
         interpret=interpret,
-    )(block_local, band_lo, data, lanes, bands.reshape(nsteps, G * S, 1),
-      x2)
+    )(band_lo, data, lanes, bands, blocks, x2)
     return y.reshape(-1)
 
 
@@ -362,17 +473,16 @@ def bell_matvec_pallas(b: BELL, x, interpret: bool = False):
     ``padded_shape[1]``; returns y of length ``padded_shape[0]`` — slice
     to ``shape[0]``."""
     x2 = x.reshape(-1, LANES)
-    return _bell_matvec_call(b.data, b.lanes, b.bands, b.block_local,
+    return _bell_matvec_call(b.data, b.lanes, b.bands, b.blocks,
                              b.band_lo, x2, b.nb, b.nblk, bool(interpret))
 
 
 def reorder_rcm(coo: F.COO):
-    """Reverse Cuthill–McKee permutation (host-side, via scipy when
-    available) minimizing bandwidth so BELL windows stay small.
+    """Reverse Cuthill–McKee permutation (host-side, via scipy) minimizing
+    bandwidth so BELL windows stay small.
 
     Returns ``(permuted_coo, perm)`` with ``A' = A[perm][:, perm]`` (square
-    matrices only); ``x = x'[inv]`` etc. is the caller's job — see
-    ``bell_operator(reorder=...)``.
+    matrices only); un/re-permuting vectors is the caller's job.
     """
     m, n = coo.shape
     if m != n:
@@ -382,7 +492,8 @@ def reorder_rcm(coo: F.COO):
     rows = np.asarray(coo.row)
     cols = np.asarray(coo.col)
     a = sp.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(m, n))
-    perm = np.asarray(reverse_cuthill_mckee(a.tocsr(), symmetric_mode=False))
+    perm = np.asarray(reverse_cuthill_mckee(a.tocsr(),
+                                            symmetric_mode=False))
     inv = np.empty_like(perm)
     inv[perm] = np.arange(m)
     return F.coo_from_arrays(np.asarray(coo.data), inv[rows], inv[cols],
@@ -395,11 +506,18 @@ def _bell_mv_factory(slot, nb, nblk, rows_out, cols_in, interpret):
     # a full solver recompile per matrix (CLAUDE.md conventions).
     def mv(params, x):
         c = params[slot]
+        # NumPy-style promotion: a mixed-precision apply (f32 container,
+        # f64 vector under x64) computes in the promoted dtype — the
+        # kernel's window scratch is typed off `data`, so both operands
+        # must agree.
+        ct = jnp.promote_types(c.data.dtype, x.dtype)
+        data = c.data if c.data.dtype == ct else c.data.astype(ct)
+        x = x if x.dtype == ct else x.astype(ct)
         if x.shape[0] == cols_in:       # static shapes: skip the pad copy
             xp = x
         else:
             xp = jnp.zeros(cols_in, dtype=x.dtype).at[:x.shape[0]].set(x)
-        y = _bell_matvec_call(c.data, c.lanes, c.bands, c.block_local,
+        y = _bell_matvec_call(data, c.lanes, c.bands, c.blocks,
                               c.band_lo, xp.reshape(-1, LANES),
                               nb, nblk, interpret)
         return y if y.shape[0] == rows_out else y[:rows_out]
@@ -410,10 +528,10 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
                   nb_max: int = NB_MAX):
     """Wrap a matrix as a LinearOperator whose matvec is the BELL kernel.
 
-    ``source``: COO container or ``(vals, rows, cols, shape)`` triples or a
-    dense array.  The operator acts on the LOGICAL (m, n) shapes: inputs
-    are zero-padded and outputs trimmed internally.  The transpose product
-    uses a prebuilt BELL of A^T.  ``interpret=None`` auto-selects
+    ``source``: COO container or ``(vals, rows, cols, shape)`` triples or
+    a dense array.  The operator acts on the LOGICAL (m, n) shapes:
+    inputs are zero-padded and outputs trimmed internally.  The transpose
+    product uses a prebuilt BELL of A^T.  ``interpret=None`` auto-selects
     interpreter mode off-TPU.
     """
     from ..ops.base import LinearOperator

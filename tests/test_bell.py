@@ -1,0 +1,178 @@
+"""BELL (band-sliced ELL) general-sparsity Pallas kernel tests.
+
+Oracle: dense reconstruction + NumPy matvec.  All Pallas runs use
+interpret mode on the CPU backend (conftest); on-chip correctness is
+asserted separately by the TPU-marked test in test_tpu_entry paths and
+the bench harness.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pykrylov_tpu.sparse import formats as F
+from pykrylov_tpu.sparse.bell import (
+    BELL, LANES, SpanError, bell_fill, bell_from_coo, bell_matvec_pallas,
+    bell_operator, bell_to_dense, reorder_rcm)
+
+
+def _random_coo(m, n, nnz, seed, bandwidth=None, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, m, size=nnz)
+    if bandwidth is None:
+        cols = rng.integers(0, n, size=nnz)
+    else:
+        cols = np.clip(rows + rng.integers(-bandwidth, bandwidth + 1,
+                                           size=nnz), 0, n - 1)
+    vals = rng.standard_normal(nnz).astype(dtype)
+    # dedupe so dense oracle comparisons don't rely on accumulation order
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    return (F.coo_from_arrays(vals[first], rows[first], cols[first],
+                              (m, n), device=False),
+            rows[first], cols[first], vals[first])
+
+
+def _dense(coo):
+    a = np.zeros(coo.shape)
+    np.add.at(a, (np.asarray(coo.row), np.asarray(coo.col)),
+              np.asarray(coo.data))
+    return a
+
+
+@pytest.mark.parametrize("m,n,nnz,bw,seed", [
+    (96, 96, 400, None, 0),          # single block, scattered
+    (1000, 1000, 8000, 90, 1),       # multi-block, banded — pair windows
+    (991, 991, 6027, None, 2),       # jpwh-ish scattered square
+    (700, 300, 2500, None, 3),       # rectangular wide-to-narrow
+    (300, 700, 2500, None, 4),       # rectangular narrow-to-wide
+    (129, 257, 60, None, 5),         # just over block boundaries
+])
+def test_pack_roundtrip_and_matvec(m, n, nnz, bw, seed):
+    coo, *_ = _random_coo(m, n, nnz, seed, bandwidth=bw)
+    b = bell_from_coo(coo)
+    a = _dense(coo)
+    np.testing.assert_allclose(bell_to_dense(b), a, rtol=0, atol=0)
+
+    rng = np.random.default_rng(100 + seed)
+    x = rng.standard_normal(b.padded_shape[1])
+    y = bell_matvec_pallas(b, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y)[:m], a @ x[:n],
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_duplicate_entries_accumulate():
+    rows = np.array([0, 0, 5, 5, 5])
+    cols = np.array([3, 3, 7, 7, 7])
+    vals = np.array([1.0, 2.0, 1.0, 1.0, 1.0])
+    coo = F.coo_from_arrays(vals, rows, cols, (16, 16), device=False)
+    b = bell_from_coo(coo)
+    d = bell_to_dense(b)
+    assert d[0, 3] == 3.0 and d[5, 7] == 3.0
+
+
+def test_empty_matrix():
+    coo = F.coo_from_arrays(np.zeros(0), np.zeros(0, int),
+                            np.zeros(0, int), (64, 64), device=False)
+    b = bell_from_coo(coo)
+    x = np.ones(b.padded_shape[1])
+    y = bell_matvec_pallas(b, jnp.asarray(x), interpret=True)
+    assert np.all(np.asarray(y) == 0)
+
+
+def test_fill_reports_true_nnz_fraction():
+    coo, *_ = _random_coo(512, 512, 4000, 7)
+    b = bell_from_coo(coo)
+    assert bell_fill(b) == b.nnz / b.data.size
+    assert 0 < bell_fill(b) <= 1
+
+
+def test_pair_windows_beat_single_bands():
+    # rows straddling two adjacent bands: pair windows should give a
+    # much denser packing than one sublane row per band would.
+    coo, *_ = _random_coo(2048, 2048, 30000, 11, bandwidth=128)
+    b = bell_from_coo(coo)
+    assert bell_fill(b) > 0.25
+
+
+def test_span_error_and_rcm_rescue():
+    # block-diagonal-after-permutation matrix scattered across the full
+    # column range: raw span blows the window budget at nb_max=16,
+    # RCM reordering brings it back.
+    n = 4096
+    rng = np.random.default_rng(13)
+    perm = rng.permutation(n)
+    rows, cols, vals = [], [], []
+    for blk in range(0, n, 64):
+        rr = rng.integers(blk, blk + 64, size=300)
+        cc = rng.integers(blk, blk + 64, size=300)
+        rows.append(perm[rr]); cols.append(perm[cc])
+        vals.append(rng.standard_normal(300))
+    rows = np.concatenate(rows); cols = np.concatenate(cols)
+    vals = np.concatenate(vals)
+    coo = F.coo_from_arrays(vals, rows, cols, (n, n), device=False)
+    with pytest.raises(SpanError):
+        bell_from_coo(coo, nb_max=16)
+    rcoo, p = reorder_rcm(coo)
+    b = bell_from_coo(rcoo, nb_max=16)
+    # A'[i,j] = A[p[i], p[j]]
+    a = _dense(coo)
+    np.testing.assert_allclose(bell_to_dense(b), a[np.ix_(p, p)],
+                               rtol=0, atol=0)
+
+
+def test_operator_forward_and_transpose():
+    coo, *_ = _random_coo(500, 300, 3000, 17)
+    op = bell_operator(coo)
+    a = _dense(coo)
+    rng = np.random.default_rng(18)
+    x = rng.standard_normal(300)
+    y = rng.standard_normal(500)
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(x)), a @ x,
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.T @ jnp.asarray(y)), a.T @ y,
+                               rtol=1e-12, atol=1e-12)
+    assert op.shape == (500, 300)
+
+
+def test_operator_symmetric():
+    coo, *_ = _random_coo(256, 256, 2000, 19)
+    a = _dense(coo)
+    a = a + a.T
+    op = bell_operator(a, symmetric=True)
+    x = np.random.default_rng(20).standard_normal(256)
+    np.testing.assert_allclose(np.asarray(op.T @ jnp.asarray(x)),
+                               np.asarray(op @ jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(x)), a @ x,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_operator_in_solver():
+    # CG on a BELL-wrapped SPD matrix reaches the tolerance.
+    from pykrylov_tpu.solvers.cg import cg
+    n = 384
+    rng = np.random.default_rng(23)
+    a = np.zeros((n, n))
+    for off in (-3, -1, 0, 1, 3):
+        d = rng.standard_normal(n - abs(off)) * 0.1
+        a += np.diag(d, off)
+    a = a @ a.T + np.eye(n) * 4
+    op = bell_operator(a, symmetric=True)
+    b = rng.standard_normal(n)
+    res = cg(op, jnp.asarray(b), rtol=1e-10, atol=0.0, maxiter=4 * n)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(a @ x - b) <= 1e-8 * np.linalg.norm(b)
+
+
+def test_bundled_jpwh_matches_scipy():
+    from pykrylov_tpu.io.datasets import load_bundled
+    vals, rows, cols, shape = load_bundled("jpwh_991")
+    coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+    b = bell_from_coo(coo)
+    a = _dense(coo)
+    np.testing.assert_allclose(bell_to_dense(b), a, rtol=0, atol=0)
+    x = np.random.default_rng(29).standard_normal(b.padded_shape[1])
+    y = bell_matvec_pallas(b, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y)[:shape[0]],
+                               a @ x[:shape[1]], rtol=1e-12, atol=1e-10)
