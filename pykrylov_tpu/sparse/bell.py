@@ -55,8 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 from . import formats as F
 
 __all__ = ["BELL", "SpanError", "bell_from_coo", "bell_fill",
-           "bell_matvec_pallas", "bell_to_dense", "bell_operator",
-           "reorder_rcm", "LANES"]
+           "bell_stream_bytes", "bell_matvec_pallas", "bell_to_dense",
+           "bell_operator", "reorder_rcm", "LANES"]
 
 LANES = 128     # matrix rows per block (lane dimension)
 NB_MAX = 1024   # window budget: 1024 bands = 512 KB of x in VMEM
@@ -82,26 +82,37 @@ class BELL(NamedTuple):
                within its step; dummy rows point at ``nblk`` so no row of
                the scatter one-hot matches.
     ``band_lo``: (nsteps,) int32 — first band of each step's x window.
+    ``sp_row/sp_col/sp_val``: COO remainder — entries whose (row, window)
+               depth exceeded the byte-optimal cap (see
+               ``_plan_block_windows``); applied by an XLA scatter-add
+               alongside the kernel.
     ``shape``: logical (m, n); ``padded_shape``: the kernel's operand
                sizes; ``nb``: window bands; ``nblk``: blocks per step;
-               ``nnz``: true nonzeros.
+               ``nnz``: true nonzeros (incl. ``nnz_spill`` in the
+               remainder).
     """
     data: jnp.ndarray
     lanes: jnp.ndarray
     bands: jnp.ndarray
     blocks: jnp.ndarray
     band_lo: jnp.ndarray
+    sp_row: jnp.ndarray
+    sp_col: jnp.ndarray
+    sp_val: jnp.ndarray
     shape: Tuple[int, int]
     padded_shape: Tuple[int, int]
     nb: int
     nblk: int
     nnz: int
+    nnz_spill: int
 
 
 def _reg():
     def flatten(v):
-        return ((v.data, v.lanes, v.bands, v.blocks, v.band_lo),
-                (v.shape, v.padded_shape, v.nb, v.nblk, v.nnz))
+        return ((v.data, v.lanes, v.bands, v.blocks, v.band_lo,
+                 v.sp_row, v.sp_col, v.sp_val),
+                (v.shape, v.padded_shape, v.nb, v.nblk, v.nnz,
+                 v.nnz_spill))
 
     def unflatten(aux, children):
         return BELL(*children, *aux)
@@ -112,34 +123,54 @@ def _reg():
 _reg()
 
 
-def _plan_block_windows(C, bu):
+_SLOT_BYTES = 5       # 4 B value + 1 B packed index per stored slot
+_SPILL_BYTES = 12.0   # 4 B value + 4 B row + 4 B col in the COO remainder
+
+
+def _capped_depth(c, spill_cost):
+    """Optimal capped depth for one window with per-lane counts ``c``:
+    minimize ``5*128*d + spill_cost*Σ_r max(c_r - d, 0)`` over d ≥ 0.
+    Returns (cost, d)."""
+    cmax = int(c.max(initial=0))
+    if cmax == 0:
+        return 0.0, 0
+    if spill_cost is None:
+        return float(_SLOT_BYTES * LANES * cmax), cmax
+    d = np.arange(cmax + 1)
+    overflow = np.maximum(c[:, None] - d[None, :], 0).sum(axis=0)
+    cost = _SLOT_BYTES * LANES * d + spill_cost * overflow
+    j = int(np.argmin(cost))
+    return float(cost[j]), j
+
+
+def _plan_block_windows(C, bu, spill_cost):
     """DP: cover the present bands ``bu`` (ascending) of one block with
-    windows of 1–2 *consecutive* bands, minimizing total depth
-    Σ_w max_r count(r, w).  ``C`` is (128, len(bu)) per-row-per-band
-    counts.  Returns (window start band, window depth) lists."""
+    windows of 1–2 *consecutive* bands, minimizing total stream bytes
+    ``Σ_w [5·128·d_w + spill·overflow_w]`` where each window's depth d_w
+    is itself byte-optimally capped (rows deeper than d_w spill to the
+    COO remainder).  ``C`` is (128, len(bu)) per-row-per-band counts.
+    Returns (window start band, capped depth, width) lists."""
     nbp = len(bu)
-    INF = 1 << 50
-    dp = np.full(nbp + 1, INF, dtype=np.int64)
+    INF = float("inf")
+    dp = np.full(nbp + 1, INF)
     choice = np.zeros(nbp + 1, dtype=np.int8)
-    dp[0] = 0
-    cmax1 = C.max(axis=0)
+    dcap = np.zeros(nbp + 1, dtype=np.int64)
+    dp[0] = 0.0
     for j in range(1, nbp + 1):
-        dp[j] = dp[j - 1] + cmax1[j - 1]
-        choice[j] = 1
+        c1, d1 = _capped_depth(C[:, j - 1], spill_cost)
+        dp[j] = dp[j - 1] + c1
+        choice[j], dcap[j] = 1, d1
         if j >= 2 and bu[j - 1] == bu[j - 2] + 1:
-            c2 = int((C[:, j - 1] + C[:, j - 2]).max())
+            c2, d2 = _capped_depth(C[:, j - 1] + C[:, j - 2], spill_cost)
             if dp[j - 2] + c2 < dp[j]:
                 dp[j] = dp[j - 2] + c2
-                choice[j] = 2
+                choice[j], dcap[j] = 2, d2
     starts, depths, width = [], [], []
     j = nbp
     while j > 0:
         w = int(choice[j])
         starts.append(int(bu[j - w]))
-        if w == 2:
-            depths.append(int((C[:, j - 1] + C[:, j - 2]).max()))
-        else:
-            depths.append(int(cmax1[j - 1]))
+        depths.append(int(dcap[j]))
         width.append(w)
         j -= w
     starts.reverse(); depths.reverse(); width.reverse()
@@ -147,8 +178,14 @@ def _plan_block_windows(C, bu):
 
 
 def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
-                  min_cols: int = 0) -> BELL:
+                  min_cols: int = 0,
+                  spill_cost: float = _SPILL_BYTES) -> BELL:
     """Pack COO triples into BELL v2 (host-side).
+
+    ``spill_cost`` is the per-entry byte cost charged for routing an
+    entry to the COO remainder instead of a kernel slot; the packer
+    minimizes total streamed bytes under it.  ``None`` disables
+    spilling (every entry gets a slot, as v1 did).
 
     Raises :class:`SpanError` when some step's column span exceeds
     ``nb_max`` bands.
@@ -176,6 +213,7 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
 
     e_base = np.zeros(len(rs), dtype=np.int64)   # window base band
     e_woff = np.zeros(len(rs), dtype=np.int64)   # window row offset in blk
+    e_cap = np.zeros(len(rs), dtype=np.int64)    # window capped depth
     depth_per_block = np.zeros(nblocks, dtype=np.int64)
     for bi in range(nblocks):
         lo, hi = bounds[bi], bounds[bi + 1]
@@ -185,7 +223,7 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
         bu, bmap = np.unique(bloc, return_inverse=True)
         C = np.zeros((LANES, len(bu)), dtype=np.int64)
         np.add.at(C, (rs[lo:hi] % LANES, bmap), 1)
-        starts, depths, width = _plan_block_windows(C, bu)
+        starts, depths, width = _plan_block_windows(C, bu, spill_cost)
         # map band -> window index
         wof = np.cumsum([0] + depths[:-1])
         band2w = {}
@@ -193,17 +231,36 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
             for bb in range(s, s + w):
                 band2w[bb] = wi
         wsel = np.array([band2w[b] for b in bloc], dtype=np.int64)
+        darr = np.array(depths, dtype=np.int64)
         e_base[lo:hi] = np.array(starts, dtype=np.int64)[wsel]
         e_woff[lo:hi] = wof[wsel]
+        e_cap[lo:hi] = darr[wsel]
         depth_per_block[bi] = int(np.sum(depths))
 
     depth_per_block = np.maximum(depth_per_block, 1)
 
-    # per-block window-base extent, for sizing each step's x window
+    # --- per-entry depth ordinal within (row, window) -----------------
+    # entries are (row, col)-sorted; within a row, same-window entries
+    # are consecutive in this order only per band pair — order by
+    # (row, window) explicitly.  Entries whose ordinal reaches the
+    # window's capped depth spill to the COO remainder.
+    wkey = blks * (2 * ncb + 2) + e_base   # unique per (block, window)
+    okey = np.lexsort((cs, wkey, rs))
+    r2, w2 = rs[okey], wkey[okey]
+    gfirst = np.flatnonzero(np.r_[True, (np.diff(r2) != 0) |
+                                  (np.diff(w2) != 0)])
+    gsizes = np.diff(np.r_[gfirst, len(r2)])
+    k2 = np.arange(len(r2)) - np.repeat(gfirst, gsizes)
+    k = np.empty(len(rs), dtype=np.int64)
+    k[okey] = k2
+    keep = k < e_cap
+
+    # per-block window-base extent (kept entries only — the remainder
+    # never touches the kernel's x window), for sizing each step's span
     blk_lo = np.full(nblocks, np.iinfo(np.int64).max, dtype=np.int64)
     blk_hi = np.full(nblocks, -1, dtype=np.int64)
-    np.minimum.at(blk_lo, blks, e_base)
-    np.maximum.at(blk_hi, blks, e_base)
+    np.minimum.at(blk_lo, blks[keep], e_base[keep])
+    np.maximum.at(blk_hi, blks[keep], e_base[keep])
 
     def _step_span(nb_per_step):
         ns = -(-nblocks // nb_per_step)
@@ -242,31 +299,22 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     step_row0[1:] = np.cumsum(rows_per_step)[:-1]
     row_in_step_of_block = roff - step_row0[step_of_block]
 
-    # --- per-entry depth ordinal within (row, window) -----------------
-    # entries are (row, col)-sorted; within a row, same-window entries
-    # are consecutive in this order only per band pair — order by
-    # (row, window) explicitly.
-    wkey = blks * (2 * ncb + 2) + e_base   # unique per (block, window)
-    okey = np.lexsort((cs, wkey, rs))
-    r2, w2 = rs[okey], wkey[okey]
-    gfirst = np.flatnonzero(np.r_[True, (np.diff(r2) != 0) |
-                                  (np.diff(w2) != 0)])
-    gsizes = np.diff(np.r_[gfirst, len(r2)])
-    k2 = np.arange(len(r2)) - np.repeat(gfirst, gsizes)
-    k = np.empty(len(rs), dtype=np.int64)
-    k[okey] = k2
-
-    e_step = blks // nblk
-    e_q = row_in_step_of_block[blks] + e_woff + k     # sublane row in step
-    e_lane = rs % LANES
-    e_idx = cs - e_base * LANES                       # in [0, 256)
-    assert e_idx.min() >= 0 and e_idx.max() < 256
+    # --- kept-entry placement ------------------------------------------
+    rs_k, cs_k, vs_k = rs[keep], cs[keep], vs[keep]
+    blks_k, base_k = blks[keep], e_base[keep]
+    e_step = blks_k // nblk
+    e_q = (row_in_step_of_block[blks_k] + e_woff[keep]
+           + k[keep])                                 # sublane row in step
+    e_lane = rs_k % LANES
+    e_idx = cs_k - base_k * LANES                     # in [0, 256)
+    if len(e_idx):
+        assert e_idx.min() >= 0 and e_idx.max() < 256
 
     # --- window span per step ----------------------------------------
     band_lo_raw = np.full(nsteps, 2**31 - 1, dtype=np.int64)
     band_hi = np.zeros(nsteps, dtype=np.int64)
-    np.minimum.at(band_lo_raw, e_step, e_base)
-    np.maximum.at(band_hi, e_step, e_base)
+    np.minimum.at(band_lo_raw, e_step, base_k)
+    np.maximum.at(band_hi, e_step, base_k)
     band_lo_raw = np.minimum(band_lo_raw, band_hi)
     span = int((band_hi - band_lo_raw).max()) + 2 if nnz else 2
     nb = max(8, -(-span // 8) * 8)
@@ -285,13 +333,14 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     blocks = np.full((nsteps, 1, GS), nblk, dtype=np.int32)
 
     # add.at: duplicate COO entries accumulate (matches to_dense).
-    # Every non-dummy sublane row (window, k) has k < d_w = max_r count,
-    # so some entry witnesses it: bands/blocks are fully covered by the
-    # per-entry writes (all entries at a row agree on base and block).
-    np.add.at(data, (e_step, e_q, e_lane), vs)
+    # Every non-dummy sublane row (window, k) has k < d_w ≤ max_r count,
+    # so some row with count > k witnesses it (that row's k-th entry is
+    # kept): bands/blocks are fully covered by the per-entry writes
+    # (all entries at a row agree on base and block).
+    np.add.at(data, (e_step, e_q, e_lane), vs_k)
     idx8[e_step, e_q, e_lane] = e_idx
-    bands[e_step, e_q, 0] = (e_base - band_lo[e_step]).astype(np.int32)
-    blocks[e_step, 0, e_q] = (blks % nblk).astype(np.int32)
+    bands[e_step, e_q, 0] = (base_k - band_lo[e_step]).astype(np.int32)
+    blocks[e_step, 0, e_q] = (blks_k % nblk).astype(np.int32)
 
     # pack indices: byte j of word m <- sublane row j*GS//4 + m
     GQ = GS // 4
@@ -299,16 +348,34 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     lanes_packed = (i4[:, 0] | (i4[:, 1] << 8) | (i4[:, 2] << 16)
                     | (i4[:, 3] << 24)).astype(np.uint32).view(np.int32)
 
+    # COO remainder (the spilled tail)
+    sp = ~keep
+    nnz_spill = int(sp.sum())
+    sp_row = rs[sp].astype(np.int32)
+    sp_col = cs[sp].astype(np.int32)
+    sp_val = vs[sp]
+
     return BELL(jnp.asarray(data), jnp.asarray(lanes_packed),
                 jnp.asarray(bands), jnp.asarray(blocks),
-                jnp.asarray(band_lo),
+                jnp.asarray(band_lo), jnp.asarray(sp_row),
+                jnp.asarray(sp_col), jnp.asarray(sp_val),
                 (m, n), (nsteps * nblk * LANES, ncb * LANES),
-                int(nb), int(nblk), nnz)
+                int(nb), int(nblk), nnz, nnz_spill)
 
 
 def bell_fill(b: BELL) -> float:
-    """Fraction of stored value slots holding true nonzeros."""
-    return b.nnz / max(1, int(np.prod(b.data.shape)))
+    """Fraction of stored value slots holding true (kernel-path)
+    nonzeros; the COO remainder holds the other ``nnz_spill``."""
+    return (b.nnz - b.nnz_spill) / max(1, int(np.prod(b.data.shape)))
+
+
+def bell_stream_bytes(b: BELL) -> int:
+    """Bytes the SpMV streams from HBM for the matrix itself: value +
+    packed-index slots plus the COO remainder triples (excludes the
+    x window and y, which are O(rows) not O(nnz))."""
+    itm = np.dtype(np.asarray(b.data).dtype).itemsize
+    slots = int(np.prod(b.data.shape))
+    return slots * (itm + 1) + b.nnz_spill * (itm + 8)
 
 
 def _unpack_idx(b: BELL):
@@ -339,6 +406,8 @@ def bell_to_dense(b: BELL):
                 v = data[st, q, r]
                 if v != 0:
                     out[blkrow + r, col0 + idx[st, q, r]] += v
+    np.add.at(out, (np.asarray(b.sp_row), np.asarray(b.sp_col)),
+              np.asarray(b.sp_val))
     return out[:b.shape[0], :b.shape[1]]
 
 
@@ -424,8 +493,9 @@ def _bell_kernel(nb, nblk, GS, nsteps, band_lo_ref,
 
 @functools.partial(jax.jit, static_argnames=("nb", "nblk", "interpret"))
 def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
-                      nb, nblk, interpret):
+                      sp_row, sp_col, sp_val, nb, nblk, interpret):
     nsteps, GS, L = data.shape
+    xflat = x2.reshape(-1)
     if not interpret:
         # Multi-MB inputs otherwise get parked in VMEM around the call and
         # blow the scoped budget (see kernels.py:155-160).
@@ -465,7 +535,12 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
             transcendentals=0),
         interpret=interpret,
     )(band_lo, data, lanes, bands, blocks, x2)
-    return y.reshape(-1)
+    y = y.reshape(-1)
+    if sp_val.shape[0]:
+        # COO remainder: small gather + scatter-add handled by XLA; the
+        # tail above each window's capped depth lives here.
+        y = y.at[sp_row].add(sp_val * xflat[sp_col])
+    return y
 
 
 def bell_matvec_pallas(b: BELL, x, interpret: bool = False):
@@ -474,7 +549,8 @@ def bell_matvec_pallas(b: BELL, x, interpret: bool = False):
     to ``shape[0]``."""
     x2 = x.reshape(-1, LANES)
     return _bell_matvec_call(b.data, b.lanes, b.bands, b.blocks,
-                             b.band_lo, x2, b.nb, b.nblk, bool(interpret))
+                             b.band_lo, x2, b.sp_row, b.sp_col, b.sp_val,
+                             b.nb, b.nblk, bool(interpret))
 
 
 def reorder_rcm(coo: F.COO):
@@ -517,15 +593,33 @@ def _bell_mv_factory(slot, nb, nblk, rows_out, cols_in, interpret):
             xp = x
         else:
             xp = jnp.zeros(cols_in, dtype=x.dtype).at[:x.shape[0]].set(x)
+        spv = (c.sp_val if c.sp_val.dtype == ct
+               else c.sp_val.astype(ct))
         y = _bell_matvec_call(data, c.lanes, c.bands, c.blocks,
                               c.band_lo, xp.reshape(-1, LANES),
+                              c.sp_row, c.sp_col, spv,
                               nb, nblk, interpret)
         return y if y.shape[0] == rows_out else y[:rows_out]
     return mv
 
 
+@functools.lru_cache(maxsize=None)
+def _bell_mv_perm_factory(slot, nb, nblk, rows_out, cols_in, interpret):
+    """Symmetrically-permuted variant: params carry (perm, iperm) device
+    arrays at slots 2/3 and the operator applies
+    ``A = Pᵀ A' P`` (``A'[i,j] = A[p[i], p[j]]``) via gather both ways."""
+    inner = _bell_mv_factory(slot, nb, nblk, rows_out, cols_in, interpret)
+
+    def mv(params, x):
+        p, ip = params[2], params[3]
+        y = inner(params, jnp.take(x, p, axis=0))
+        return jnp.take(y, ip, axis=0)
+    return mv
+
+
 def bell_operator(source, shape=None, symmetric=False, interpret=None,
-                  nb_max: int = NB_MAX):
+                  nb_max: int = NB_MAX, spill_cost: float = _SPILL_BYTES,
+                  reorder=False):
     """Wrap a matrix as a LinearOperator whose matvec is the BELL kernel.
 
     ``source``: COO container or ``(vals, rows, cols, shape)`` triples or
@@ -533,6 +627,10 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
     inputs are zero-padded and outputs trimmed internally.  The transpose
     product uses a prebuilt BELL of A^T.  ``interpret=None`` auto-selects
     interpreter mode off-TPU.
+
+    ``reorder=True`` packs the RCM-permuted matrix (square only) and
+    wraps the permutation into the matvec (two O(m) gathers per apply) —
+    the operator still acts in the ORIGINAL ordering.
     """
     from ..ops.base import LinearOperator
 
@@ -547,25 +645,36 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
         coo = F.coo_from_arrays(a[rr, cc], rr, cc, a.shape, device=False)
 
     m, n = coo.shape
-    fwd = bell_from_coo(coo, nb_max=nb_max)
-    bwd = None if symmetric else bell_from_coo(F.transpose_coo(coo),
-                                               nb_max=nb_max)
+    perm = None
+    if reorder:
+        coo, perm = reorder_rcm(coo)
+    fwd = bell_from_coo(coo, nb_max=nb_max, spill_cost=spill_cost)
+    bwd = None if symmetric else bell_from_coo(
+        F.transpose_coo(coo), nb_max=nb_max, spill_cost=spill_cost)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     interpret = bool(interpret)
 
-    mv = _bell_mv_factory(0, fwd.nb, fwd.nblk, m, fwd.padded_shape[1],
-                          interpret)
-    rmv = mv if symmetric else _bell_mv_factory(
+    factory = _bell_mv_factory if perm is None else _bell_mv_perm_factory
+    mv = factory(0, fwd.nb, fwd.nblk, m, fwd.padded_shape[1], interpret)
+    rmv = mv if symmetric else factory(
         1, bwd.nb, bwd.nblk, n, bwd.padded_shape[1], interpret)
+
+    params = (fwd, bwd)
+    if perm is not None:
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(m)
+        params = (fwd, bwd, jnp.asarray(perm.astype(np.int32)),
+                  jnp.asarray(iperm.astype(np.int32)))
 
     dtype = np.asarray(fwd.data).dtype
     op = LinearOperator(n, m, matvec=mv, matvec_transp=rmv,
-                        params=(fwd, bwd), _takes_params=True,
+                        params=params, _takes_params=True,
                         symmetric=symmetric,
                         hermitian=symmetric and not np.issubdtype(
                             dtype, np.complexfloating),
                         dtype=dtype)
     op.fill = bell_fill(fwd)
+    op.spill_frac = fwd.nnz_spill / max(1, fwd.nnz)
     return op

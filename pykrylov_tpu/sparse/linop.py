@@ -76,14 +76,42 @@ class SparseOperator(LinearOperator):
 _register_as_linop(SparseOperator)
 
 
+def _try_bell(coo, symmetric, max_spill=0.35, max_nb=256):
+    """Build a BELL kernel operator if the packing is efficient enough:
+    kernel-path spill ≤ ``max_spill`` and the per-step x window within
+    ``max_nb`` bands (wider windows make the one-hot staging matmuls
+    MXU-bound).  Tries the raw ordering first, then RCM (square only).
+    Returns None when neither packing qualifies."""
+    from .bell import SpanError, bell_operator
+
+    for reorder in (False, True):
+        if reorder and coo.shape[0] != coo.shape[1]:
+            break
+        try:
+            op = bell_operator(coo, symmetric=symmetric, reorder=reorder)
+        except SpanError:
+            continue
+        fwd = op._params[0]
+        bwd = op._params[1]
+        nb = fwd.nb if bwd is None else max(fwd.nb, bwd.nb)
+        spill = fwd.nnz_spill if bwd is None else max(fwd.nnz_spill,
+                                                      bwd.nnz_spill)
+        if spill / max(1, fwd.nnz) <= max_spill and nb <= max_nb:
+            return op
+    return None
+
+
 def operator_from_coo(vals, rows, cols, shape, symmetric=False,
                       fmt="auto", dtype=None, dia_density_threshold=0.25,
                       max_diags=64):
     """Build a SparseOperator from COO triples, choosing a compute format.
 
-    ``fmt`` is one of ``auto | dia | pallas-dia | ell | csr | coo``.  ``auto`` picks DIA
-    when the nonzeros land on at most ``max_diags`` distinct diagonals with
-    at least ``dia_density_threshold`` fill, else ELL.
+    ``fmt`` is one of ``auto | dia | pallas-dia | bell | bell-rcm | ell |
+    csr | coo``.  ``auto`` picks DIA when the nonzeros land on at most
+    ``max_diags`` distinct diagonals with at least
+    ``dia_density_threshold`` fill; other ("general") sparsity on the TPU
+    backend gets the BELL Pallas kernel when it packs efficiently
+    (:func:`_try_bell`), else the XLA ELL path.
     """
     # Host-resident intermediate: every conversion below reads the triples
     # on the host, and device round-trips dominate construction cost.
@@ -101,6 +129,18 @@ def operator_from_coo(vals, rows, cols, shape, symmetric=False,
                 and shape[0] >= 1 << 16
                 and _jax.default_backend() == "tpu"):
             return pallas_dia_sparse_operator(coo, symmetric=symmetric)
+        # General sparsity: the BELL Pallas kernel is the hot path (the
+        # reference's pysparse C SpMV, linop.py:697-706); small systems
+        # stay on XLA ELL where per-call overhead beats kernel gains.
+        if (fmt == "ell" and shape[0] >= 1 << 12
+                and _jax.default_backend() == "tpu"):
+            op = _try_bell(coo, symmetric)
+            if op is not None:
+                return op
+    if fmt in ("bell", "bell-rcm"):
+        from .bell import bell_operator
+        return bell_operator(coo, symmetric=symmetric,
+                             reorder=(fmt == "bell-rcm"))
     if fmt == "pallas-dia":
         return pallas_dia_sparse_operator(coo, symmetric=symmetric)
     if fmt == "dia":

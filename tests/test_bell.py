@@ -84,8 +84,33 @@ def test_empty_matrix():
 def test_fill_reports_true_nnz_fraction():
     coo, *_ = _random_coo(512, 512, 4000, 7)
     b = bell_from_coo(coo)
-    assert bell_fill(b) == b.nnz / b.data.size
+    assert bell_fill(b) == (b.nnz - b.nnz_spill) / b.data.size
     assert 0 < bell_fill(b) <= 1
+    assert 0 <= b.nnz_spill < b.nnz
+    # disabling the spill stores every entry in a slot
+    b0 = bell_from_coo(coo, spill_cost=None)
+    assert b0.nnz_spill == 0 and b0.sp_val.shape[0] == 0
+
+
+def test_spill_matvec_exact():
+    # heavy-tailed row degrees force a large spill fraction; the
+    # kernel+remainder split must still reproduce the dense product.
+    rng = np.random.default_rng(31)
+    rows = np.repeat(np.arange(600), rng.integers(1, 40, size=600))
+    cols = rng.integers(0, 600, size=len(rows))
+    key = rows * 600 + cols
+    _, first = np.unique(key, return_index=True)
+    rows, cols = rows[first], cols[first]
+    vals = rng.standard_normal(len(rows))
+    coo = F.coo_from_arrays(vals, rows, cols, (600, 600), device=False)
+    b = bell_from_coo(coo)
+    assert b.nnz_spill > 0
+    a = _dense(coo)
+    np.testing.assert_allclose(bell_to_dense(b), a, rtol=0, atol=0)
+    x = rng.standard_normal(b.padded_shape[1])
+    y = bell_matvec_pallas(b, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y)[:600], a @ x[:600],
+                               rtol=1e-12, atol=1e-12)
 
 
 def test_pair_windows_beat_single_bands():
@@ -113,9 +138,9 @@ def test_span_error_and_rcm_rescue():
     vals = np.concatenate(vals)
     coo = F.coo_from_arrays(vals, rows, cols, (n, n), device=False)
     with pytest.raises(SpanError):
-        bell_from_coo(coo, nb_max=16)
+        bell_from_coo(coo, nb_max=16, spill_cost=None)
     rcoo, p = reorder_rcm(coo)
-    b = bell_from_coo(rcoo, nb_max=16)
+    b = bell_from_coo(rcoo, nb_max=16, spill_cost=None)
     # A'[i,j] = A[p[i], p[j]]
     a = _dense(coo)
     np.testing.assert_allclose(bell_to_dense(b), a[np.ix_(p, p)],
@@ -176,3 +201,32 @@ def test_bundled_jpwh_matches_scipy():
     y = bell_matvec_pallas(b, jnp.asarray(x), interpret=True)
     np.testing.assert_allclose(np.asarray(y)[:shape[0]],
                                a @ x[:shape[1]], rtol=1e-12, atol=1e-10)
+
+
+def test_operator_from_coo_bell_fmt():
+    from pykrylov_tpu.sparse.linop import operator_from_coo, _try_bell
+    coo, rows, cols, vals = _random_coo(1024, 1024, 9000, 41, bandwidth=100)
+    a = _dense(coo)
+    x = np.random.default_rng(42).standard_normal(1024)
+    for fmt in ("bell", "bell-rcm"):
+        op = operator_from_coo(np.asarray(coo.data), np.asarray(coo.row),
+                               np.asarray(coo.col), coo.shape, fmt=fmt)
+        np.testing.assert_allclose(np.asarray(op @ jnp.asarray(x)), a @ x,
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(op.T @ jnp.asarray(x)),
+                                   a.T @ x, rtol=1e-10, atol=1e-10)
+
+
+def test_try_bell_policy():
+    from pykrylov_tpu.sparse.linop import _try_bell
+    # banded: qualifies
+    coo, *_ = _random_coo(2048, 2048, 20000, 43, bandwidth=120)
+    op = _try_bell(coo, symmetric=False)
+    assert op is not None and op.spill_frac <= 0.35
+    a = _dense(coo)
+    x = np.random.default_rng(44).standard_normal(2048)
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(x)), a @ x,
+                               rtol=1e-10, atol=1e-10)
+    # uniform random scatter at ~2 nnz/row: everything would spill
+    coo2, *_ = _random_coo(4096, 4096, 8192, 45)
+    assert _try_bell(coo2, symmetric=False) is None
