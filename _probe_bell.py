@@ -1,0 +1,80 @@
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+from pykrylov_tpu.gallery.general import tiled_general_coo
+from pykrylov_tpu.sparse import formats as F
+from pykrylov_tpu.sparse.bell import (bell_from_coo, bell_to_device,
+                                      _bell_matvec_call, LANES)
+
+assert jax.default_backend() == "tpu"
+BW = 819.0
+
+vals, rows, cols, shape = tiled_general_coo(tiles=1024)
+rowsum = np.zeros(shape[0]); np.add.at(rowsum, rows, np.abs(vals))
+vals = (vals / rowsum.max()).astype(np.float32)
+coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+n = shape[0]
+ITERS = 1000
+
+def run(b, passes, iters=ITERS):
+    mp, npad = b.padded_shape
+    sb = b.data.size * 5
+    def chain(b, x):
+        def body(_, x2):
+            y = _bell_matvec_call(b.data, b.lanes, b.bands, b.blocks,
+                                  b.band_lo, x2, b.sp_row, b.sp_col,
+                                  b.sp_val, b.nb, b.nblk, False, passes)
+            return jnp.zeros(npad, jnp.float32).at[:n].set(
+                y[:n]).reshape(-1, LANES)
+        return jax.lax.fori_loop(0, iters, body, x)
+    cj = jax.jit(chain)
+    x0 = jnp.ones((npad // LANES, LANES), jnp.float32)
+    float(cj(b, x0)[0, 0])
+    best = np.inf
+    for rep in range(3):
+        xr = jnp.full((npad // LANES, LANES), 1.0 + 0.1 * rep, jnp.float32)
+        float(xr[0, 0])
+        t0 = time.perf_counter()
+        float(cj(b, xr)[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    gbps = iters * sb / best / 1e9
+    nnzps = iters * b.nnz / best
+    print(f"nblk={b.nblk} passes={passes} GS={b.data.shape[1]} nb={b.nb} "
+          f"steps={b.data.shape[0]}: {best/iters*1e3:.3f} ms/mv "
+          f"stream={gbps:.0f}GB/s util={gbps/BW:.3f} "
+          f"nnz/s={nnzps/1e9:.1f}G vs8B={nnzps/(BW*1e9/8):.3f}", flush=True)
+
+for nblk in (112,):
+    t0 = time.perf_counter()
+    bh = bell_from_coo(coo, nblk=nblk, spill_cost=None, device=False)
+    print(f"pack nblk={nblk}: {time.perf_counter()-t0:.1f}s "
+          f"slots/nnz={bh.data.size/bh.nnz:.2f}", flush=True)
+    b = bell_to_device(bh)
+    for passes in (3, 2):
+        run(b, passes)
+
+# XLA ELL context
+t0 = time.perf_counter()
+ell = F.ell_from_coo(coo, pad_to=4)
+print(f"ell pack: {time.perf_counter()-t0:.1f}s k={ell.data.shape}", flush=True)
+def ell_chain(data, idx, x):
+    def body(_, x):
+        y = F.ell_matvec(F.ELL(data, idx, shape), x)
+        return y
+    return jax.lax.fori_loop(0, 20, body, x)
+ej = jax.jit(ell_chain)
+ed = jnp.asarray(ell.data); ei = jnp.asarray(ell.cols)
+x0 = jnp.ones(n, jnp.float32)
+t0 = time.perf_counter()
+float(ej(ed, ei, x0)[0])
+print(f"ell compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+best = np.inf
+for rep in range(2):
+    xr = jnp.full(n, 1.0 + 0.1 * rep, jnp.float32)
+    float(xr[0])
+    t0 = time.perf_counter()
+    float(ej(ed, ei, xr)[0])
+    best = min(best, time.perf_counter() - t0)
+print(f"XLA ELL: {best/20*1e3:.2f} ms/mv nnz/s={20*len(vals)/best/1e9:.2f}G",
+      flush=True)

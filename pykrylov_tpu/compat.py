@@ -99,13 +99,35 @@ class CG(KrylovMethod):
     name = "Conjugate Gradient"
     acronym = "CG"
 
+    def _log_iterations(self, res, had_guess):
+        """Reference per-iteration logger lines (``cg/cg.py:106-111,158``):
+        a Matvec/Resid/Curv header then one row per iteration.  The fused
+        device loop cannot log live (no host callbacks mid-while_loop);
+        rows are replayed from the history buffers, and skipped entirely
+        when only the module's null logger is attached."""
+        if self.logger is null_log:
+            return
+        import numpy as np
+        hdr = "%6s  %7s  %8s" % ("Matvec", "Resid", "Curv")
+        self.logger.info(hdr)
+        self.logger.info("-" * len(hdr))
+        hist = np.asarray(res.resid_history)
+        curv = np.asarray(res.info["curvatures"])
+        nmv = 1 if had_guess else 0
+        self.logger.info("%6d  %7.1e" % (nmv, hist[0]))
+        for itn in range(1, int(res.n_iter) + 1):
+            self.logger.info("%6d  %7.1e  %8.1e"
+                             % (nmv + itn, hist[itn], curv[itn]))
+
     def solve(self, rhs, guess=None, matvec_max=None, check_curvature=False,
               store_resids=False, store_iterates=False, **kwargs):
-        res = self._store(_S.cg(
+        res = _S.cg(
             self.op, jnp.asarray(rhs), x0=guess, M=self.precon,
             rtol=self.reltol, atol=self.abstol, matvec_max=matvec_max,
             check_curvature=check_curvature, store_history=True,
-            store_iterates=store_iterates, store_resids=store_resids))
+            store_iterates=store_iterates, store_resids=store_resids)
+        self._log_iterations(res, guess is not None)
+        res = self._store(res)
         self.definite = bool(res.info.get("definite", True))
         if check_curvature and not self.definite:
             self.infiniteDescent = res.info["infinite_descent"]
@@ -164,11 +186,11 @@ class Minres(KrylovMethod):
     acronym = "MINRES"
 
     def solve(self, b, precon=None, shift=0.0, check=False, itnlim=None,
-              rtol=1.0e-12, etol=1.0e-6, window=5, **kwargs):
+              rtol=1.0e-12, etol=1.0e-6, window=5, show=False, **kwargs):
         res = self._store(_S.minres(
             self.op, jnp.asarray(b), M=precon or self.precon, shift=shift,
             rtol=rtol, etol=etol, window=window, itnlim=itnlim, check=check,
-            store_history=True))
+            store_history=True, show=show))
         self.rnorm = self.residNorm
         self.Anorm = float(res.info["Anorm"]) if "Anorm" in res.info else 0.0
         self.Acond = float(res.info["Acond"]) if "Acond" in res.info else 0.0
@@ -213,11 +235,12 @@ class LSQRFramework(_LLSFramework):
 
     def solve(self, rhs, itnlim=0, damp=0.0, M=None, N=None, atol=1.0e-9,
               btol=1.0e-9, conlim=1.0e8, etol=1.0e-6, window=5,
-              wantvar=False, **kwargs):
+              wantvar=False, show=False, **kwargs):
         res = self._store(_S.lsqr(
             self.A, jnp.asarray(rhs), damp=damp, M=M, N=N, atol=atol,
             btol=btol, conlim=conlim, etol=etol, window=window,
-            itnlim=itnlim or None, wantvar=wantvar, store_history=True))
+            itnlim=itnlim or None, wantvar=wantvar, store_history=True,
+            show=show))
         self.r1norm = float(res.info["r1norm"])
         self.r2norm = float(res.info["r2norm"])
         self.Anorm = float(res.info["Anorm"])

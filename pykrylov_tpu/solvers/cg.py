@@ -69,13 +69,18 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
                  .at[0].set(x) if store_iterates else None)
     resids_buf = (jnp.full((maxiter + 1, n), jnp.nan, dtype=dtype)
                   .at[0].set(y) if store_resids else None)
+    # Per-iteration curvature p'Ap telemetry (the value the reference logs
+    # each iteration, cg.py:158) — NaN at row 0 (no curvature yet).
+    curv_hist = history_init(store_history, maxiter, resid0.dtype)
 
     def cond(carry):
-        x, r, y, p, ry, k, resid, definite, inf_desc, hist, ib, rb = carry
+        (x, r, y, p, ry, k, resid, definite, inf_desc, hist, ib, rb,
+         cb) = carry
         return (resid > thresh) & (k < maxiter) & definite
 
     def body(carry):
-        x, r, y, p, ry, k, resid, definite, inf_desc, hist, ib, rb = carry
+        (x, r, y, p, ry, k, resid, definite, inf_desc, hist, ib, rb,
+         cb) = carry
         Ap = apply_op(A, p)
         pAp = jnp.vdot(p, Ap).real
 
@@ -87,7 +92,8 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
             return (x, r, y, p, ry, k + 1, resid, jnp.asarray(False), p,
                     history_push(hist, k + 1, resid),
                     history_push(ib, k + 1, x),
-                    history_push(rb, k + 1, y))
+                    history_push(rb, k + 1, y),
+                    history_push(cb, k + 1, pAp))
 
         def step(_):
             alpha = ry / pAp
@@ -101,8 +107,9 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
             h2 = history_push(hist, k + 1, resid2)
             ib2 = history_push(ib, k + 1, x2)
             rb2 = history_push(rb, k + 1, y2)
+            cb2 = history_push(cb, k + 1, pAp)
             return (x2, r2, y2, p2, ry2, k + 1, resid2, definite, inf_desc,
-                    h2, ib2, rb2)
+                    h2, ib2, rb2, cb2)
 
         if check_curvature:
             return jax.lax.cond(pAp <= 0, indefinite, step, None)
@@ -111,9 +118,9 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
     p0 = y
     carry0 = (x, r, y, p0, ry, jnp.zeros((), jnp.int32), resid0,
               jnp.asarray(True), jnp.zeros_like(b), hist, iters_buf,
-              resids_buf)
+              resids_buf, curv_hist)
     (x, r, y, p, ry, k, resid, definite, inf_desc, hist, iters_buf,
-     resids_buf) = jax.lax.while_loop(cond, body, carry0)
+     resids_buf, curv_hist) = jax.lax.while_loop(cond, body, carry0)
 
     converged = resid <= thresh
     istop = jnp.where(converged, 0, jnp.where(definite, 1, 2))
@@ -124,6 +131,8 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
         info["iterates"] = iters_buf
     if store_resids:
         info["resids"] = resids_buf
+    if store_history:
+        info["curvatures"] = curv_hist
     return SolveResult(
         x=x, converged=converged, istop=istop.astype(jnp.int32),
         n_iter=k, n_matvec=k + extra_matvec,

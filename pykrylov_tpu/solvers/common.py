@@ -17,6 +17,7 @@ from ..ops.base import BaseLinearOperator, LinearOperator, MatrixOperator
 
 __all__ = ["as_operator", "as_apply_pair", "apply_op", "apply_op_T",
            "apply_op_H", "threshold_of", "history_init", "history_push",
+           "table_init", "table_push",
            "default_maxiter", "promote_rhs", "require_square", "dotu"]
 
 
@@ -105,6 +106,26 @@ def history_push(hist, k, value):
     if hist is None:
         return None
     return hist.at[k].set(value)
+
+
+def table_init(store: bool, maxiter: int, ncols: int, dtype):
+    """Per-iteration scalar telemetry for post-hoc ``show`` tables.
+
+    The reference prints its iteration log live from the Python loop
+    (e.g. ``minres/minres.py:375-393``); a fused ``lax.while_loop``
+    cannot call the host mid-flight (and the axon transport rejects host
+    callbacks), so solvers record the table's columns in a device buffer
+    and :mod:`pykrylov_tpu.solvers.show` renders it afterwards."""
+    if not store:
+        return None
+    return jnp.full((maxiter + 1, ncols), jnp.nan, dtype=dtype)
+
+
+def table_push(tab, k, *cols):
+    if tab is None:
+        return None
+    return tab.at[k].set(jnp.stack([jnp.asarray(c, tab.dtype)
+                                    for c in cols]))
 
 
 def require_square(A, b, solver_name):

@@ -28,7 +28,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import as_operator, history_init, history_push, promote_rhs
+from .common import (as_operator, history_init, history_push, promote_rhs,
+                     table_init, table_push)
 from .lls_common import gk_init, gk_step
 from .result import SolveResult
 
@@ -50,9 +51,9 @@ _OPTIMAL_CODES = (0, 1, 2, 4, 5, 8)
 
 
 @partial(jax.jit, static_argnames=("itnlim", "window", "wantvar",
-                                   "store_history"))
+                                   "store_history", "store_table"))
 def _lsqr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
-          wantvar, store_history):
+          wantvar, store_history, store_table=False):
     m, n = A.nargout, A.nargin
     dtype = b.dtype
     zero = jnp.zeros((), dtype)
@@ -70,6 +71,12 @@ def _lsqr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
     ne_hist = history_init(store_history, itnlim, dtype)
     ne_hist = history_push(ne_hist, 0, arnorm0)
 
+    # show-table columns: x(1), r1norm, r2norm, test1, test2, Anorm, Acond
+    # (row 0 replicates the reference's pre-loop line, lsqr.py:224-232)
+    tab = table_init(store_table, itnlim, 7, dtype)
+    tab = table_push(tab, 0, zero, beta, beta, jnp.ones((), dtype),
+                     jnp.where(x_is_zero, 1.0, alpha / beta), zero, zero)
+
     state0 = dict(
         x=jnp.zeros(n, dtype), w=v, u=u, Mu=Mu, v=v, Nv=Nv,
         alpha=alpha, beta=beta,
@@ -81,7 +88,7 @@ def _lsqr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
         var=jnp.zeros(n, dtype) if wantvar else zero,
         x_nrg2=zero, d_err=jnp.zeros(window, dtype),
         istop=jnp.zeros((), jnp.int32), itn=jnp.zeros((), jnp.int32),
-        done=x_is_zero, hist=hist, ne_hist=ne_hist)
+        done=x_is_zero, hist=hist, ne_hist=ne_hist, tab=tab)
     bnorm = beta
 
     def cond(s):
@@ -175,7 +182,9 @@ def _lsqr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
             var=var, x_nrg2=x_nrg2, d_err=d_err,
             istop=istop, itn=itn, done=istop > 0,
             hist=history_push(s["hist"], itn, r2norm),
-            ne_hist=history_push(s["ne_hist"], itn, arnorm))
+            ne_hist=history_push(s["ne_hist"], itn, arnorm),
+            tab=table_push(s["tab"], itn, x[0].real, r1norm, r2norm,
+                           test1, test2, anorm, acond))
 
     s = jax.lax.while_loop(cond, body, state0)
     istop = s["istop"]
@@ -183,9 +192,11 @@ def _lsqr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
     info = {"r1norm": s["r1norm"], "r2norm": s["r2norm"],
             "Anorm": s["anorm"], "Acond": s["acond"],
             "Arnorm": s["arnorm"], "xnorm": s["xnorm"],
-            "optimal": optimal}
+            "bnorm": bnorm, "optimal": optimal}
     if store_history:
         info["normal_eqns_resids"] = s["ne_hist"]
+    if s["tab"] is not None:
+        info["show_table"] = s["tab"]
     if wantvar:
         info["var"] = s["var"]
     return SolveResult(
@@ -197,7 +208,7 @@ def _lsqr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
 
 def lsqr(A, b, *, damp=0.0, M=None, N=None, atol=1.0e-9, btol=1.0e-9,
          conlim=1.0e8, etol=1.0e-6, window=5, itnlim=None, wantvar=False,
-         store_history=False):
+         store_history=False, show=False):
     """Solve ``min ||Ax - b||`` (or the damped / SQD variant) by LSQR.
 
     Parameters
@@ -213,6 +224,10 @@ def lsqr(A, b, *, damp=0.0, M=None, N=None, atol=1.0e-9, btol=1.0e-9,
     etol, window : truncated direct-error stop in the energy norm.
     itnlim : iteration cap, default 3n (``lsqr.py:156``).
     wantvar : also estimate diag((A'A + damp^2 I)^{-1}) in ``info['var']``.
+    show : print the reference's banner and iteration table
+        (``lsqr.py:168-174,406-434``) — columns are recorded in a device
+        buffer during the fused loop and rendered post-hoc
+        (:mod:`pykrylov_tpu.solvers.show`).
 
     Returns :class:`SolveResult`; ``converged`` is the reference's
     ``optimal`` flag (istop in {0,1,2,4,5,8}), ``n_matvec = 2 n_iter``.
@@ -223,6 +238,16 @@ def lsqr(A, b, *, damp=0.0, M=None, N=None, atol=1.0e-9, btol=1.0e-9,
     b = promote_rhs(b, A, M, N)
     if itnlim is None:
         itnlim = 3 * A.nargin
-    return _lsqr(A, b, M, N, float(damp), float(atol), float(btol),
-                 float(conlim), float(etol), int(itnlim), int(window),
-                 bool(wantvar), bool(store_history))
+    if show:
+        from .show import lsqr_preamble
+        lsqr_preamble(A.nargout, A.nargin, float(damp), wantvar,
+                      float(atol), float(btol), float(conlim), int(itnlim))
+    res = _lsqr(A, b, M, N, float(damp), float(atol), float(btol),
+                float(conlim), float(etol), int(itnlim), int(window),
+                bool(wantvar), bool(store_history), bool(show))
+    if show:
+        from .show import print_lsqr
+        ctol = 1.0 / float(conlim) if conlim > 0 else 0.0
+        print_lsqr(res, itnlim=int(itnlim), atol=float(atol),
+                   rtol=float(btol), ctol=ctol)
+    return res

@@ -28,7 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import as_operator, apply_op, history_init, history_push, promote_rhs, require_square
+from .common import (as_operator, apply_op, history_init, history_push,
+                     promote_rhs, require_square, table_init, table_push)
 from .result import SolveResult
 from ..utils.utils import check_symmetric as _check_symmetric
 
@@ -53,9 +54,9 @@ _CONVERGED_CODES = (1, 2, 3, 4, 10)
 
 
 @partial(jax.jit, static_argnames=("itnlim", "window", "store_history",
-                                   "store_iterates"))
+                                   "store_iterates", "store_table"))
 def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history,
-            store_iterates):
+            store_iterates, store_table=False):
     dtype = b.dtype
     n = b.shape[0]
     eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
@@ -77,6 +78,8 @@ def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history,
                  .at[0].set(x) if store_iterates else None)
     derr_hist = (jnp.full((itnlim + 1,), jnp.nan, dtype=dtype)
                  if store_history else None)
+    # show-table columns: x[0], test1, test2, Anorm, Acond, gbar, ynorm
+    tab = table_init(store_table, itnlim, 7, dtype)
 
     zero = jnp.zeros((), dtype)
     state0 = dict(
@@ -92,7 +95,7 @@ def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history,
         istop=jnp.where(indef_precon, 9, 0).astype(jnp.int32),
         itn=jnp.zeros((), jnp.int32),
         done=indef_precon | zero_b,
-        hist=hist, iters=iters_buf, derrs=derr_hist)
+        hist=hist, iters=iters_buf, derrs=derr_hist, tab=tab)
 
     def cond(s):
         return ~s["done"] & (s["itn"] < itnlim)
@@ -199,7 +202,9 @@ def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history,
                 anorm=anorm, acond=acond, ynorm=ynorm, arnorm=arnorm,
                 rnorm=rnorm, istop=istop, itn=itn, done=istop > 0,
                 hist=history_push(s["hist"], itn, rnorm),
-                iters=iters2, derrs=derrs)
+                iters=iters2, derrs=derrs,
+                tab=table_push(s["tab"], itn, x[0].real, test1, test2,
+                               anorm, acond, gbar, ynorm))
 
         return jax.lax.cond(indef, on_indef, step, None)
 
@@ -223,12 +228,14 @@ def _minres_info(s, store_iterates, store_history):
         info["iterates"] = s["iters"]
     if store_history:
         info["dir_errors_window"] = s["derrs"]
+    if s["tab"] is not None:
+        info["show_table"] = s["tab"]
     return info
 
 
 def minres(A, b, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
            window=5, itnlim=None, check=False, store_history=False,
-           store_iterates=False):
+           store_iterates=False, show=False):
     """Solve symmetric (possibly indefinite/singular) ``(A - shift I) x = b``
     or ``min ||Ax - b||`` by MINRES.
 
@@ -249,6 +256,11 @@ def minres(A, b, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
         (``info["dir_errors_window"]``, minres.py:105-107).
     store_iterates : keep every iterate (``info["iterates"]``,
         an (itnlim+1, n) buffer with NaN rows beyond ``n_iter``).
+    show : print the reference's iteration table after the solve
+        (``minres.py:375-393``) — columns are recorded in a device
+        buffer during the fused loop and rendered post-hoc (host
+        callbacks are unavailable mid-``while_loop``; see
+        :mod:`pykrylov_tpu.solvers.show`).
 
     Returns :class:`SolveResult`; ``info`` carries Anorm/Acond/Arnorm/ynorm.
     """
@@ -285,6 +297,12 @@ def minres(A, b, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
         if M is not None and not _check_symmetric(M):
             return _checkfail(8)
 
-    return _minres(A, b, M, float(shift), float(rtol), float(etol),
-                   int(itnlim), int(window), bool(store_history),
-                   bool(store_iterates))
+    res = _minres(A, b, M, float(shift), float(rtol), float(etol),
+                  int(itnlim), int(window),
+                  bool(store_history) or bool(show),
+                  bool(store_iterates), bool(show))
+    if show:
+        from .show import print_minres
+        print_minres(res, n=n, itnlim=int(itnlim), rtol=float(rtol),
+                     eps=float(np.finfo(np.dtype(b.dtype)).eps))
+    return res

@@ -178,14 +178,18 @@ def _plan_block_windows(C, bu, spill_cost):
 
 
 def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
-                  min_cols: int = 0,
-                  spill_cost: float = _SPILL_BYTES) -> BELL:
+                  min_cols: int = 0, spill_cost: float = _SPILL_BYTES,
+                  device: bool = True) -> BELL:
     """Pack COO triples into BELL v2 (host-side).
 
     ``spill_cost`` is the per-entry byte cost charged for routing an
     entry to the COO remainder instead of a kernel slot; the packer
     minimizes total streamed bytes under it.  ``None`` disables
     spilling (every entry gets a slot, as v1 did).
+
+    ``device=False`` keeps the container arrays in NumPy — candidate
+    packings that may be discarded must not ride the device transport
+    (tens of MB each through a remote tunnel).
 
     Raises :class:`SpanError` when some step's column span exceeds
     ``nb_max`` bands.
@@ -283,6 +287,8 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
         while nblk > 8 and _step_span(nblk) > nb_max:
             nblk = max(8, nblk // 2)
     nblk = max(8, -(-int(nblk) // 8) * 8)
+    # more blocks per step than exist just inflates the scatter matmul
+    nblk = min(nblk, max(8, -(-nblocks // 8) * 8))
     nsteps = -(-nblocks // nblk)
     nblocks_p = nsteps * nblk
 
@@ -355,12 +361,16 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     sp_col = cs[sp].astype(np.int32)
     sp_val = vs[sp]
 
-    return BELL(jnp.asarray(data), jnp.asarray(lanes_packed),
-                jnp.asarray(bands), jnp.asarray(blocks),
-                jnp.asarray(band_lo), jnp.asarray(sp_row),
-                jnp.asarray(sp_col), jnp.asarray(sp_val),
+    cvt = jnp.asarray if device else np.asarray
+    return BELL(cvt(data), cvt(lanes_packed), cvt(bands), cvt(blocks),
+                cvt(band_lo), cvt(sp_row), cvt(sp_col), cvt(sp_val),
                 (m, n), (nsteps * nblk * LANES, ncb * LANES),
                 int(nb), int(nblk), nnz, nnz_spill)
+
+
+def bell_to_device(b: BELL) -> BELL:
+    """Ship a host-resident (NumPy) BELL's arrays to the device."""
+    return BELL(*(jnp.asarray(c) for c in b[:8]), *b[8:])
 
 
 def bell_fill(b: BELL) -> float:
@@ -411,33 +421,33 @@ def bell_to_dense(b: BELL):
     return out[:b.shape[0], :b.shape[1]]
 
 
-def _dot_onehot(oh, v):
-    """``oh @ v`` where ``oh`` is a 0/1 one-hot matrix, exact to ~f32.
+def _dot_onehot(oh, v, passes=3):
+    """``oh @ v`` where ``oh`` is a 0/1 one-hot matrix.
 
-    One-hot entries are exact in bf16, so splitting only ``v`` into three
-    bf16 components gives a 3-pass f32-accurate product — half the MXU
-    passes of ``Precision.HIGHEST`` (which must split both operands).
-    f64 (CPU interpret oracle runs) keeps the native product.
+    One-hot entries are exact in bf16, so splitting only ``v`` into
+    ``passes`` bf16 components gives (passes·8)-bit-mantissa accuracy —
+    3 passes ≈ f32 at half the MXU passes of ``Precision.HIGHEST``
+    (which must split both operands); 2 passes trade ~1.5e-5 relative
+    error for 1/3 less MXU time.  f64 (CPU interpret oracle runs) keeps
+    the native product.
     """
     dims = (((1,), (0,)), ((), ()))
     if v.dtype != jnp.float32:
         return jax.lax.dot_general(oh.astype(v.dtype), v, dims,
                                    preferred_element_type=v.dtype)
     ohb = oh.astype(jnp.bfloat16)
-    v1 = v.astype(jnp.bfloat16)
-    r = v - v1.astype(jnp.float32)
-    v2 = r.astype(jnp.bfloat16)
-    v3 = (r - v2.astype(jnp.float32)).astype(jnp.bfloat16)
-    out = jax.lax.dot_general(ohb, v1, dims,
-                              preferred_element_type=jnp.float32)
-    out += jax.lax.dot_general(ohb, v2, dims,
-                               preferred_element_type=jnp.float32)
-    out += jax.lax.dot_general(ohb, v3, dims,
-                               preferred_element_type=jnp.float32)
+    out = None
+    r = v
+    for _ in range(passes):
+        vp = r.astype(jnp.bfloat16)
+        r = r - vp.astype(jnp.float32)
+        t = jax.lax.dot_general(ohb, vp, dims,
+                                preferred_element_type=jnp.float32)
+        out = t if out is None else out + t
     return out
 
 
-def _bell_kernel(nb, nblk, GS, nsteps, band_lo_ref,
+def _bell_kernel(nb, nblk, GS, nsteps, passes, band_lo_ref,
                  data_ref, lanes_ref, bands_ref, blocks_ref, x_hbm,
                  y_ref, win, sems):
     st = pl.program_id(0)
@@ -471,8 +481,8 @@ def _bell_kernel(nb, nblk, GS, nsteps, band_lo_ref,
     # Stage each sublane row's two candidate bands (base, base+1).
     iot = jax.lax.broadcasted_iota(jnp.int32, (GS, nb), 1)
     base = bands_ref[0]                                    # (GS, 1)
-    xsel0 = _dot_onehot(iot == base, w)                    # (GS, 128)
-    xsel1 = _dot_onehot(iot == base + 1, w)                # (GS, 128)
+    xsel0 = _dot_onehot(iot == base, w, passes)            # (GS, 128)
+    xsel1 = _dot_onehot(iot == base + 1, w, passes)        # (GS, 128)
 
     # Unpack the per-slot bytes: byte j of word m -> sublane row
     # j*GS/4 + m, so a sublane-aligned concat restores row order.
@@ -488,12 +498,14 @@ def _bell_kernel(nb, nblk, GS, nsteps, band_lo_ref,
     # Scatter sublane rows to y blocks (fuses the depth reduction).
     ohY = (jax.lax.broadcasted_iota(jnp.int32, (nblk, GS), 0)
            == blocks_ref[0])                               # (nblk, GS)
-    y_ref[:] = _dot_onehot(ohY, prod)                      # (nblk, 128)
+    y_ref[:] = _dot_onehot(ohY, prod, passes)              # (nblk, 128)
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "nblk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nb", "nblk", "interpret",
+                                             "passes"))
 def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
-                      sp_row, sp_col, sp_val, nb, nblk, interpret):
+                      sp_row, sp_col, sp_val, nb, nblk, interpret,
+                      passes=3):
     nsteps, GS, L = data.shape
     xflat = x2.reshape(-1)
     if not interpret:
@@ -524,7 +536,7 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
             pltpu.SemaphoreType.DMA((WIN_AHEAD + 1,)),
         ],
     )
-    kernel = functools.partial(_bell_kernel, nb, nblk, GS, nsteps)
+    kernel = functools.partial(_bell_kernel, nb, nblk, GS, nsteps, passes)
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nsteps * nblk, L), data.dtype),
@@ -543,14 +555,15 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
     return y
 
 
-def bell_matvec_pallas(b: BELL, x, interpret: bool = False):
+def bell_matvec_pallas(b: BELL, x, interpret: bool = False, passes=3):
     """``y = A @ x`` for a padded input ``x`` of length
     ``padded_shape[1]``; returns y of length ``padded_shape[0]`` — slice
-    to ``shape[0]``."""
+    to ``shape[0]``.  ``passes``: bf16 staging passes (3 ≈ f32-exact,
+    2 trades ~1.5e-5 relative error for less MXU time)."""
     x2 = x.reshape(-1, LANES)
     return _bell_matvec_call(b.data, b.lanes, b.bands, b.blocks,
                              b.band_lo, x2, b.sp_row, b.sp_col, b.sp_val,
-                             b.nb, b.nblk, bool(interpret))
+                             b.nb, b.nblk, bool(interpret), int(passes))
 
 
 def reorder_rcm(coo: F.COO):
@@ -577,38 +590,44 @@ def reorder_rcm(coo: F.COO):
 
 
 @functools.lru_cache(maxsize=None)
-def _bell_mv_factory(slot, nb, nblk, rows_out, cols_in, interpret):
+def _bell_mv_factory(slot, cfg, rows_out, interpret):
     # Shared per-config function objects: per-instance closures would force
     # a full solver recompile per matrix (CLAUDE.md conventions).
+    # ``cfg``: tuple of (nb, nblk, padded_cols) per level — the matvec is
+    # the sum of every level's kernel product.
     def mv(params, x):
-        c = params[slot]
+        levels = params[slot]
         # NumPy-style promotion: a mixed-precision apply (f32 container,
         # f64 vector under x64) computes in the promoted dtype — the
         # kernel's window scratch is typed off `data`, so both operands
         # must agree.
-        ct = jnp.promote_types(c.data.dtype, x.dtype)
-        data = c.data if c.data.dtype == ct else c.data.astype(ct)
+        ct = jnp.promote_types(levels[0].data.dtype, x.dtype)
         x = x if x.dtype == ct else x.astype(ct)
-        if x.shape[0] == cols_in:       # static shapes: skip the pad copy
-            xp = x
-        else:
-            xp = jnp.zeros(cols_in, dtype=x.dtype).at[:x.shape[0]].set(x)
-        spv = (c.sp_val if c.sp_val.dtype == ct
-               else c.sp_val.astype(ct))
-        y = _bell_matvec_call(data, c.lanes, c.bands, c.blocks,
-                              c.band_lo, xp.reshape(-1, LANES),
-                              c.sp_row, c.sp_col, spv,
-                              nb, nblk, interpret)
-        return y if y.shape[0] == rows_out else y[:rows_out]
+        out = None
+        for (nb, nblk, cols_in), c in zip(cfg, levels):
+            data = c.data if c.data.dtype == ct else c.data.astype(ct)
+            if x.shape[0] == cols_in:   # static shapes: skip the pad copy
+                xp = x
+            else:
+                xp = jnp.zeros(cols_in, dtype=ct).at[:x.shape[0]].set(x)
+            spv = (c.sp_val if c.sp_val.dtype == ct
+                   else c.sp_val.astype(ct))
+            y = _bell_matvec_call(data, c.lanes, c.bands, c.blocks,
+                                  c.band_lo, xp.reshape(-1, LANES),
+                                  c.sp_row, c.sp_col, spv,
+                                  nb, nblk, interpret)
+            y = y if y.shape[0] == rows_out else y[:rows_out]
+            out = y if out is None else out + y
+        return out
     return mv
 
 
 @functools.lru_cache(maxsize=None)
-def _bell_mv_perm_factory(slot, nb, nblk, rows_out, cols_in, interpret):
+def _bell_mv_perm_factory(slot, cfg, rows_out, interpret):
     """Symmetrically-permuted variant: params carry (perm, iperm) device
     arrays at slots 2/3 and the operator applies
     ``A = Pᵀ A' P`` (``A'[i,j] = A[p[i], p[j]]``) via gather both ways."""
-    inner = _bell_mv_factory(slot, nb, nblk, rows_out, cols_in, interpret)
+    inner = _bell_mv_factory(slot, cfg, rows_out, interpret)
 
     def mv(params, x):
         p, ip = params[2], params[3]
@@ -617,9 +636,65 @@ def _bell_mv_perm_factory(slot, nb, nblk, rows_out, cols_in, interpret):
     return mv
 
 
+def _strip_spill(b: BELL) -> BELL:
+    empty_i = np.zeros(0, dtype=np.int32)
+    empty_v = np.zeros(0, dtype=np.asarray(b.sp_val).dtype)
+    return b._replace(sp_row=empty_i, sp_col=empty_i, sp_val=empty_v,
+                      nnz=b.nnz - b.nnz_spill, nnz_spill=0)
+
+
+def _pack_levels(coo, nb_max, spill_cost, levels):
+    """Pack a COO matrix into up to ``levels`` BELL levels: all but the
+    last are depth-capped and their overflow feeds the next level's
+    (much smaller) packing; the last level is uncapped.  A thin overflow
+    can pack WORSE than not capping at all (max-over-128-lanes ≥ 1 per
+    touched window), so the multi-level split is kept only when it
+    stores fewer total slots than the single uncapped packing.  Levels
+    after the first keep an XLA COO remainder only if their own packing
+    overflows the window budget (SpanError)."""
+    # candidate packings stay host-resident (NumPy) — only the winner
+    # rides the device transport
+    b1 = bell_from_coo(coo, nb_max=nb_max, device=False,
+                       spill_cost=spill_cost if levels > 1 else None)
+    if levels <= 1 or b1.nnz_spill == 0:
+        return (bell_to_device(b1),)
+    out = [_strip_spill(b1)]
+    cur = b1
+    for li in range(1, levels):
+        last = li == levels - 1
+        nxt_coo = F.coo_from_arrays(np.asarray(cur.sp_val),
+                                    np.asarray(cur.sp_row),
+                                    np.asarray(cur.sp_col), coo.shape,
+                                    device=False)
+        try:
+            b = bell_from_coo(nxt_coo, nb_max=nb_max, device=False,
+                              spill_cost=None if last else spill_cost)
+        except SpanError:
+            # the overflow is too scattered to window: keep it as the
+            # previous level's XLA remainder instead of a new level
+            out[-1] = cur
+            break
+        if b.nnz_spill and not last:
+            out.append(_strip_spill(b))
+            cur = b
+        else:
+            out.append(b)
+            break
+    multi_slots = sum(int(np.prod(b.data.shape)) for b in out)
+    if sum(b.nnz_spill for b in out) == 0:
+        # compare against the uncapped single-level packing; keep multi
+        # only on a clear (>10%) stream win — each extra level is
+        # another kernel launch plus its own staging matmuls
+        b1u = bell_from_coo(coo, nb_max=nb_max, spill_cost=None,
+                            device=False)
+        if int(np.prod(b1u.data.shape)) <= 1.1 * multi_slots:
+            return (bell_to_device(b1u),)
+    return tuple(bell_to_device(b) for b in out)
+
+
 def bell_operator(source, shape=None, symmetric=False, interpret=None,
-                  nb_max: int = NB_MAX, spill_cost: float = _SPILL_BYTES,
-                  reorder=False):
+                  nb_max: int = NB_MAX, spill_cost: float = None,
+                  reorder=False, levels: int = 2):
     """Wrap a matrix as a LinearOperator whose matvec is the BELL kernel.
 
     ``source``: COO container or ``(vals, rows, cols, shape)`` triples or
@@ -627,6 +702,13 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
     inputs are zero-padded and outputs trimmed internally.  The transpose
     product uses a prebuilt BELL of A^T.  ``interpret=None`` auto-selects
     interpreter mode off-TPU.
+
+    ``levels=2`` (default) packs depth-capped level 1 plus an uncapped
+    level 2 holding the overflow — both run the Pallas kernel.  An XLA
+    COO scatter remainder (``spill_cost`` on the last level) measured
+    ~16 ns/entry on a v5e through XLA scatter-add — three orders of
+    magnitude off the kernel's stream — so it is reserved for overflow
+    the window budget cannot hold at all.
 
     ``reorder=True`` packs the RCM-permuted matrix (square only) and
     wraps the permutation into the matvec (two O(m) gathers per apply) —
@@ -648,18 +730,26 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
     perm = None
     if reorder:
         coo, perm = reorder_rcm(coo)
-    fwd = bell_from_coo(coo, nb_max=nb_max, spill_cost=spill_cost)
-    bwd = None if symmetric else bell_from_coo(
-        F.transpose_coo(coo), nb_max=nb_max, spill_cost=spill_cost)
+    sc = _SPILL_BYTES if spill_cost is None else spill_cost
+    if levels <= 1:
+        fwd = (bell_from_coo(coo, nb_max=nb_max, spill_cost=spill_cost),)
+        bwd = None if symmetric else (bell_from_coo(
+            F.transpose_coo(coo), nb_max=nb_max, spill_cost=spill_cost),)
+    else:
+        fwd = _pack_levels(coo, nb_max, sc, levels)
+        bwd = None if symmetric else _pack_levels(
+            F.transpose_coo(coo), nb_max, sc, levels)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     interpret = bool(interpret)
 
+    def _cfg(lv):
+        return tuple((b.nb, b.nblk, b.padded_shape[1]) for b in lv)
+
     factory = _bell_mv_factory if perm is None else _bell_mv_perm_factory
-    mv = factory(0, fwd.nb, fwd.nblk, m, fwd.padded_shape[1], interpret)
-    rmv = mv if symmetric else factory(
-        1, bwd.nb, bwd.nblk, n, bwd.padded_shape[1], interpret)
+    mv = factory(0, _cfg(fwd), m, interpret)
+    rmv = mv if symmetric else factory(1, _cfg(bwd), n, interpret)
 
     params = (fwd, bwd)
     if perm is not None:
@@ -668,13 +758,19 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
         params = (fwd, bwd, jnp.asarray(perm.astype(np.int32)),
                   jnp.asarray(iperm.astype(np.int32)))
 
-    dtype = np.asarray(fwd.data).dtype
+    dtype = np.asarray(fwd[0].data).dtype
     op = LinearOperator(n, m, matvec=mv, matvec_transp=rmv,
                         params=params, _takes_params=True,
                         symmetric=symmetric,
                         hermitian=symmetric and not np.issubdtype(
                             dtype, np.complexfloating),
                         dtype=dtype)
-    op.fill = bell_fill(fwd)
-    op.spill_frac = fwd.nnz_spill / max(1, fwd.nnz)
+    nnz_tot = sum(b.nnz for b in fwd)
+    op.fill = bell_fill(fwd[0])
+    op.spill_frac = (nnz_tot - fwd[0].nnz + fwd[0].nnz_spill) / max(
+        1, nnz_tot)
+    op.stream_bytes = sum(bell_stream_bytes(b) for b in fwd)
+    op.bytes_per_nnz = op.stream_bytes / max(1, nnz_tot)
+    op.xla_remainder = sum(b.nnz_spill for b in fwd)
+    op.nb_max_level = max(b.nb for b in fwd)
     return op

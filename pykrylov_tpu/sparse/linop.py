@@ -76,12 +76,16 @@ class SparseOperator(LinearOperator):
 _register_as_linop(SparseOperator)
 
 
-def _try_bell(coo, symmetric, max_spill=0.35, max_nb=256):
+def _try_bell(coo, symmetric, max_slots_per_nnz=3.2, max_nb=256):
     """Build a BELL kernel operator if the packing is efficient enough:
-    kernel-path spill ≤ ``max_spill`` and the per-step x window within
-    ``max_nb`` bands (wider windows make the one-hot staging matmuls
-    MXU-bound).  Tries the raw ordering first, then RCM (square only).
-    Returns None when neither packing qualifies."""
+    stored slots ≤ ``max_slots_per_nnz``·nnz (3.2 slots ≈ 16 B/nnz at
+    f32, twice the 8 B CSR-stream equivalence — still far ahead of the
+    XLA ELL gather path), per-step x windows within ``max_nb`` bands
+    (wider windows make the one-hot staging matmuls MXU-bound), and no
+    XLA scatter remainder (~16 ns/entry — three orders of magnitude off
+    the kernel stream).  Tries the raw ordering first, then RCM (square
+    only).  Returns None when neither packing qualifies."""
+    import numpy as _np
     from .bell import SpanError, bell_operator
 
     for reorder in (False, True):
@@ -91,12 +95,13 @@ def _try_bell(coo, symmetric, max_spill=0.35, max_nb=256):
             op = bell_operator(coo, symmetric=symmetric, reorder=reorder)
         except SpanError:
             continue
-        fwd = op._params[0]
-        bwd = op._params[1]
-        nb = fwd.nb if bwd is None else max(fwd.nb, bwd.nb)
-        spill = fwd.nnz_spill if bwd is None else max(fwd.nnz_spill,
-                                                      bwd.nnz_spill)
-        if spill / max(1, fwd.nnz) <= max_spill and nb <= max_nb:
+        fwd, bwd = op._params[0], op._params[1]
+        lv = fwd if bwd is None else fwd + bwd
+        nb = max(b.nb for b in lv)
+        remainder = sum(b.nnz_spill for b in lv)
+        spn = (sum(int(_np.prod(b.data.shape)) for b in lv)
+               / max(1, sum(b.nnz for b in lv)))
+        if remainder == 0 and nb <= max_nb and spn <= max_slots_per_nnz:
             return op
     return None
 
