@@ -43,6 +43,90 @@ def peak_bandwidth_gbps() -> float:
     return HBM_PEAK_GBPS["cpu"]
 
 
+def bench_bell():
+    """General-sparsity SpMV: the BELL Pallas kernel on a >=1M-row matrix
+    of jpwh_991-class sparsity (the bundled pattern tiled 1024-fold),
+    with the XLA ELL gather path as the on-device baseline.
+
+    The roofline accounting is the format's own stream (values +
+    packed-byte indices; slots/nnz reported) against peak HBM bandwidth;
+    ``vs_csr8B`` additionally normalizes nnz/s by the classic 8 B/nnz
+    CSR-stream equivalence for cross-format comparison.
+    """
+    import jax.numpy as jnp
+    from pykrylov_tpu.gallery.general import tiled_general_coo
+    from pykrylov_tpu.sparse import formats as F
+    from pykrylov_tpu.sparse.bell import bell_operator
+    from pykrylov_tpu.sparse.linop import operator_from_coo
+
+    on_tpu = jax.default_backend() == "tpu"
+    tiles = 1024 if on_tpu else 2
+    iters = 1000 if on_tpu else 2
+    vals, rows, cols, shape = tiled_general_coo(tiles=tiles)
+    rowsum = np.zeros(shape[0])
+    np.add.at(rowsum, rows, np.abs(vals))
+    vals = (vals / rowsum.max()).astype(np.float32)  # chain stays finite
+    n = shape[0]
+
+    op = bell_operator((vals, rows, cols, shape), with_transpose=False,
+                       interpret=not on_tpu)
+    mv, params = op._mv, op._params
+
+    @jax.jit
+    def chain(params, x):
+        return jax.lax.fori_loop(0, iters, lambda _, x: mv(params, x), x)
+
+    float(chain(params, jnp.ones(n, jnp.float32))[0])  # compile
+    best = np.inf
+    for rep in range(3):
+        xr = jnp.full(n, 1.0 + 0.1 * rep, jnp.float32)
+        float(xr[0])
+        t0 = time.perf_counter()
+        float(chain(params, xr)[0])
+        best = min(best, time.perf_counter() - t0)
+    nnz = sum(b.nnz for b in params[0])
+    peak = peak_bandwidth_gbps()
+    nnz_per_s = iters * nnz / best
+    gbps = iters * op.stream_bytes / best / 1e9
+
+    # XLA ELL baseline (the path a general matrix takes without the
+    # Pallas kernel) — a few iterations suffice, it is ~500x slower.
+    eiters = 5 if on_tpu else 2
+    ell = F.ell_from_coo(F.coo_from_arrays(vals, rows, cols, shape,
+                                           device=False), pad_to=4)
+    ed, ei = jnp.asarray(ell.data), jnp.asarray(ell.cols)
+
+    @jax.jit
+    def ell_chain(ed, ei, x):
+        return jax.lax.fori_loop(
+            0, eiters, lambda _, x: F.ell_matvec(F.ELL(ed, ei, shape), x), x)
+
+    float(ell_chain(ed, ei, jnp.ones(n, jnp.float32))[0])
+    t0 = time.perf_counter()
+    float(ell_chain(ed, ei, jnp.full(n, 1.1, jnp.float32))[0])
+    ell_ms = (time.perf_counter() - t0) / eiters * 1e3
+
+    # auto-format policy check at a size the packer finishes quickly
+    demo = tiled_general_coo(tiles=8)
+    auto_op = operator_from_coo(demo[0].astype(np.float32), demo[1],
+                                demo[2], demo[3], fmt="auto")
+    auto_is_bell = hasattr(auto_op, "bytes_per_nnz")
+
+    return {
+        "matrix": "jpwh_991 x %d tiles" % tiles,
+        "m": n, "nnz": nnz,
+        "ms_per_mv": round(best / iters * 1e3, 4),
+        "nnz_per_s_G": round(nnz_per_s / 1e9, 2),
+        "stream_gbps": round(gbps, 1),
+        "util_vs_peak": round(gbps / peak, 4),
+        "bytes_per_nnz": round(op.bytes_per_nnz, 2),
+        "vs_csr8B": round(nnz_per_s / (peak * 1e9 / 8), 4),
+        "xla_ell_ms_per_mv": round(ell_ms, 2),
+        "speedup_vs_xla_ell": round(ell_ms / (best / iters * 1e3), 1),
+        "auto_selects_bell": bool(auto_is_bell),
+    }
+
+
 def main():
     from pykrylov_tpu.gallery.poisson import poisson3d_coo
     from pykrylov_tpu.sparse import formats as F
@@ -134,6 +218,7 @@ def main():
             "peak_gbps": peak_bandwidth_gbps(),
             "xla_achievable_gbps": round(achievable, 2),
             "vs_achievable": round(gbps / achievable, 4),
+            "bell_general_spmv": bench_bell(),
         },
     }))
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -182,6 +184,56 @@ def forward_lbfgs_matvec(data: LBFGSData, v, scaling: bool = True):
     return apply_B(mem, v)
 
 
+def structured_lbfgs_matvec(params, v, scaling: bool = True):
+    """Apply the structured forward L-BFGS approximation B to v.
+
+    The reference's outer-product recursion is broken in code
+    (``lbfgs.py:277,338,349``: ctor passes ``self`` twice, double-divides
+    by ``aTs[l]``); this implements the documented intent ([Nocedal06]
+    structured PSB/secant): with ``A_k = yd_k - B_k s_k``,
+
+        B_{k+1} = B_k + (A_k y_k' + y_k A_k')/y_k's_k
+                      - (s_k'A_k) y_k y_k' / (y_k's_k)^2,
+
+    which satisfies the structured secant condition ``B_{k+1} s_k = yd_k``
+    and keeps B symmetric.  ``B_k s_k`` is computed through the
+    accumulated updates (not approximated by ``B_0 s_k``) the same way
+    :func:`forward_lbfgs_matvec` recomputes its ``B_i s_i``: a static
+    O(mem^2) unroll over the (small, default 5) memory.
+
+    ``params``: dict with s/y/yd (mem, n), ys/valid (mem,), insert, gamma.
+    """
+    mem = params["s"].shape[0]
+    base = jnp.where(params["insert"] >= mem, params["insert"] % mem, 0)
+    order = (base + jnp.arange(mem)) % mem  # oldest -> newest
+    gamma = params["gamma"]
+    n = v.shape[0]
+
+    def apply_B(upto, A_all, w):
+        """B after ``upto`` updates applied to w (B0 = I/gamma)."""
+        b0 = w / gamma if scaling else w
+
+        def body(j, acc):
+            k = order[j]
+            use = params["valid"][k] & (j < upto)
+            y, s, ys = params["y"][k], params["s"][k], params["ys"][k]
+            A = A_all[j]
+            t = jnp.where(use, 1.0 / ys, 0.0)
+            yw = jnp.vdot(y, w)
+            Aw = jnp.vdot(A, w)
+            sA = jnp.vdot(s, A)
+            return acc + (Aw * t) * y + (yw * t) * A - (sA * yw * t * t) * y
+        return jax.lax.fori_loop(0, mem, body, b0)
+
+    A_all = jnp.zeros((mem, n), dtype=v.dtype)
+    for i in range(mem):  # static unroll: A_i depends on A_0..A_{i-1}
+        k = order[i]
+        s_i = params["s"][k]
+        Bs_i = apply_B(i, A_all, s_i)
+        A_all = A_all.at[i].set(params["yd"][k] - Bs_i)
+    return apply_B(mem, A_all, v)
+
+
 def compact_lbfgs_matvec(data: LBFGSData, v, scaling: bool = True):
     """Forward Hessian approximation via the compact representation.
 
@@ -225,7 +277,18 @@ def compact_lbfgs_matvec(data: LBFGSData, v, scaling: bool = True):
 _inv_mv_jit = jax.jit(inverse_lbfgs_matvec, static_argnums=2)
 _fwd_mv_jit = jax.jit(forward_lbfgs_matvec, static_argnums=2)
 _cpt_mv_jit = jax.jit(compact_lbfgs_matvec, static_argnums=2)
+_str_mv_jit = jax.jit(structured_lbfgs_matvec, static_argnums=2)
 _store_jit = jax.jit(lbfgs_store, static_argnums=3)
+
+
+@functools.lru_cache(maxsize=None)
+def _structured_mv_factory(scaling):
+    # module-level shared function objects per `scaling` flag: an
+    # inline-closure matvec would make every operator instance its own
+    # pytree leaf type and force per-instance solver recompiles
+    def mv(params, x):
+        return _str_mv_jit(params, x, scaling)
+    return mv
 
 
 class InverseLBFGSOperator(LinearOperator):
@@ -290,15 +353,14 @@ class CompactLBFGSOperator(InverseLBFGSOperator):
 class StructuredLBFGSOperator(LinearOperator):
     """Structured forward L-BFGS update (``lbfgs.py:257-350``).
 
-    The reference implementation is broken (ctor passes ``self`` twice and
-    calls undefined methods); this is a working implementation of the
-    documented intent: pairs are ``(s, y, yd)`` with ``yd`` the structured
-    gradient difference, accepted when ``|s.y| >= threshold * |s| |y|``, and
-    the matvec applies the structured secant update
-
-        B_{k+1} v = B_k v + ((yd - B_k s).v / y.s) y
-                         + (y.v / y.s) (yd - B_k s)
-                         - (s.(yd - B_k s)) (y.v) y / (y.s)^2.
+    The reference implementation is broken in code (ctor passes ``self``
+    twice, double-divides by ``aTs[l]``, lbfgs.py:277,338); this
+    implements the documented intent — see
+    :func:`structured_lbfgs_matvec`.  Pairs are ``(s, y, yd)`` with
+    ``yd`` the structured gradient difference; the update satisfies the
+    structured secant condition ``B_{k+1} s_k = yd_k`` with ``B_k s_k``
+    computed through the accumulated recursion.  A pair is accepted when
+    ``y's + sqrt(y's * s'Bs) >= threshold`` (``lbfgs.py:330-342``).
     """
 
     def __init__(self, n, npairs=5, scaling: bool = True, dtype=None,
@@ -314,36 +376,10 @@ class StructuredLBFGSOperator(LinearOperator):
                     insert=jnp.zeros((), jnp.int32),
                     gamma=jnp.ones((), dtype=dtype))
 
-        def mv(params, v):
-            mem = npairs
-            base = jnp.where(params["insert"] >= mem, params["insert"] % mem, 0)
-            order = (base + jnp.arange(mem)) % mem
-            # Forward approximation seeds with B0 = I/gamma
-            # (reference lbfgs.py:306-307), like the other
-            # forward variants above.
-            r = v / params["gamma"] if scaling else v
-
-            def body(i, r_and_Bs):
-                r, = r_and_Bs
-                k = order[i]
-                use = params["valid"][k]
-                s, y, yd = params["s"][k], params["y"][k], params["yd"][k]
-                ys = params["ys"][k]
-                # B_k s is approximated by applying the recursion so far to s;
-                # to keep the loop first-order we use the standard structured
-                # update with B_k s ~ previous accumulated application.
-                Bs = s / params["gamma"] if scaling else s
-                a = yd - Bs
-                t = jnp.where(use, 1.0 / ys, 0.0)
-                upd = (jnp.vdot(a, v) * t) * y + (jnp.vdot(y, v) * t) * a \
-                    - (jnp.vdot(s, a) * jnp.vdot(y, v) * t * t) * y
-                return (r + jnp.where(use, 1.0, 0.0) * upd,)
-
-            (r,) = jax.lax.fori_loop(0, mem, body, (r,))
-            return r
-
-        super().__init__(n, n, matvec=mv, params=data, _takes_params=True,
-                         symmetric=True, hermitian=True, dtype=dtype, **kwargs)
+        super().__init__(n, n, matvec=_structured_mv_factory(bool(scaling)),
+                         params=data, _takes_params=True,
+                         symmetric=True, hermitian=True, dtype=dtype,
+                         **kwargs)
 
     @property
     def data(self):
@@ -355,8 +391,11 @@ class StructuredLBFGSOperator(LinearOperator):
         yd = jnp.asarray(new_yd)
         d = self._params
         ys = jnp.vdot(y, s)
-        norms = jnp.linalg.norm(s) * jnp.linalg.norm(y)
-        accept = jnp.abs(ys) >= self.accept_threshold * norms
+        # Reference acceptance (lbfgs.py:330-342): y's + sqrt(y's * s'Bs)
+        # >= threshold, with B the CURRENT approximation.
+        sBs = jnp.vdot(s, self.apply_with(self._mv, s))
+        accept = (ys + jnp.sqrt(jnp.maximum(ys * sBs, 0.0))
+                  >= self.accept_threshold)
 
         def _ins(d):
             mem = d["s"].shape[0]

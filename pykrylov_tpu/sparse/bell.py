@@ -694,7 +694,7 @@ def _pack_levels(coo, nb_max, spill_cost, levels):
 
 def bell_operator(source, shape=None, symmetric=False, interpret=None,
                   nb_max: int = NB_MAX, spill_cost: float = None,
-                  reorder=False, levels: int = 2):
+                  reorder=False, levels: int = 2, with_transpose=True):
     """Wrap a matrix as a LinearOperator whose matvec is the BELL kernel.
 
     ``source``: COO container or ``(vals, rows, cols, shape)`` triples or
@@ -713,6 +713,10 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
     ``reorder=True`` packs the RCM-permuted matrix (square only) and
     wraps the permutation into the matvec (two O(m) gathers per apply) —
     the operator still acts in the ORIGINAL ordering.
+
+    ``with_transpose=False`` skips packing A^T (halves construction for
+    forward-only uses like CG/MINRES or benchmarking); ``op.T @ y`` then
+    raises.
     """
     from ..ops.base import LinearOperator
 
@@ -731,13 +735,14 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
     if reorder:
         coo, perm = reorder_rcm(coo)
     sc = _SPILL_BYTES if spill_cost is None else spill_cost
+    skip_bwd = symmetric or not with_transpose
     if levels <= 1:
         fwd = (bell_from_coo(coo, nb_max=nb_max, spill_cost=spill_cost),)
-        bwd = None if symmetric else (bell_from_coo(
+        bwd = None if skip_bwd else (bell_from_coo(
             F.transpose_coo(coo), nb_max=nb_max, spill_cost=spill_cost),)
     else:
         fwd = _pack_levels(coo, nb_max, sc, levels)
-        bwd = None if symmetric else _pack_levels(
+        bwd = None if skip_bwd else _pack_levels(
             F.transpose_coo(coo), nb_max, sc, levels)
 
     if interpret is None:
@@ -749,7 +754,12 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
 
     factory = _bell_mv_factory if perm is None else _bell_mv_perm_factory
     mv = factory(0, _cfg(fwd), m, interpret)
-    rmv = mv if symmetric else factory(1, _cfg(bwd), n, interpret)
+    if symmetric:
+        rmv = mv
+    elif bwd is None:
+        rmv = None
+    else:
+        rmv = factory(1, _cfg(bwd), n, interpret)
 
     params = (fwd, bwd)
     if perm is not None:

@@ -107,3 +107,76 @@ class TestStructuredLBFGS:
                 y = -y
             S.store(jnp.asarray(s), jnp.asarray(y), jnp.asarray(y))
         assert check_symmetric(S)
+
+    @staticmethod
+    def _dense_oracle(pairs, n, gamma):
+        """Apply the structured secant updates to an explicit matrix:
+        B <- B + (A y' + y A')/y's - (s'A) y y'/(y's)^2, A = yd - B s."""
+        B = np.eye(n) / gamma
+        for s, y, yd in pairs:
+            ys = y @ s
+            A = yd - B @ s
+            B = (B + (np.outer(A, y) + np.outer(y, A)) / ys
+                 - (s @ A) * np.outer(y, y) / ys**2)
+        return B
+
+    def test_matches_dense_oracle(self, rng):
+        S = StructuredLBFGSOperator(N, NPAIRS, scaling=False,
+                                    dtype=np.float64)
+        pairs = []
+        for _ in range(3):  # within memory
+            s = rng.standard_normal(N)
+            y = rng.standard_normal(N)
+            if np.dot(s, y) < 0:
+                y = -y
+            yd = y + 0.1 * rng.standard_normal(N)
+            pairs.append((s, y, yd))
+            S.store(jnp.asarray(s), jnp.asarray(y), jnp.asarray(yd))
+        B = self._dense_oracle(pairs, N, 1.0)
+        v = rng.standard_normal(N)
+        np.testing.assert_allclose(np.asarray(S * jnp.asarray(v)), B @ v,
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.abs(B - B.T).max(), 0, atol=1e-12)
+
+    def test_structured_secant_condition(self, rng):
+        # B_{k+1} s_k = yd_k must hold exactly for the newest pair
+        S = StructuredLBFGSOperator(N, NPAIRS, scaling=False,
+                                    dtype=np.float64)
+        for _ in range(4):
+            s = rng.standard_normal(N)
+            y = rng.standard_normal(N)
+            if np.dot(s, y) < 0:
+                y = -y
+            yd = y + 0.05 * rng.standard_normal(N)
+            S.store(jnp.asarray(s), jnp.asarray(y), jnp.asarray(yd))
+            np.testing.assert_allclose(np.asarray(S * jnp.asarray(s)), yd,
+                                       rtol=1e-9, atol=1e-9)
+
+    def test_oracle_with_eviction(self, rng):
+        # more pairs than memory: the oracle sees only the surviving ones,
+        # but each surviving A_k was formed against the FULL history B_k —
+        # replay the evicted prefix into the starting matrix.
+        mem = 3
+        S = StructuredLBFGSOperator(N, mem, scaling=False, dtype=np.float64)
+        allp = []
+        for _ in range(5):
+            s = rng.standard_normal(N)
+            y = rng.standard_normal(N)
+            if np.dot(s, y) < 0:
+                y = -y
+            yd = y + 0.1 * rng.standard_normal(N)
+            allp.append((s, y, yd))
+            S.store(jnp.asarray(s), jnp.asarray(y), jnp.asarray(yd))
+        # operator rebuilds from B0=I using only the live window
+        B = self._dense_oracle(allp[-mem:], N, 1.0)
+        v = rng.standard_normal(N)
+        np.testing.assert_allclose(np.asarray(S * jnp.asarray(v)), B @ v,
+                                   rtol=1e-9, atol=1e-9)
+
+    def test_rejects_bad_pair(self, rng):
+        S = StructuredLBFGSOperator(N, NPAIRS, scaling=False,
+                                    dtype=np.float64)
+        s = rng.standard_normal(N)
+        y = -s  # y's < 0 and s'Bs > 0: acceptance test fails
+        S.store(jnp.asarray(s), jnp.asarray(y), jnp.asarray(y))
+        assert not bool(np.asarray(S.data["valid"]).any())
