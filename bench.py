@@ -59,24 +59,35 @@ def bench_bell():
     from pykrylov_tpu.sparse.bell import bell_operator
     from pykrylov_tpu.sparse.linop import operator_from_coo
 
+    import sys
+
+    def note(msg):
+        print("[bench_bell] %s" % msg, file=sys.stderr, flush=True)
+
     on_tpu = jax.default_backend() == "tpu"
     tiles = 1024 if on_tpu else 2
-    iters = 1000 if on_tpu else 2
+    iters = 300 if on_tpu else 2
     vals, rows, cols, shape = tiled_general_coo(tiles=tiles)
     rowsum = np.zeros(shape[0])
     np.add.at(rowsum, rows, np.abs(vals))
     vals = (vals / rowsum.max()).astype(np.float32)  # chain stays finite
     n = shape[0]
 
+    # levels=1/spill_cost=None is what the level-comparison picks for this
+    # matrix anyway (thin tail); forcing it skips two discarded packings.
+    t0 = time.perf_counter()
     op = bell_operator((vals, rows, cols, shape), with_transpose=False,
-                       interpret=not on_tpu)
+                       interpret=not on_tpu, levels=1, spill_cost=None)
+    note("pack+ship %.1fs" % (time.perf_counter() - t0))
     mv, params = op._mv, op._params
 
     @jax.jit
     def chain(params, x):
         return jax.lax.fori_loop(0, iters, lambda _, x: mv(params, x), x)
 
+    t0 = time.perf_counter()
     float(chain(params, jnp.ones(n, jnp.float32))[0])  # compile
+    note("compile %.1fs" % (time.perf_counter() - t0))
     best = np.inf
     for rep in range(3):
         xr = jnp.full(n, 1.0 + 0.1 * rep, jnp.float32)
@@ -84,6 +95,7 @@ def bench_bell():
         t0 = time.perf_counter()
         float(chain(params, xr)[0])
         best = min(best, time.perf_counter() - t0)
+    note("timed reps done, best %.3fs" % best)
     nnz = sum(b.nnz for b in params[0])
     peak = peak_bandwidth_gbps()
     nnz_per_s = iters * nnz / best
@@ -91,7 +103,7 @@ def bench_bell():
 
     # XLA ELL baseline (the path a general matrix takes without the
     # Pallas kernel) — a few iterations suffice, it is ~500x slower.
-    eiters = 5 if on_tpu else 2
+    eiters = 3 if on_tpu else 2
     ell = F.ell_from_coo(F.coo_from_arrays(vals, rows, cols, shape,
                                            device=False), pad_to=4)
     ed, ei = jnp.asarray(ell.data), jnp.asarray(ell.cols)
@@ -101,12 +113,16 @@ def bench_bell():
         return jax.lax.fori_loop(
             0, eiters, lambda _, x: F.ell_matvec(F.ELL(ed, ei, shape), x), x)
 
+    t0 = time.perf_counter()
     float(ell_chain(ed, ei, jnp.ones(n, jnp.float32))[0])
+    note("ell compile %.1fs" % (time.perf_counter() - t0))
     t0 = time.perf_counter()
     float(ell_chain(ed, ei, jnp.full(n, 1.1, jnp.float32))[0])
     ell_ms = (time.perf_counter() - t0) / eiters * 1e3
+    note("ell timed")
 
     # auto-format policy check at a size the packer finishes quickly
+    # (>= the 4096-row auto threshold)
     demo = tiled_general_coo(tiles=8)
     auto_op = operator_from_coo(demo[0].astype(np.float32), demo[1],
                                 demo[2], demo[3], fmt="auto")

@@ -23,9 +23,10 @@ from .mesh import make_mesh, default_mesh, device_mesh_info
 from .sharded import (shard_vector, replicate, shard_operator,
                       sharded_poisson3d)
 from .halo import HaloDiaOperator
+from .gather import GatherEllOperator, build_gather_schedule
 
 __all__ = [
     "make_mesh", "default_mesh", "device_mesh_info",
     "shard_vector", "replicate", "shard_operator", "sharded_poisson3d",
-    "HaloDiaOperator",
+    "HaloDiaOperator", "GatherEllOperator", "build_gather_schedule",
 ]

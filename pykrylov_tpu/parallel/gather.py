@@ -1,0 +1,202 @@
+"""Partition-time gather schedule for row-sharded *general* sparsity.
+
+The generic sharded-ELL fallback lets XLA all-gather the full x vector
+before every matvec (``sharded.py``): d·(d−1)·L entries of traffic per
+step regardless of the sparsity pattern.  Real general matrices touch
+only a few remote columns per device, so this operator computes — at
+partition time, on the host — exactly which x entries each device needs
+from each other device, and exchanges only those via one
+``lax.ppermute`` round per mesh shift (the TPU analogue of the
+reference-era MPI ``Alltoallv`` neighbor exchange; traffic rides the ICI
+ring).  Column indices are remapped into each device's private address
+space ``[local x block | round-1 buffer | round-2 buffer | ...]`` so the
+local compute is a plain ELL gather/reduce.
+
+Zero-padding slots in the ELL container (data == 0) are remapped to
+local index 0: they multiply by zero, so they must not generate remote
+requests.
+
+Communication accounting is exposed as ``comm_entries_per_matvec``
+(scheduled, padded to the per-round max) vs
+``allgather_entries_per_matvec`` — the measured-volume evidence SURVEY
+§7 ("halo exchange generality") calls for.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.base import LinearOperator, _register_as_linop
+from ..sparse import formats as F
+from .mesh import ROW_AXIS
+from .sharded import pad_to_multiple
+
+__all__ = ["GatherEllOperator", "build_gather_schedule"]
+
+
+def build_gather_schedule(cols, data, d, L):
+    """Host-side schedule: per (device, shift) request lists + remapping.
+
+    Parameters: ``cols``/``data`` (mp, K) NumPy ELL arrays (mp = d·L).
+    Returns ``(cols_local, sendidx, lens)`` where
+
+      * ``cols_local`` (mp, K) int32 — column indices remapped into each
+        device's private address space;
+      * ``sendidx`` — tuple over shifts k=1..d-1 of (d, Lk) int32: row j
+        holds the local x indices device j sends in round k (to device
+        ``(j-k) % d``), zero-padded to the round's max Lk;
+      * ``lens`` — tuple of true (unpadded) per-device request counts
+        per round, for traffic accounting.
+    """
+    cols = np.asarray(cols)
+    data = np.asarray(data)
+    mp, K = cols.shape
+    assert mp == d * L
+    owner = cols // L
+    dev = (np.arange(mp) // L)[:, None]
+    live = data != 0
+    # shift of each slot's owner relative to its row's device
+    shift = (owner - dev) % d
+
+    cols_local = np.zeros((mp, K), dtype=np.int32)
+    # local entries (and dead padding slots -> 0)
+    local_mask = live & (shift == 0)
+    cols_local[local_mask] = (cols[local_mask] % L).astype(np.int32)
+
+    sendidx, lens = [], []
+    offset = L  # running base of the per-round buffers
+    for k in range(1, d):
+        reqs = []
+        for i in range(d):
+            rows = slice(i * L, (i + 1) * L)
+            mask = live[rows] & (shift[rows] == k)
+            reqs.append(np.unique(cols[rows][mask]) % L)
+        Lk = max((len(r) for r in reqs), default=0)
+        lens.append(tuple(len(r) for r in reqs))
+        if Lk == 0:
+            sendidx.append(np.zeros((d, 0), dtype=np.int32))
+            continue
+        # receiver i's request list, padded; device j sends what its
+        # round-k receiver (j-k)%d asked for
+        req_pad = np.zeros((d, Lk), dtype=np.int32)
+        for i in range(d):
+            req_pad[i, :len(reqs[i])] = reqs[i]
+        send = np.zeros((d, Lk), dtype=np.int32)
+        for j in range(d):
+            send[j] = req_pad[(j - k) % d]
+        sendidx.append(send)
+        # remap this round's remote references
+        for i in range(d):
+            rows = slice(i * L, (i + 1) * L)
+            mask = live[rows] & (shift[rows] == k)
+            pos = np.searchsorted(reqs[i], cols[rows][mask] % L)
+            block = cols_local[rows]
+            block[mask] = (offset + pos).astype(np.int32)
+            cols_local[rows] = block
+        offset += Lk
+    return cols_local, tuple(map(jnp.asarray, sendidx)), tuple(lens)
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_mv_factory(axis, n_dev, round_lens, mesh):
+    """shard_map-wrapped scheduled-gather ELL matvec, memoized per config
+    so equal-config operators share one function object (pytree aux)."""
+    perms = [tuple((j, (j - k) % n_dev) for j in range(n_dev))
+             for k in range(1, n_dev)]
+
+    def local_mv(data_blk, cols_blk, x_blk, *send_blks):
+        bufs = [x_blk]
+        for k, Lk in enumerate(round_lens):
+            if Lk == 0:
+                continue
+            out = jax.lax.ppermute(x_blk[send_blks[k][0]], axis,
+                                   perm=list(perms[k]))
+            bufs.append(out)
+        xfull = jnp.concatenate(bufs) if len(bufs) > 1 else bufs[0]
+        return jnp.sum(data_blk * xfull[cols_blk], axis=1)
+
+    nsend = len(round_lens)
+    mapped = shard_map(
+        local_mv, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis))
+        + (P(axis, None),) * nsend,
+        out_specs=P(axis))
+
+    def mv(params, x):
+        data, cols, send = params
+        return mapped(data, cols, x, *send)
+
+    return mv
+
+
+class GatherEllOperator(LinearOperator):
+    """Row-sharded general-sparsity operator with a partition-time gather
+    schedule instead of the all-gather fallback.
+
+    Parameters
+    ----------
+    ell : :class:`pykrylov_tpu.sparse.formats.ELL` container (square) or a
+        COO container (converted).
+    mesh : 1-D ``jax.sharding.Mesh``; rows are blocked over ``axis``.
+    symmetric : structural+value symmetry contract for ``op.T``.
+
+    Acts on vectors of length ``m + self.pad`` sharded with
+    :func:`~pykrylov_tpu.parallel.sharded.shard_vector`.
+    """
+
+    def __init__(self, ell, mesh, axis=ROW_AXIS, symmetric=False, **kwargs):
+        if isinstance(ell, F.COO):
+            ell = F.ell_from_coo(ell, device=False)
+        m, n = ell.shape
+        if m != n:
+            raise ValueError("GatherEllOperator expects a square operator")
+        d = mesh.shape[axis]
+        mp = pad_to_multiple(m, d)
+        L = mp // d
+        K = ell.data.shape[1]
+
+        data = np.zeros((mp, K), dtype=np.asarray(ell.data).dtype)
+        cols = np.zeros((mp, K), dtype=np.int64)
+        data[:m] = np.asarray(ell.data)
+        cols[:m] = np.asarray(ell.cols)
+
+        cols_local, sendidx, lens = build_gather_schedule(cols, data, d, L)
+        round_lens = tuple(s.shape[1] for s in sendidx)
+
+        sh2 = NamedSharding(mesh, P(axis, None))
+        data_s = jax.device_put(jnp.asarray(data), sh2)
+        cols_s = jax.device_put(jnp.asarray(cols_local), sh2)
+        send_s = tuple(jax.device_put(s, sh2) for s in sendidx)
+
+        mv = _gather_mv_factory(axis, d, round_lens, mesh)
+
+        is_complex = np.issubdtype(data.dtype, np.complexfloating)
+        super().__init__(mp, mp, matvec=mv,
+                         matvec_transp=mv if symmetric else None,
+                         params=(data_s, cols_s, send_s),
+                         _takes_params=True, symmetric=symmetric,
+                         hermitian=symmetric and not is_complex,
+                         dtype=data.dtype, **kwargs)
+        self.pad = mp - m
+        self.mesh = mesh
+        # padded entries actually shipped per matvec vs the all-gather
+        self.comm_entries_per_matvec = int(sum(d * Lk for Lk in round_lens))
+        self.comm_entries_true = int(sum(sum(t) for t in lens))
+        self.allgather_entries_per_matvec = int(d * (d - 1) * L)
+
+    @property
+    def container(self):
+        return self._params
+
+
+_register_as_linop(GatherEllOperator)

@@ -8,8 +8,10 @@ loops into per-device programs with the right collectives:
     ``psum`` over the ``rows`` axis;
   * axpys stay local (no communication);
   * ELL matvec ``sum(data * x[cols], axis=1)`` with row-sharded data and
-    row-sharded x → all-gather of x + local gather/reduce — the general-
-    sparsity fallback (SURVEY §7 "halo exchange generality");
+    row-sharded x → all-gather of x + local gather/reduce — the generic
+    fallback; :class:`~pykrylov_tpu.parallel.gather.GatherEllOperator`
+    replaces it with a partition-time schedule that ships only the
+    referenced entries (SURVEY §7 "halo exchange generality");
   * DIA matvec via :class:`~pykrylov_tpu.parallel.halo.HaloDiaOperator`
     uses explicit neighbor exchange instead (cheaper for stencils).
 

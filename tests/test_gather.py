@@ -1,0 +1,119 @@
+"""Partition-time gather schedule for sharded general sparsity
+(`parallel/gather.py`) on the virtual 8-device CPU mesh.
+
+Replaces the all-gather fallback (SURVEY §7 "halo exchange generality"):
+results must match the all-gather path exactly while shipping a
+measured, much smaller volume.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pykrylov_tpu.parallel import make_mesh, shard_vector, shard_operator
+from pykrylov_tpu.parallel.gather import (GatherEllOperator,
+                                          build_gather_schedule)
+from pykrylov_tpu.sparse import formats as F
+from pykrylov_tpu.sparse.linop import SparseOperator
+from pykrylov_tpu.io.datasets import load_bundled
+from pykrylov_tpu.solvers.cg import cg
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def _dense(vals, rows, cols, shape):
+    a = np.zeros(shape)
+    np.add.at(a, (rows, cols), vals)
+    return a
+
+
+def test_jpwh_matvec_matches_and_ships_less(mesh):
+    vals, rows, cols, shape = load_bundled("jpwh_991")
+    a = _dense(vals, rows, cols, shape)
+    coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+    op = GatherEllOperator(coo, mesh)
+    x = np.random.default_rng(0).standard_normal(op.nargin)
+    xs = shard_vector(jnp.asarray(x), mesh)
+    y = np.asarray(op @ xs)
+    ref = a @ x[:shape[1]]
+    np.testing.assert_allclose(y[:shape[0]], ref, rtol=1e-12, atol=1e-12)
+    assert np.all(y[shape[0]:] == 0)
+    # scheduled traffic must be far below the all-gather volume
+    assert op.comm_entries_per_matvec < op.allgather_entries_per_matvec
+    assert op.comm_entries_per_matvec < 0.5 * op.allgather_entries_per_matvec
+    assert op.comm_entries_true <= op.comm_entries_per_matvec
+
+
+def test_matches_allgather_path(mesh):
+    # identical results to the generic sharded-ELL (all-gather) operator
+    vals, rows, cols, shape = load_bundled("jpwh_991")
+    coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+    ell = F.ell_from_coo(coo, device=False)
+    base = SparseOperator(ell, None, symmetric=False)
+    ag_op, pad = shard_operator(
+        SparseOperator(ell, F.ell_from_coo(F.transpose_coo(coo),
+                                           device=False)), mesh)
+    g_op = GatherEllOperator(coo, mesh)
+    assert g_op.nargin == ag_op.nargin
+    x = np.random.default_rng(1).standard_normal(g_op.nargin)
+    xs = shard_vector(jnp.asarray(x), mesh)
+    np.testing.assert_allclose(np.asarray(g_op @ xs),
+                               np.asarray(ag_op @ xs),
+                               rtol=1e-13, atol=1e-13)
+
+
+def test_banded_schedule_is_neighbor_only(mesh):
+    # a banded matrix needs entries only from adjacent shards: all rounds
+    # beyond shift 1 and d-1 (wraparound neighbor) must be empty
+    n = 512
+    rng = np.random.default_rng(2)
+    rows = np.repeat(np.arange(n), 3)
+    cols = np.clip(rows + rng.integers(-20, 21, size=len(rows)), 0, n - 1)
+    vals = rng.standard_normal(len(rows))
+    coo = F.coo_from_arrays(vals, rows, cols, (n, n), device=False)
+    op = GatherEllOperator(coo, mesh)
+    data, colsl, send = op._params
+    lens = [s.shape[1] for s in send]
+    assert lens[0] > 0          # shift 1 (right neighbor)
+    assert all(l == 0 for l in lens[1:-1])
+    x = rng.standard_normal(op.nargin)
+    xs = shard_vector(jnp.asarray(x), mesh)
+    a = _dense(vals, rows, cols, (n, n))
+    np.testing.assert_allclose(np.asarray(op @ xs)[:n], a @ x[:n],
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_cg_through_gather_operator(mesh):
+    n = 600
+    rng = np.random.default_rng(3)
+    a = np.zeros((n, n))
+    for off in (-7, -1, 0, 1, 7):
+        a += np.diag(rng.standard_normal(n - abs(off)) * 0.1, off)
+    a = a @ a.T + np.eye(n) * 4
+    rr, cc = np.nonzero(a)
+    coo = F.coo_from_arrays(a[rr, cc], rr, cc, (n, n), device=False)
+    op = GatherEllOperator(coo, mesh, symmetric=True)
+    b = np.zeros(op.nargin)
+    b[:n] = rng.standard_normal(n)
+    bs = shard_vector(jnp.asarray(b), mesh)
+    res = cg(op, bs, rtol=1e-10, atol=0.0, maxiter=4 * n)
+    x = np.asarray(res.x)[:n]
+    assert np.linalg.norm(a @ x - b[:n]) <= 1e-8 * np.linalg.norm(b)
+
+
+def test_schedule_skips_dead_padding():
+    # ELL padding slots (data == 0) must not create remote requests
+    d, L = 4, 8
+    cols = np.zeros((d * L, 2), dtype=np.int64)
+    data = np.zeros((d * L, 2))
+    # one live local entry per row; dead slots point at a remote column
+    cols[:, 0] = np.arange(d * L)
+    data[:, 0] = 1.0
+    cols[:, 1] = 0  # owned by device 0: remote for devices 1..3 if live
+    cols_local, send, lens = build_gather_schedule(cols, data, d, L)
+    assert all(s.shape[1] == 0 for s in send)
+    assert np.all(cols_local[:, 1] == 0)
