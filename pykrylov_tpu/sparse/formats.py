@@ -257,6 +257,29 @@ def ell_matvec(a: ELL, x):
     return jnp.sum(a.data * x[a.cols], axis=1)
 
 
+def ell_matvec_ff(a: ELL, xh, xl):
+    """Compensated (double-f32) ELL matvec: ``A (xh + xl)`` as an
+    (hi, lo) pair accurate to ~2x-f32.
+
+    Error-free TwoProd per slot + a TwoSum cascade over the K row slots
+    (static unroll; K is small).  Used by the verified-convergence CG
+    residual replacement (:mod:`pykrylov_tpu.utils.ff`) — the plain f32
+    matvec cannot evaluate residuals below ~eps·|A||x|.
+    """
+    from ..utils.ff import two_prod, two_sum
+    gh = xh[a.cols]
+    gl = xl[a.cols]
+    p, pe = two_prod(a.data, gh)
+    pe = pe + a.data * gl
+    m, K = p.shape
+    yh = jnp.zeros(m, dtype=p.dtype)
+    yl = jnp.zeros(m, dtype=p.dtype)
+    for k in range(K):  # static unroll over the padded row width
+        s, e = two_sum(yh, p[:, k])
+        yh, yl = two_sum(s, yl + e + pe[:, k])
+    return yh, yl
+
+
 def dia_matvec(a: DIA, x):
     """y[i] = sum_d data[d, i] * x[i + off_d] as static shifted slices.
 

@@ -11,8 +11,8 @@ import pytest
 import jax.numpy as jnp
 
 import pykrylov_tpu as pk
-from pykrylov_tpu.solvers.minres import minres
-from pykrylov_tpu.solvers.lsqr import lsqr
+from pykrylov_tpu.solvers.minres import minres, ISTOP_MSG as MINRES_MSG
+from pykrylov_tpu.solvers.lsqr import lsqr, ISTOP_MSG as LSQR_MSG
 
 
 def _spd(n, seed=0):
@@ -36,7 +36,7 @@ def test_minres_show_table(capsys):
     # final status block
     assert "istop   =" in outp and "Anorm   =" in outp
     assert "Arnorm  =" in outp
-    assert pk.solvers.minres.ISTOP_MSG[int(res.istop)] in outp
+    assert MINRES_MSG[int(res.istop)] in outp
 
 
 def test_minres_show_matches_info(capsys):
@@ -60,7 +60,7 @@ def test_lsqr_show_table(capsys):
     assert "Itn      x(1)       r1norm     r2norm" in outp
     assert "LSQR finished" in outp
     assert "istop =" in outp and "xnorm  =" in outp
-    assert pk.solvers.lsqr.ISTOP_MSG[int(res.istop)] in outp
+    assert LSQR_MSG[int(res.istop)] in outp
     # row 0 prints the pre-loop state (itn=0, x=0)
     assert re.search(r"^\s+0\s+0\.00000e\+00", outp, re.M)
 
