@@ -2,19 +2,20 @@
 volume accounting (BASELINE ">=75% weak-scaling efficiency").
 
 Runs on whatever devices exist: a virtual 8-device CPU mesh by default
-(the collectives are real; absolute times are not TPU times), or a real
-slice with PYKRYLOV_REAL_MESH=1.  Writes one JSON report (stdout + file
-given by --out) with:
+(the collectives are real; absolute times are CPU times, so the curve
+validates wiring and communication *structure*, to be re-run as-is on a
+real slice with PYKRYLOV_REAL_MESH=1).  Emits one JSON report with:
 
-  * weak-scaling curve: preconditioned halo-exchange CG on generated 3-D
-    Poisson, fixed per-device load, 1..D devices — per-iteration time
-    and efficiency vs 1 device;
-  * communication accounting per matvec at each width: halo exchange
-    volume (2·w·dtype per device) vs the generic all-gather volume, and
-    the partition-time gather schedule's measured entries on a general
-    matrix (jpwh_991 pattern) vs its all-gather fallback.
+  * weak-scaling curve: Jacobi-preconditioned halo-exchange CG on
+    generated 3-D Poisson, fixed per-device load, 1..D devices —
+    per-iteration time and efficiency vs 1 device;
+  * communication accounting per matvec: halo-exchange volume
+    (2·w·dtype per device, size-independent) vs the generic all-gather
+    volume at each width, and the partition-time gather schedule's
+    entries on a general matrix (jpwh_991 pattern, 8-way) vs its
+    all-gather fallback (parallel/gather.py).
 
-Usage: python bench_scaling.py [--out SCALING.json] [--scale N]
+Usage: python bench_scaling.py [--out SCALING_r02.json] [--scale N]
 """
 
 import os as _os
@@ -35,4 +36,105 @@ import time
 
 import numpy as np
 import jax
-import jnp_shim  # noqa: F401  (placeholder guard; removed below if absent)
+import jax.numpy as jnp
+
+
+def weak_scaling_curve(scale):
+    from pykrylov_tpu.parallel import make_mesh, sharded_poisson3d, replicate
+    from pykrylov_tpu.ops import DiagonalOperator
+    from pykrylov_tpu.solvers import cg
+
+    n_avail = len(jax.devices())
+    rows = []
+    t1 = None
+    d = 1
+    while d <= n_avail:
+        n_grid = int(round(scale * d ** (1.0 / 3.0)))
+        mesh = make_mesh(d)
+        op, b, e, pad = sharded_poisson3d(n_grid, mesh, halo=True,
+                                          dtype=np.float32)
+        m = n_grid ** 3 + pad
+        M = DiagonalOperator(replicate(
+            jnp.full(m, 1.0 / 6.0, dtype=jnp.float32), mesh))
+        res = cg(op, b, M=M, rtol=1e-6, maxiter=2 * m)  # compile+converge
+        jax.block_until_ready(res.x)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(cg(op, b, M=M, rtol=1e-6,
+                                     maxiter=2 * m).x)
+            best = min(best, time.perf_counter() - t0)
+        iters = int(res.n_iter)
+        tpi = best / max(iters, 1)
+        if t1 is None:
+            t1 = tpi
+        halo_bytes = 2 * op.halo_width * 4  # per device per matvec
+        allgather_bytes = (d - 1) * (m // d) * 4
+        rows.append({
+            "devices": d, "grid_n": n_grid, "unknowns": n_grid ** 3,
+            "iters": iters, "time_s": round(best, 4),
+            "time_per_iter_ms": round(tpi * 1e3, 4),
+            "weak_efficiency": round(t1 / tpi, 4),
+            "converged": bool(res.converged),
+            "halo_bytes_per_dev_per_mv": halo_bytes,
+            "allgather_bytes_per_dev_per_mv": allgather_bytes,
+            "comm_reduction_x": round(allgather_bytes / max(halo_bytes, 1),
+                                      1),
+        })
+        d *= 2
+    return rows
+
+
+def gather_schedule_accounting():
+    from pykrylov_tpu.parallel import make_mesh
+    from pykrylov_tpu.parallel.gather import GatherEllOperator
+    from pykrylov_tpu.sparse import formats as F
+    from pykrylov_tpu.io.datasets import load_bundled
+
+    d = min(8, len(jax.devices()))
+    mesh = make_mesh(d)
+    vals, rows, cols, shape = load_bundled("jpwh_991")
+    coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+    op = GatherEllOperator(coo, mesh)
+    return {
+        "matrix": "jpwh_991", "devices": d,
+        "scheduled_entries_per_mv": op.comm_entries_per_matvec,
+        "scheduled_entries_unpadded": op.comm_entries_true,
+        "allgather_entries_per_mv": op.allgather_entries_per_matvec,
+        "reduction_x": round(op.allgather_entries_per_matvec
+                             / max(1, op.comm_entries_per_matvec), 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALING_r02.json")
+    ap.add_argument("--scale", type=int, default=32,
+                    help="per-device grid scale (n = scale * d^(1/3))")
+    args = ap.parse_args()
+
+    host_cores = len(_os.sched_getaffinity(0))
+    report = {
+        "backend": jax.default_backend(),
+        "devices": len(jax.devices()),
+        "host_cores": host_cores,
+        "device_kind": str(jax.devices()[0]),
+        "virtual_mesh": not bool(_os.environ.get("PYKRYLOV_REAL_MESH")),
+        "note": ("virtual CPU mesh: collectives, sharding and the "
+                 "communication-volume accounting are real and transfer "
+                 "to hardware; the wall-clock weak_efficiency column "
+                 "does NOT (virtual devices share %d host cores, so the "
+                 "oversubscribed runs time the host, not the mesh) — "
+                 "re-run with PYKRYLOV_REAL_MESH=1 on a slice for real "
+                 "efficiency" % host_cores),
+        "weak_scaling": weak_scaling_curve(args.scale),
+        "general_sparsity_gather_schedule": gather_schedule_accounting(),
+    }
+    out = json.dumps(report, indent=1)
+    print(out)
+    with open(args.out, "w") as f:
+        f.write(out + "\n")
+
+
+if __name__ == "__main__":
+    main()
