@@ -24,9 +24,13 @@ from .sharded import (shard_vector, replicate, shard_operator,
                       sharded_poisson3d)
 from .halo import HaloDiaOperator
 from .gather import GatherEllOperator, build_gather_schedule
+from .halo2d import (Halo2DPoissonOperator, make_mesh2d, shard_vector_2d,
+                     to_bricks, from_bricks)
 
 __all__ = [
     "make_mesh", "default_mesh", "device_mesh_info",
     "shard_vector", "replicate", "shard_operator", "sharded_poisson3d",
     "HaloDiaOperator", "GatherEllOperator", "build_gather_schedule",
+    "Halo2DPoissonOperator", "make_mesh2d", "shard_vector_2d",
+    "to_bricks", "from_bricks",
 ]

@@ -1,0 +1,147 @@
+"""2-D mesh domain decomposition for the 3-D Poisson operator.
+
+Beyond ~10^9 unknowns a 1-D row-block split runs out: slabs get thinner
+than the stencil halo and the per-device halo fraction grows.  The 2-D
+mesh splits the grid's z axis over one mesh axis and y over the other
+(x stays whole per device — it is the vectorized lane dimension), so a
+``(R, C)`` mesh holds ``(n/R, n/C, n)`` subdomains and each matvec
+exchanges four faces via per-axis ``lax.ppermute`` — nearest-neighbor
+ICI traffic on both axes, volume ``2·(n/C + n/R)·n`` per device instead
+of the 1-D split's ``2·n²``.
+
+Vector layout: vectors are BRICK-ordered — global position
+``((zi·ry + yi)·brick + (z_loc·nyl + y_loc)·n + x)`` — so the flat
+vector sharded with ``PartitionSpec(("z", "y"))`` puts exactly one
+z-range × y-range × all-x brick on each device (a contiguous chunk of
+the NATURAL z-major ordering would be a plain z-split).
+:func:`to_bricks` / :func:`from_bricks` convert; all-constant vectors
+and norms/dots are permutation-invariant, so solvers run unchanged and
+XLA still inserts the psum reductions over both mesh axes.
+
+Reference scope note: the reference has no distributed operators at all
+(SURVEY §5); this is TPU-native surface, the mesh analogue of its
+gallery Poisson operators (``pykrylov/gallery``-equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from jax.sharding import AxisType, Mesh
+
+from ..ops.base import LinearOperator, _register_as_linop
+
+__all__ = ["make_mesh2d", "Halo2DPoissonOperator", "shard_vector_2d",
+           "to_bricks", "from_bricks"]
+
+
+def to_bricks(v, n, rz, ry):
+    """Natural (z,y,x)-ordered grid vector -> brick-ordered (see module
+    docstring).  Works on NumPy or jnp arrays."""
+    nzl, nyl = n // rz, n // ry
+    return (v.reshape(rz, nzl, ry, nyl, n)
+            .transpose(0, 2, 1, 3, 4).reshape(-1))
+
+
+def from_bricks(v, n, rz, ry):
+    """Inverse of :func:`to_bricks`."""
+    nzl, nyl = n // rz, n // ry
+    return (v.reshape(rz, ry, nzl, nyl, n)
+            .transpose(0, 2, 1, 3, 4).reshape(-1))
+
+
+def make_mesh2d(rz, ry, axis_names=("z", "y")):
+    """(rz x ry) device mesh with Auto axis types."""
+    devs = np.asarray(jax.devices()[:rz * ry]).reshape(rz, ry)
+    return Mesh(devs, axis_names,
+                axis_types=(AxisType.Auto, AxisType.Auto))
+
+
+def shard_vector_2d(x, mesh):
+    """Shard a flat (z,y,x)-ordered grid vector over both mesh axes."""
+    return jax.device_put(x, NamedSharding(mesh, P(tuple(mesh.axis_names))))
+
+
+@functools.lru_cache(maxsize=None)
+def _halo2d_mv_factory(n, rz, ry, az, ay, mesh):
+    nzl, nyl = n // rz, n // ry
+    fwd_z = [(i, (i + 1) % rz) for i in range(rz)]
+    bwd_z = [(i, (i - 1) % rz) for i in range(rz)]
+    fwd_y = [(i, (i + 1) % ry) for i in range(ry)]
+    bwd_y = [(i, (i - 1) % ry) for i in range(ry)]
+
+    def local_mv(scale_ref, v):
+        # v: flat local shard -> (nzl, nyl, n) brick
+        u = v.reshape(nzl, nyl, n)
+        zi = jax.lax.axis_index(az)
+        yi = jax.lax.axis_index(ay)
+
+        # z faces (nyl, n)
+        zlo = jax.lax.ppermute(u[-1], az, perm=fwd_z)
+        zhi = jax.lax.ppermute(u[0], az, perm=bwd_z)
+        zlo = jnp.where(zi == 0, jnp.zeros_like(zlo), zlo)
+        zhi = jnp.where(zi == rz - 1, jnp.zeros_like(zhi), zhi)
+        # y faces (nzl, n)
+        ylo = jax.lax.ppermute(u[:, -1], ay, perm=fwd_y)
+        yhi = jax.lax.ppermute(u[:, 0], ay, perm=bwd_y)
+        ylo = jnp.where(yi == 0, jnp.zeros_like(ylo), ylo)
+        yhi = jnp.where(yi == ry - 1, jnp.zeros_like(yhi), yhi)
+
+        up = jnp.pad(u, ((1, 1), (1, 1), (1, 1)))
+        up = up.at[0, 1:-1, 1:-1].set(zlo).at[-1, 1:-1, 1:-1].set(zhi)
+        up = up.at[1:-1, 0, 1:-1].set(ylo).at[1:-1, -1, 1:-1].set(yhi)
+
+        c = up[1:-1, 1:-1, 1:-1]
+        y = (6.0 * c
+             - up[:-2, 1:-1, 1:-1] - up[2:, 1:-1, 1:-1]
+             - up[1:-1, :-2, 1:-1] - up[1:-1, 2:, 1:-1]
+             - up[1:-1, 1:-1, :-2] - up[1:-1, 1:-1, 2:])
+        return (scale_ref * y).reshape(-1)
+
+    mapped = shard_map(local_mv, mesh=mesh,
+                       in_specs=(P(), P((az, ay))),
+                       out_specs=P((az, ay)))
+
+    def mv(params, x):
+        return mapped(params, x)
+
+    return mv
+
+
+class Halo2DPoissonOperator(LinearOperator):
+    """7-point 3-D Poisson operator on an (rz x ry) device mesh.
+
+    Acts on flat (z,y,x)-ordered vectors of length n^3 sharded with
+    :func:`shard_vector_2d`.  ``n`` must be divisible by both mesh
+    extents.  ``scale`` multiplies the stencil (1.0 gives the standard
+    [6, -1...] operator matching ``gallery.poisson3d_matvec``).
+    """
+
+    def __init__(self, n, mesh, scale=1.0, dtype=jnp.float32, **kwargs):
+        az, ay = mesh.axis_names
+        rz, ry = mesh.shape[az], mesh.shape[ay]
+        if n % rz or n % ry:
+            raise ValueError("grid n=%d must divide mesh (%d, %d)"
+                             % (n, rz, ry))
+        mv = _halo2d_mv_factory(int(n), int(rz), int(ry), az, ay, mesh)
+        scale = jnp.asarray(scale, dtype=dtype)
+        super().__init__(n**3, n**3, matvec=mv, params=scale,
+                         _takes_params=True, symmetric=True,
+                         hermitian=True, dtype=np.dtype(dtype), **kwargs)
+        self.mesh = mesh
+        self.grid_n = n
+        # per-device face-exchange volume per matvec, in elements
+        self.comm_elems_per_matvec = 2 * (n // rz + n // ry) * n
+
+
+_register_as_linop(Halo2DPoissonOperator)

@@ -1,0 +1,75 @@
+"""2-D mesh domain decomposition (parallel/halo2d.py) on the virtual
+8-device CPU mesh: matvec parity with the gallery stencil and full CG
+solves matching the 1-D halo path (VERDICT round-2 item 9)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pykrylov_tpu.parallel.halo2d import (Halo2DPoissonOperator,
+                                          make_mesh2d, shard_vector_2d,
+                                          to_bricks, from_bricks)
+from pykrylov_tpu.gallery.poisson import poisson3d_matvec
+from pykrylov_tpu.solvers.cg import cg
+
+
+@pytest.fixture(scope="module", params=[(2, 4), (4, 2), (1, 8), (8, 1)])
+def mesh2(request):
+    rz, ry = request.param
+    return make_mesh2d(rz, ry)
+
+
+def test_matvec_matches_gallery(mesh2):
+    n = 16
+    az, ay = mesh2.axis_names
+    rz, ry = mesh2.shape[az], mesh2.shape[ay]
+    op = Halo2DPoissonOperator(n, mesh2)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(n**3).astype(np.float32)
+    vb = to_bricks(v, n, rz, ry)
+    np.testing.assert_array_equal(from_bricks(vb, n, rz, ry), v)
+    vs = shard_vector_2d(jnp.asarray(vb), mesh2)
+    y = from_bricks(np.asarray(op @ vs), n, rz, ry)
+    ref = np.asarray(poisson3d_matvec(jnp.asarray(v)))
+    np.testing.assert_allclose(y, ref, rtol=2e-6, atol=2e-5)
+
+
+def test_cg_2d_matches_1d():
+    n = 16
+    m = n**3
+    e = np.ones(m, np.float64)
+
+    mesh2 = make_mesh2d(2, 4)
+    op2 = Halo2DPoissonOperator(n, mesh2, dtype=jnp.float64)
+    b2 = op2 @ shard_vector_2d(jnp.asarray(e), mesh2)  # e is brick-invariant
+    res2 = cg(op2, b2, rtol=1e-10, atol=0.0, maxiter=4 * m)
+    assert bool(res2.converged)
+    x2 = from_bricks(np.asarray(res2.x), n, 2, 4)
+
+    # 1-D halo path on the same system
+    from pykrylov_tpu.parallel import make_mesh, sharded_poisson3d
+    mesh1 = make_mesh(8)
+    op1, b1, e1, pad = sharded_poisson3d(n, mesh1, halo=True,
+                                         dtype=np.float64)
+    res1 = cg(op1, b1, rtol=1e-10, atol=0.0, maxiter=4 * m)
+    assert bool(res1.converged)
+    x1 = np.asarray(res1.x)[:m]
+
+    # same unknown ordering (flat z,y,x) in both layouts
+    np.testing.assert_allclose(x2, x1, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(x2, e, rtol=1e-7, atol=1e-7)
+
+
+def test_comm_volume_advantage():
+    n = 16
+    v1d = 2 * n * n  # 1-D split: two faces of n^2
+    op = Halo2DPoissonOperator(n, make_mesh2d(2, 4))
+    assert op.comm_elems_per_matvec == 2 * (n // 2 + n // 4) * n
+    assert op.comm_elems_per_matvec < 2 * v1d  # fewer than 2x faces of 1-D
+
+
+def test_bad_grid_raises():
+    with pytest.raises(ValueError):
+        Halo2DPoissonOperator(15, make_mesh2d(2, 4))
