@@ -96,3 +96,27 @@ def test_pallas_operator_transpose(rng):
     x[:m] = rng.standard_normal(m)
     y = np.asarray(op.T * jnp.asarray(x))
     np.testing.assert_allclose(y[:m], A.T @ x[:m], atol=1e-11)
+
+
+def test_ring_matches_blockspec_path():
+    # ring-buffered x (each block DMA'd once) must equal the BlockSpec
+    # halo-sliver path bit-for-bit in interpret mode
+    import numpy as np
+    from pykrylov_tpu.sparse import formats as F
+    from pykrylov_tpu.sparse.kernels import (ensure_dia_padded, pack_dia,
+                                             dia_matvec_packed)
+    from pykrylov_tpu.gallery.poisson import poisson3d_coo
+    vals, rows, cols, shape = poisson3d_coo(8, dtype=np.float32)
+    dia = F.dia_from_coo(F.COO(vals, rows.astype(np.int32),
+                               cols.astype(np.int32), shape),
+                         device=False)
+    block = 256
+    dia, _ = ensure_dia_padded(dia, block)
+    d3, offsets = pack_dia(dia, block)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        dia.shape[0]).astype(np.float32))
+    y_ring = dia_matvec_packed(d3, offsets, x, block=block,
+                               interpret=True, ring=True)
+    y_bs = dia_matvec_packed(d3, offsets, x, block=block,
+                             interpret=True, ring=False)
+    np.testing.assert_array_equal(np.asarray(y_ring), np.asarray(y_bs))
