@@ -19,7 +19,7 @@ import threading
 import numpy as np
 
 __all__ = ["available", "mm_parse_native", "ell_fill_native",
-           "dia_fill_native", "row_counts_native"]
+           "dia_fill_native", "row_counts_native", "bell_plan_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "native.cpp")
@@ -67,6 +67,9 @@ def _load():
         lib.row_counts.restype = None
         lib.row_counts.argtypes = [c.c_int64, c.c_void_p, c.c_int64,
                                    c.c_void_p]
+        lib.bell_plan.restype = c.c_int
+        lib.bell_plan.argtypes = [c.c_int64, c.c_void_p, c.c_void_p,
+                                  c.c_int64, c.c_double] + [c.c_void_p] * 4
         _lib = lib
         return lib
 
@@ -173,3 +176,27 @@ def row_counts_native(rows, m):
     counts = np.empty(m, dtype=np.int64)
     lib.row_counts(len(rows), _ptr(rows), m, _ptr(counts))
     return counts
+
+
+def bell_plan_native(rows, cols, nblocks, spill_cost):
+    """Per-block BELL window planning (the packer's Python hot spot).
+
+    ``rows``/``cols``: (row, col)-sorted int64 structure arrays.
+    ``spill_cost``: bytes charged per spilled entry, or None to disable.
+    Returns ``(e_base, e_woff, e_cap, depth_per_block)`` or ``None``
+    when the native library is unavailable.
+    """
+    if not available():
+        return None
+    lib = _load()
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    nnz = len(rows)
+    e_base = np.zeros(nnz, dtype=np.int64)
+    e_woff = np.zeros(nnz, dtype=np.int64)
+    e_cap = np.zeros(nnz, dtype=np.int64)
+    dpb = np.zeros(nblocks, dtype=np.int64)
+    sc = -1.0 if spill_cost is None else float(spill_cost)
+    lib.bell_plan(nnz, _ptr(rows), _ptr(cols), int(nblocks), sc,
+                  _ptr(e_base), _ptr(e_woff), _ptr(e_cap), _ptr(dpb))
+    return e_base, e_woff, e_cap, dpb

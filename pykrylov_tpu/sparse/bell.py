@@ -177,6 +177,37 @@ def _plan_block_windows(C, bu, spill_cost):
     return starts, depths, width
 
 
+def _plan_blocks_py(rs, cs, bs, bounds, nblocks, spill_cost):
+    """Pure-NumPy per-block window planning — the fallback for
+    environments without g++ (mirrors native.cpp ``bell_plan``)."""
+    e_base = np.zeros(len(rs), dtype=np.int64)   # window base band
+    e_woff = np.zeros(len(rs), dtype=np.int64)   # window row offset in blk
+    e_cap = np.zeros(len(rs), dtype=np.int64)    # window capped depth
+    depth_per_block = np.zeros(nblocks, dtype=np.int64)
+    for bi in range(nblocks):
+        lo, hi = bounds[bi], bounds[bi + 1]
+        if lo == hi:
+            continue
+        bloc = bs[lo:hi]
+        bu, bmap = np.unique(bloc, return_inverse=True)
+        C = np.zeros((LANES, len(bu)), dtype=np.int64)
+        np.add.at(C, (rs[lo:hi] % LANES, bmap), 1)
+        starts, depths, width = _plan_block_windows(C, bu, spill_cost)
+        # map band -> window index
+        wof = np.cumsum([0] + depths[:-1])
+        band2w = {}
+        for wi, (s, w) in enumerate(zip(starts, width)):
+            for bb in range(s, s + w):
+                band2w[bb] = wi
+        wsel = np.array([band2w[b] for b in bloc], dtype=np.int64)
+        darr = np.array(depths, dtype=np.int64)
+        e_base[lo:hi] = np.array(starts, dtype=np.int64)[wsel]
+        e_woff[lo:hi] = wof[wsel]
+        e_cap[lo:hi] = darr[wsel]
+        depth_per_block[bi] = int(np.sum(depths))
+    return e_base, e_woff, e_cap, depth_per_block
+
+
 def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
                   min_cols: int = 0, spill_cost: float = _SPILL_BYTES,
                   device: bool = True) -> BELL:
@@ -215,31 +246,19 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     blks = bs_blk = rs // LANES
     bounds = np.searchsorted(bs_blk, np.arange(nblocks + 1))
 
-    e_base = np.zeros(len(rs), dtype=np.int64)   # window base band
-    e_woff = np.zeros(len(rs), dtype=np.int64)   # window row offset in blk
-    e_cap = np.zeros(len(rs), dtype=np.int64)    # window capped depth
-    depth_per_block = np.zeros(nblocks, dtype=np.int64)
-    for bi in range(nblocks):
-        lo, hi = bounds[bi], bounds[bi + 1]
-        if lo == hi:
-            continue
-        bloc = bs[lo:hi]
-        bu, bmap = np.unique(bloc, return_inverse=True)
-        C = np.zeros((LANES, len(bu)), dtype=np.int64)
-        np.add.at(C, (rs[lo:hi] % LANES, bmap), 1)
-        starts, depths, width = _plan_block_windows(C, bu, spill_cost)
-        # map band -> window index
-        wof = np.cumsum([0] + depths[:-1])
-        band2w = {}
-        for wi, (s, w) in enumerate(zip(starts, width)):
-            for bb in range(s, s + w):
-                band2w[bb] = wi
-        wsel = np.array([band2w[b] for b in bloc], dtype=np.int64)
-        darr = np.array(depths, dtype=np.int64)
-        e_base[lo:hi] = np.array(starts, dtype=np.int64)[wsel]
-        e_woff[lo:hi] = wof[wsel]
-        e_cap[lo:hi] = darr[wsel]
-        depth_per_block[bi] = int(np.sum(depths))
+    plan = None
+    try:
+        # native C++ planner: the per-block DP is the packer's Python
+        # hot spot (~30-45 s at 1M rows; <2 s native)
+        from .. import native as _native
+        plan = _native.bell_plan_native(rs, cs, nblocks, spill_cost)
+    except Exception:  # pragma: no cover - no compiler in env
+        plan = None
+    if plan is not None:
+        e_base, e_woff, e_cap, depth_per_block = plan
+    else:
+        e_base, e_woff, e_cap, depth_per_block = _plan_blocks_py(
+            rs, cs, bs, bounds, nblocks, spill_cost)
 
     depth_per_block = np.maximum(depth_per_block, 1)
 
