@@ -17,7 +17,7 @@ from ..ops.base import BaseLinearOperator, LinearOperator, MatrixOperator
 
 __all__ = ["as_operator", "as_apply_pair", "apply_op", "apply_op_T",
            "apply_op_H", "threshold_of", "history_init", "history_push",
-           "table_init", "table_push",
+           "table_init", "table_push", "attach_true_residual",
            "default_maxiter", "promote_rhs", "require_square", "dotu"]
 
 
@@ -126,6 +126,27 @@ def table_push(tab, k, *cols):
         return None
     return tab.at[k].set(jnp.stack([jnp.asarray(c, tab.dtype)
                                     for c in cols]))
+
+
+def attach_true_residual(A, b, res):
+    """Post-solve verification for solvers whose recurrences are trusted
+    unverified (the transpose-free family): compute the true residual
+    ``b - A x`` — with the compensated double-f32 matvec when the
+    operator storage supports one (see ``cg._resolve_ff``; the plain f32
+    matvec floors at ~eps·|A||x|) — and record its 2-norm as
+    ``info["true_resid_norm"]``.  One diagnostic matvec, NOT counted in
+    ``n_matvec`` (the reference has no analogue to mirror)."""
+    from .cg import _resolve_ff
+    ff = _resolve_ff(A)
+    if ff is not None:
+        from ..utils.ff import two_sum
+        sh, sl = ff(A._params, res.x, jnp.zeros_like(res.x))
+        d, de = two_sum(b, -sh)
+        rt = d + (de - sl)
+    else:
+        rt = b - apply_op(A, res.x)
+    res.info["true_resid_norm"] = jnp.linalg.norm(rt)
+    return res
 
 
 def require_square(A, b, solver_name):

@@ -185,12 +185,18 @@ def _tfqmr(A, b, x0, M, rtol, atol, maxiter, matvec_max, store_history):
 
 
 def tfqmr(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
-          matvec_max=None, store_history=False):
+          matvec_max=None, store_history=False, verify_final=False):
     """Solve unsymmetric ``A x = b`` by the transpose-free QMR method.
 
     ``resid_norm`` in the result is Freund's *quasi-residual* norm, as in
     the reference (``tfqmr.py:95-98``): it upper-bounds the true residual
     via ``||r|| <= residNorm * sqrt(m+1)``.
+
+    ``verify_final=True`` appends the verified true-residual 2-norm
+    as ``info["true_resid_norm"]`` (one uncounted diagnostic matvec,
+    compensated when the operator storage supports it) — an f32
+    recurrence can claim convergence the true residual does not
+    support; see docs/cg.md.
 
     Returns :class:`SolveResult`.
     """
@@ -203,5 +209,9 @@ def tfqmr(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
         matvec_max = 2 * n
     maxiter = max(1, int(matvec_max) // 2 + 1)
     x0 = jnp.asarray(x0) if x0 is not None else None
-    return _tfqmr(A, b, x0, M, rtol, atol, maxiter, int(matvec_max),
+    res = _tfqmr(A, b, x0, M, rtol, atol, maxiter, int(matvec_max),
                   bool(store_history))
+    if verify_final:
+        from .common import attach_true_residual
+        res = attach_true_residual(A, b, res)
+    return res

@@ -163,3 +163,29 @@ def test_overflow_returns_finite_iterate(solve):
     assert int(res.istop) == 3
     assert bool(jnp.all(jnp.isfinite(res.x)))
     assert bool(jnp.isfinite(res.resid_norm))
+
+
+def test_verify_final_reports_true_residual():
+    # f32 jpwh_991: the recurrence's claimed residual and the verified
+    # true residual are both reported; on this well-behaved solve they
+    # agree to the f32 matvec floor
+    from pykrylov_tpu.io.datasets import load_bundled
+    from pykrylov_tpu.sparse import sparse_operator
+    from pykrylov_tpu.solvers.bicgstab import bicgstab
+    from pykrylov_tpu.solvers.cgs import cgs
+    from pykrylov_tpu.solvers.tfqmr import tfqmr
+
+    vals, rows, cols, shape = load_bundled("jpwh_991")
+    a = np.zeros(shape)
+    np.add.at(a, (rows, cols), vals)
+    op = sparse_operator((vals.astype(np.float32), rows, cols, shape),
+                         fmt="ell")
+    x0 = jnp.asarray(1.0 + np.arange(shape[0]), jnp.float32)
+    b = jnp.asarray(a @ np.ones(shape[0]), jnp.float32)
+    for solver in (bicgstab, cgs, tfqmr):
+        res = solver(op, b, x0=x0, rtol=1e-5, verify_final=True)
+        tr = float(res.info["true_resid_norm"])
+        ext = np.linalg.norm(a @ np.asarray(res.x, np.float64)
+                             - np.asarray(b, np.float64))
+        # verified norm matches an external f64 oracle to the f32 floor
+        assert abs(tr - ext) <= 1e-5 * max(ext, 1.0), (solver, tr, ext)
