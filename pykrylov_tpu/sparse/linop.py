@@ -76,17 +76,31 @@ class SparseOperator(LinearOperator):
 _register_as_linop(SparseOperator)
 
 
-def _try_bell(coo, symmetric, max_slots_per_nnz=3.2, max_nb=256):
-    """Build a BELL kernel operator if the packing is efficient enough:
-    stored slots ≤ ``max_slots_per_nnz``·nnz (3.2 slots ≈ 16 B/nnz at
-    f32, twice the 8 B CSR-stream equivalence — still far ahead of the
-    XLA ELL gather path), per-step x windows within ``max_nb`` bands
-    (wider windows make the one-hot staging matmuls MXU-bound), and no
-    XLA scatter remainder (~16 ns/entry — three orders of magnitude off
-    the kernel stream).  Tries the raw ordering first, then RCM (square
-    only).  Returns None when neither packing qualifies."""
+def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256):
+    """Build a BELL kernel operator if the packing qualifies.
+
+    The speed comparison is lopsided — the XLA ELL gather path measured
+    ~24 ns/nnz on-chip vs the kernel's ~0.06 ns/slot stream, so BELL
+    wins on throughput up to slots/nnz in the HUNDREDS.  The binding
+    constraints are instead:
+
+    * storage bloat: ``max_slots_per_nnz`` (default 8 ≈ 5x the 8 B/nnz
+      CSR footprint) caps HBM spent on padding;
+    * ``max_nb``: per-step x windows wider than ~2 K-tiles make the
+      one-hot staging matmuls dominate;
+    * no XLA scatter remainder (~16 ns/entry).
+
+    Tries the raw ordering first, then RCM (square only).  Returns None
+    when neither packing qualifies."""
     import numpy as _np
     from .bell import SpanError, bell_operator
+
+    def _ok(lv):
+        nb = max(b.nb for b in lv)
+        remainder = sum(b.nnz_spill for b in lv)
+        spn = (sum(int(_np.prod(b.data.shape)) for b in lv)
+               / max(1, sum(b.nnz for b in lv)))
+        return remainder == 0 and nb <= max_nb and spn <= max_slots_per_nnz
 
     for reorder in (False, True):
         if reorder and coo.shape[0] != coo.shape[1]:
@@ -96,14 +110,43 @@ def _try_bell(coo, symmetric, max_slots_per_nnz=3.2, max_nb=256):
         except SpanError:
             continue
         fwd, bwd = op._params[0], op._params[1]
-        lv = fwd if bwd is None else fwd + bwd
-        nb = max(b.nb for b in lv)
-        remainder = sum(b.nnz_spill for b in lv)
-        spn = (sum(int(_np.prod(b.data.shape)) for b in lv)
-               / max(1, sum(b.nnz for b in lv)))
-        if remainder == 0 and nb <= max_nb and spn <= max_slots_per_nnz:
+        if not _ok(fwd):
+            continue
+        if bwd is None or _ok(bwd):
             return op
+        if not reorder:
+            # directions are judged independently: a matrix whose rows
+            # pack well but whose columns have heavy-tailed degrees gets
+            # the BELL kernel forward and the XLA ELL path for A^T (the
+            # direction most solvers never apply)
+            return _bell_fwd_ell_bwd(coo, fwd, op, symmetric)
     return None
+
+
+def _bell_ell_rmv(params, x):
+    return F.ell_matvec(params[2], x)
+
+
+def _bell_fwd_ell_bwd(coo, fwd_levels, bell_op, symmetric):
+    from ..ops.base import LinearOperator
+    from .bell import _bell_mv_factory
+
+    m, n = coo.shape
+    ell_t = F.ell_from_coo(F.transpose_coo(coo), pad_to=4, device=False)
+    ell_t = F.ELL(jnp.asarray(ell_t.data), jnp.asarray(ell_t.cols),
+                  ell_t.shape)
+    cfg = tuple((b.nb, b.nblk, b.padded_shape[1]) for b in fwd_levels)
+    import jax as _jax
+    interpret = _jax.default_backend() != "tpu"
+    mv = _bell_mv_factory(0, cfg, m, interpret)
+    op = LinearOperator(n, m, matvec=mv, matvec_transp=_bell_ell_rmv,
+                        params=(fwd_levels, None, ell_t),
+                        _takes_params=True, symmetric=symmetric,
+                        hermitian=False, dtype=bell_op.dtype)
+    for attr in ("fill", "spill_frac", "stream_bytes", "bytes_per_nnz",
+                 "xla_remainder", "nb_max_level"):
+        setattr(op, attr, getattr(bell_op, attr))
+    return op
 
 
 def operator_from_coo(vals, rows, cols, shape, symmetric=False,

@@ -230,3 +230,34 @@ def test_try_bell_policy():
     # uniform random scatter at ~2 nnz/row: everything would spill
     coo2, *_ = _random_coo(4096, 4096, 8192, 45)
     assert _try_bell(coo2, symmetric=False) is None
+
+
+def test_mixed_bell_fwd_ell_bwd():
+    # heavy-tailed COLUMN degrees: forward packs well, transpose does
+    # not — the policy should emit a mixed operator (BELL forward,
+    # XLA-ELL transpose) with both directions exact
+    from pykrylov_tpu.sparse.linop import _try_bell, _bell_fwd_ell_bwd
+    rng = np.random.default_rng(71)
+    n = 8192
+    rows = np.repeat(np.arange(n), 6)
+    cols = np.clip(rows + rng.integers(-900, 901, size=len(rows)), 0, n - 1)
+    # pile extra entries onto a few hot columns (heavy col degrees)
+    hot = rng.integers(0, n, size=40)
+    hr = rng.integers(0, n, size=4000)
+    hc = hot[rng.integers(0, len(hot), size=4000)]
+    rows = np.concatenate([rows, hr])
+    cols = np.concatenate([cols, np.clip(hc, rows[len(rows)-4000:]*0
+                                         + hc, n - 1)])
+    vals = rng.standard_normal(len(rows))
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    rows, cols, vals = rows[first], cols[first], vals[first]
+    coo = F.coo_from_arrays(vals, rows, cols, (n, n), device=False)
+    op = _try_bell(coo, symmetric=False)
+    assert op is not None
+    a = _dense(coo)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(x)), a @ x,
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(op.T @ jnp.asarray(x)), a.T @ x,
+                               rtol=1e-9, atol=1e-9)
