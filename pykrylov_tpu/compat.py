@@ -31,7 +31,36 @@ import logging
 
 import jax.numpy as jnp
 
-from . import solvers as _S
+# Bind the solver FUNCTIONS directly: any later import of a solver
+# submodule (e.g. solvers.show lazily importing .lsqr for its message
+# table) rebinds the package attribute from function to module, so
+# ``_S.lsqr(...)`` would break order-dependently.
+from .solvers.cg import cg as _cg_fn
+from .solvers.minres import minres as _minres_fn
+from .solvers.symmlq import symmlq as _symmlq_fn
+from .solvers.bicgstab import bicgstab as _bicgstab_fn
+from .solvers.cgs import cgs as _cgs_fn
+from .solvers.tfqmr import tfqmr as _tfqmr_fn
+from .solvers.lsqr import lsqr as _lsqr_fn
+from .solvers.lsmr import lsmr as _lsmr_fn
+from .solvers.craig import craig as _craig_fn
+from .solvers.craigmr import craigmr as _craigmr_fn
+
+
+class _FnTable:
+    cg = staticmethod(_cg_fn)
+    minres = staticmethod(_minres_fn)
+    symmlq = staticmethod(_symmlq_fn)
+    bicgstab = staticmethod(_bicgstab_fn)
+    cgs = staticmethod(_cgs_fn)
+    tfqmr = staticmethod(_tfqmr_fn)
+    lsqr = staticmethod(_lsqr_fn)
+    lsmr = staticmethod(_lsmr_fn)
+    craig = staticmethod(_craig_fn)
+    craigmr = staticmethod(_craigmr_fn)
+
+
+_S = _FnTable
 
 __all__ = [
     "KrylovMethod", "CG", "Minres", "Symmlq", "BiCGSTAB", "CGS", "TFQMR",
@@ -120,12 +149,14 @@ class CG(KrylovMethod):
                              % (nmv + itn, hist[itn], curv[itn]))
 
     def solve(self, rhs, guess=None, matvec_max=None, check_curvature=False,
-              store_resids=False, store_iterates=False, **kwargs):
+              store_resids=False, store_iterates=False, replace_every=None,
+              **kwargs):
         res = _S.cg(
             self.op, jnp.asarray(rhs), x0=guess, M=self.precon,
             rtol=self.reltol, atol=self.abstol, matvec_max=matvec_max,
             check_curvature=check_curvature, store_history=True,
-            store_iterates=store_iterates, store_resids=store_resids)
+            store_iterates=store_iterates, store_resids=store_resids,
+            replace_every=replace_every)
         self._log_iterations(res, guess is not None)
         res = self._store(res)
         self.definite = bool(res.info.get("definite", True))
@@ -146,11 +177,12 @@ class BiCGSTAB(KrylovMethod):
     name = "Bi-Conjugate Gradient Stabilized"
     acronym = "Bi-CGSTAB"
 
-    def solve(self, rhs, guess=None, matvec_max=None, **kwargs):
+    def solve(self, rhs, guess=None, matvec_max=None, verify_final=False,
+              **kwargs):
         return self._store(_S.bicgstab(
             self.op, jnp.asarray(rhs), x0=guess, M=self.precon,
             rtol=self.reltol, atol=self.abstol, matvec_max=matvec_max,
-            store_history=True))
+            store_history=True, verify_final=verify_final))
 
 
 class CGS(KrylovMethod):
@@ -159,11 +191,12 @@ class CGS(KrylovMethod):
     name = "Conjugate Gradient Squared"
     acronym = "CGS"
 
-    def solve(self, rhs, guess=None, matvec_max=None, **kwargs):
+    def solve(self, rhs, guess=None, matvec_max=None, verify_final=False,
+              **kwargs):
         return self._store(_S.cgs(
             self.op, jnp.asarray(rhs), x0=guess, M=self.precon,
             rtol=self.reltol, atol=self.abstol, matvec_max=matvec_max,
-            store_history=True))
+            store_history=True, verify_final=verify_final))
 
 
 class TFQMR(KrylovMethod):
@@ -172,11 +205,12 @@ class TFQMR(KrylovMethod):
     name = "Transpose-Free Quasi-Minimum Residual"
     acronym = "TFQMR"
 
-    def solve(self, rhs, guess=None, matvec_max=None, **kwargs):
+    def solve(self, rhs, guess=None, matvec_max=None, verify_final=False,
+              **kwargs):
         return self._store(_S.tfqmr(
             self.op, jnp.asarray(rhs), x0=guess, M=self.precon,
             rtol=self.reltol, atol=self.abstol, matvec_max=matvec_max,
-            store_history=True))
+            store_history=True, verify_final=verify_final))
 
 
 class Minres(KrylovMethod):

@@ -2,30 +2,39 @@
 
 Every solver is ``solve(A, b, **opts) -> SolveResult`` with the iteration
 fused into a jit-compiled ``lax.while_loop`` (SURVEY §7 design stance).
+
+Submodules are imported EAGERLY and the solver function names are bound
+LAST: a first-time submodule import (``from .lsqr import ISTOP_MSG``
+anywhere) sets the submodule as a package attribute, silently shadowing
+a lazily-cached function of the same name — an order-dependent landmine
+this layout removes (subsequent imports of already-loaded submodules do
+not rebind the attribute).
 """
 
 from .result import SolveResult
+
+# eager submodule loads (each sets the package attribute to the MODULE)
+from . import (cg as _m_cg, minres as _m_minres, symmlq as _m_symmlq,
+               bicgstab as _m_bicgstab, cgs as _m_cgs, tfqmr as _m_tfqmr,
+               lsqr as _m_lsqr, lsmr as _m_lsmr, craig as _m_craig,
+               craigmr as _m_craigmr, pipelined as _m_pipelined,
+               diff as _m_diff, show as _m_show)  # noqa: F401
+
+# function bindings win (rebinding the attributes set just above)
 from .cg import cg
+from .minres import minres
+from .symmlq import symmlq
+from .bicgstab import bicgstab
+from .cgs import cgs
+from .tfqmr import tfqmr
+from .lsqr import lsqr
+from .lsmr import lsmr
+from .craig import craig
+from .craigmr import craigmr
+from .pipelined import cg_pipelined
+from .diff import make_differentiable, cg_solve, bicgstab_solve, lsqr_solve
 
-__all__ = ["SolveResult", "cg"]
-
-
-def __getattr__(name):
-    # Solvers are added incrementally; lazy imports keep partial builds
-    # importable and speed up cold start.
-    _lazy = {
-        "minres": ".minres", "symmlq": ".symmlq", "bicgstab": ".bicgstab",
-        "cgs": ".cgs", "tfqmr": ".tfqmr", "lsqr": ".lsqr", "lsmr": ".lsmr",
-        "craig": ".craig", "craigmr": ".craigmr",
-        "cg_pipelined": ".pipelined",
-        # Implicit-differentiation wrappers (custom VJP).
-        "make_differentiable": ".diff", "cg_solve": ".diff",
-        "bicgstab_solve": ".diff", "lsqr_solve": ".diff",
-    }
-    if name in _lazy:
-        import importlib
-        mod = importlib.import_module(_lazy[name], __name__)
-        fn = getattr(mod, name)
-        globals()[name] = fn
-        return fn
-    raise AttributeError(name)
+__all__ = ["SolveResult", "cg", "minres", "symmlq", "bicgstab", "cgs",
+           "tfqmr", "lsqr", "lsmr", "craig", "craigmr", "cg_pipelined",
+           "make_differentiable", "cg_solve", "bicgstab_solve",
+           "lsqr_solve"]
