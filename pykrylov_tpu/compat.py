@@ -298,11 +298,12 @@ class LSMRFramework(_LLSFramework):
     acronym = "LSMR"
 
     def solve(self, b, damp=0.0, atol=1e-9, btol=1e-9, conlim=1e8,
-              M=None, N=None, itnlim=None, etol=1.0e-6, window=5, **kwargs):
+              M=None, N=None, itnlim=None, etol=1.0e-6, window=5,
+              show=False, **kwargs):
         res = self._store(_S.lsmr(
             self.A, jnp.asarray(b), damp=damp, M=M, N=N, atol=atol,
             btol=btol, conlim=conlim, etol=etol, window=window,
-            itnlim=itnlim, store_history=True))
+            itnlim=itnlim, store_history=True, show=show))
         self.normr = float(res.info["normr"])
         self.normar = float(res.info["normar"])
         self.normA = float(res.info["normA"])

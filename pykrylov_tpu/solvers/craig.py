@@ -182,7 +182,7 @@ def _craig(A, b, M, N, atol, btol, etol, itnlim, window, store_history,
 
 def craig(A, b, *, M=None, N=None, atol=1.0e-9, btol=1.0e-9, etol=1.0e-6,
           window=5, itnlim=None, store_history=False,
-          store_iterates=False):
+          store_iterates=False, show=False):
     """Solve consistent ``Ax = b`` or the SQD system
     ``[M A; A' -N][r; x] = [b; 0]`` by the generalized CRAIG method.
 
@@ -206,6 +206,14 @@ def craig(A, b, *, M=None, N=None, atol=1.0e-9, btol=1.0e-9, etol=1.0e-6,
     b = promote_rhs(b, A, M, N)
     if itnlim is None:
         itnlim = 3 * A.nargin
-    return _craig(A, b, M, N, float(atol), float(btol), float(etol),
+    if show:
+        from .show import craig_preamble
+        craig_preamble(A.nargout, A.nargin, float(atol),
+                       float(btol), itnlim)
+    res = _craig(A, b, M, N, float(atol), float(btol), float(etol),
                   int(itnlim), int(window), bool(store_history),
                   bool(store_iterates))
+    if show:
+        from .show import print_craig_final
+        print_craig_final(res)
+    return res

@@ -28,7 +28,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import as_operator, history_init, history_push, promote_rhs
+from .common import (as_operator, history_init, history_push, promote_rhs,
+                     table_init, table_push)
 from .lls_common import gk_init, gk_step, sym_ortho
 from .result import SolveResult
 
@@ -49,9 +50,10 @@ ISTOP_MSG = {
 _OPTIMAL_CODES = (0, 1, 2, 4, 5, 8)
 
 
-@partial(jax.jit, static_argnames=("itnlim", "window", "store_history"))
+@partial(jax.jit, static_argnames=("itnlim", "window", "store_history",
+                                   "store_table"))
 def _lsmr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
-          store_history):
+          store_history, store_table=False):
     n = A.nargin
     dtype = b.dtype
     zero = jnp.zeros((), dtype)
@@ -65,6 +67,11 @@ def _lsmr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
 
     hist = history_init(store_history, itnlim, dtype)
     hist = history_push(hist, 0, beta)
+    # show-table columns: x(1), normr, normar, test1, test2, normA, condA
+    # (row 0 replicates the reference's pre-loop line, lsmr.py:285-293)
+    tab = table_init(store_table, itnlim, 7, dtype)
+    tab = table_push(tab, 0, zero, beta, normar0, one,
+                     jnp.where(x_is_zero, one, alpha / beta), zero, zero)
 
     state0 = dict(
         x=jnp.zeros(n, dtype), h=v, hbar=jnp.zeros(n, dtype),
@@ -78,7 +85,7 @@ def _lsmr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
         normr=beta, normar=normar0, normA=alpha, condA=one, normx=zero,
         x_nrg2=zero, d_err=jnp.zeros(window, dtype),
         istop=jnp.zeros((), jnp.int32), itn=jnp.zeros((), jnp.int32),
-        done=x_is_zero, hist=hist)
+        done=x_is_zero, hist=hist, tab=tab)
 
     def cond(s):
         return ~s["done"] & (s["itn"] < itnlim)
@@ -170,7 +177,9 @@ def _lsmr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
             normr=normr, normar=normar, normA=normA, condA=condA,
             normx=normx, x_nrg2=x_nrg2, d_err=d_err,
             istop=istop, itn=itn, done=istop > 0,
-            hist=history_push(s["hist"], itn, normr))
+            hist=history_push(s["hist"], itn, normr),
+            tab=table_push(s["tab"], itn, x[0].real, normr, normar,
+                           test1, test2, normA, condA))
 
     s = jax.lax.while_loop(cond, body, state0)
     istop = s["istop"]
@@ -180,14 +189,22 @@ def _lsmr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
         n_iter=s["itn"], n_matvec=2 * s["itn"],
         resid_norm=s["normr"], resid_norm0=normb,
         resid_history=s["hist"],
-        info={"normr": s["normr"], "normar": s["normar"],
-              "normA": s["normA"], "condA": s["condA"],
-              "normx": s["normx"], "optimal": optimal})
+        info=_lsmr_info(s, optimal))
+
+
+def _lsmr_info(s, optimal):
+    info = {"normr": s["normr"], "normar": s["normar"],
+            "normA": s["normA"], "condA": s["condA"],
+            "normx": s["normx"], "x_nrg2": s["x_nrg2"],
+            "optimal": optimal}
+    if s["tab"] is not None:
+        info["show_table"] = s["tab"]
+    return info
 
 
 def lsmr(A, b, *, damp=0.0, M=None, N=None, atol=1.0e-9, btol=1.0e-9,
          conlim=1.0e8, etol=1.0e-6, window=5, itnlim=None,
-         store_history=False):
+         store_history=False, show=False):
     """Solve ``min ||Ax - b||`` (or the damped variant) by LSMR.
 
     Parameters mirror :func:`lsqr`; LSMR minimizes ``||A'r||`` so its
@@ -204,6 +221,16 @@ def lsmr(A, b, *, damp=0.0, M=None, N=None, atol=1.0e-9, btol=1.0e-9,
     b = promote_rhs(b, A, M, N)
     if itnlim is None:
         itnlim = min(A.nargout, A.nargin)
-    return _lsmr(A, b, M, N, float(damp), float(atol), float(btol),
-                 float(conlim), float(etol), int(itnlim), int(window),
-                 bool(store_history))
+    if show:
+        from .show import lsmr_preamble
+        lsmr_preamble(A.nargout, A.nargin, float(damp), float(atol),
+                      float(btol), float(conlim), int(itnlim))
+    res = _lsmr(A, b, M, N, float(damp), float(atol), float(btol),
+                float(conlim), float(etol), int(itnlim), int(window),
+                bool(store_history), bool(show))
+    if show:
+        from .show import print_lsmr
+        ctol = 1.0 / float(conlim) if conlim > 0 else 0.0
+        print_lsmr(res, n=A.nargin, itnlim=int(itnlim),
+                   atol=float(atol), rtol=float(btol), ctol=ctol)
+    return res

@@ -14,7 +14,9 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["print_minres", "print_lsqr", "lsqr_preamble"]
+__all__ = ["print_minres", "print_lsqr", "lsqr_preamble",
+           "print_lsmr", "lsmr_preamble", "craig_preamble",
+           "print_craig_final"]
 
 
 def print_minres(res, n, itnlim, rtol, eps, out=print):
@@ -134,3 +136,84 @@ class _LazyMsg(dict):
 
 ISTOP_MSG_MINRES = _LazyMsg(0)
 ISTOP_MSG_LSQR = _LazyMsg(1)
+
+
+def lsmr_preamble(m, n, damp, atol, btol, conlim, itnlim, out=print):
+    """Reference LSMR banner (``lls/lsmr.py:196-206``)."""
+    out(" ")
+    out("LSMR            Least-squares solution of  Ax = b")
+    out("The matrix A has %8g rows  and %8g cols" % (m, n))
+    out("damp = %20.14e" % damp)
+    out("atol = %8.2e                 conlim = %8.2e" % (atol, conlim))
+    out("btol = %8.2e               itnlim = %8g" % (btol, itnlim))
+
+
+def print_lsmr(res, n, itnlim, atol, rtol, ctol, out=print):
+    """Reference LSMR iteration table + final block
+    (``lls/lsmr.py:184-185,285-293,445-490``)."""
+    import numpy as np
+    from .lsmr import ISTOP_MSG as LMSG
+    hdg = ("   itn      x(1)       norm r    norm Ar"
+           "  compatible   LS      norm A   cond A")
+    tab = res.info.get("show_table")
+    nit = int(res.n_iter)
+    istop = int(res.istop)
+    out(" ")
+    out(hdg)
+    if tab is not None:
+        tab = np.asarray(tab)
+        pcount, pfreq = 0, 20
+        x0, normr, normar, test1, test2, normA, condA = tab[0]
+        out("%6g %12.5e %10.3e %10.3e  %8.1e %8.1e"
+            % (0, x0, normr, normar, test1, test2))
+        for itn in range(1, nit + 1):
+            x0, normr, normar, test1, test2, normA, condA = tab[itn]
+            test3 = 1.0 / condA if condA else np.inf
+            prnt = (n <= 40 or itn <= 10 or itn >= itnlim - 10
+                    or itn % 10 == 0 or test3 <= 1.1 * ctol
+                    or test2 <= 1.1 * atol or test1 <= 1.1 * rtol
+                    or (itn == nit and istop != 0))
+            if prnt:
+                if pcount >= pfreq:
+                    pcount = 0
+                    out(" ")
+                    out(hdg)
+                pcount += 1
+                out("%6g %12.5e %10.3e %10.3e  %8.1e %8.1e %8.1e %8.1e"
+                    % (itn, x0, normr, normar, test1, test2, normA,
+                       condA))
+    info = res.info
+    out(" ")
+    out("LSMR finished")
+    out(LMSG.get(istop, ""))
+    out("istop =%8g    normr =%8.1e    normA =%8.1e    normAr =%8.1e"
+        % (istop, float(info["normr"]), float(info["normA"]),
+           float(info["normar"])))
+    out("itn   =%8g    condA =%8.1e    normx =%8.1e"
+        % (nit, float(info["condA"]), float(info["normx"])))
+    out("Estimated energy norm of x: %7.1e"
+        % float(np.sqrt(max(float(info.get("x_nrg2", 0.0)), 0.0))))
+
+
+def craig_preamble(m, n, atol, btol, itnlim, out=print):
+    """Reference CRAIG banner (``lls/craig.py:193-200``; the reference's
+    iteration table is commented out upstream, craig.py:275-283)."""
+    out(" ")
+    out("CRAIG           Least-squares solution of  Ax = b")
+    out("The matrix A has %8d rows and %8d cols" % (m, n))
+    out("atol = %8.2e                 itnlim = %8s" % (atol, itnlim))
+    out("btol = %8.2e" % btol)
+
+
+def print_craig_final(res, out=print):
+    """Reference CRAIG final block (``lls/craig.py:483-492``)."""
+    from .craig import ISTOP_MSG as CMSG
+    out(" ")
+    out("CRAIG finished")
+    out(CMSG.get(int(res.istop), ""))
+    out(" ")
+    out("istop =%8g   r1norm =%8.1e" % (int(res.istop),
+                                        float(res.info["r1norm"])))
+    out("itn   =%8g   r2norm =%8.1e" % (int(res.n_iter),
+                                        float(res.info["r2norm"])))
+    out(" ")

@@ -101,3 +101,32 @@ def test_cg_null_logger_skips_replay():
     nit = int(res.n_iter)
     assert np.all(np.isfinite(curv[1:nit + 1]))
     assert np.isnan(curv[0])
+
+
+def test_lsmr_show_table(capsys):
+    from pykrylov_tpu.solvers.lsmr import lsmr, ISTOP_MSG as LSMR_MSG
+    rng = np.random.default_rng(6)
+    a = rng.standard_normal((36, 18))
+    b = rng.standard_normal(36)
+    res = lsmr(a, jnp.asarray(b), show=True)
+    outp = capsys.readouterr().out
+    assert "LSMR            Least-squares solution of  Ax = b" in outp
+    assert "norm r    norm Ar" in outp
+    assert "LSMR finished" in outp
+    assert LSMR_MSG[int(res.istop)] in outp
+    assert "Estimated energy norm of x:" in outp
+    # row 0 (pre-loop state) prints
+    assert re.search(r"^\s+0\s+0\.00000e\+00", outp, re.M)
+
+
+def test_craig_show_final_block(capsys):
+    from pykrylov_tpu.solvers.craig import craig, ISTOP_MSG as CRAIG_MSG
+    rng = np.random.default_rng(8)
+    a = rng.standard_normal((20, 30))  # underdetermined, consistent
+    b = a @ rng.standard_normal(30)
+    res = craig(a, jnp.asarray(b), show=True)
+    outp = capsys.readouterr().out
+    assert "CRAIG           Least-squares solution of  Ax = b" in outp
+    assert "CRAIG finished" in outp
+    assert CRAIG_MSG[int(res.istop)] in outp
+    assert "r1norm =" in outp and "r2norm =" in outp
