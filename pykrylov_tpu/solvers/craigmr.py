@@ -121,11 +121,12 @@ def _craigmr(A, b, M, N, etol, itnlim, window, store_history):
         resid_norm=jnp.abs(st["zeta"]), resid_norm0=beta,
         resid_history=st["hist"],
         info={"xNrgNorm2": st["x_nrg2"],
+              "trncDirErr": jnp.linalg.norm(st["d_err"]),
               "optimal": x_is_zero | (istop == 8)})
 
 
 def craigmr(A, b, *, M=None, N=None, etol=1.0e-6, window=5, itnlim=None,
-            store_history=False):
+            store_history=False, show=False):
     """Solve the least-norm minimum-residual problem by CRAIG-MR.
 
     Parameters
@@ -146,5 +147,18 @@ def craigmr(A, b, *, M=None, N=None, etol=1.0e-6, window=5, itnlim=None,
     b = promote_rhs(b, A, M, N)
     if itnlim is None:
         itnlim = min(A.nargout, A.nargin)
-    return _craigmr(A, b, M, N, float(etol), int(itnlim), int(window),
-                    bool(store_history))
+    res = _craigmr(A, b, M, N, float(etol), int(itnlim), int(window),
+                   bool(store_history))
+    if show:
+        # reference final block (craigmr.py:214-228; its per-iteration
+        # table and most summary lines are commented out upstream)
+        from .craigmr import ISTOP_MSG as _MSG
+        print(" ")
+        print("CRAIG-MR finished")
+        print(_MSG.get(int(res.istop), ""))
+        print(" ")
+        print("xNrgNorm2 = %7.1e   trnDirErr = %7.1e"
+              % (float(res.info["xNrgNorm2"]),
+                 float(res.info["trncDirErr"])))
+        print(" ")
+    return res

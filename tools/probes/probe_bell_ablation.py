@@ -143,9 +143,15 @@ def run(tag, do_dma, do_stage, do_scatter, passes=3):
           f"GB/s util={ITERS*sb/best/1e9/BW:.3f}", flush=True)
 
 
-run("full p3", True, True, True, 3)
-run("full p2", True, True, True, 2)
-run("no-dma", False, True, True, 3)
-run("no-scatter", True, True, False, 3)
-run("no-stage", True, False, True, 3)
-run("stream-only", False, False, False, 3)
+import sys
+VARIANTS = {
+    "full-p3": (True, True, True, 3),
+    "full-p2": (True, True, True, 2),
+    "no-dma": (False, True, True, 3),
+    "no-scatter": (True, True, False, 3),
+    "no-stage": (True, False, True, 3),
+    "stream-only": (False, False, False, 3),
+}
+names = sys.argv[1:] or list(VARIANTS)
+for name in names:
+    run(name, *VARIANTS[name])
