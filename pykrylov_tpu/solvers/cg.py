@@ -268,7 +268,10 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
     if replace_every is not None:
         info["n_replacements"] = nrep
         info["x_lo"] = xl
-        extra_matvec = extra_matvec + nrep
+        # compensated replacements are one (ff) matvec; the generic
+        # fallback applies A twice (to x_hi and x_lo)
+        extra_matvec = extra_matvec + nrep * (1 if ff_mv is not None
+                                              else 2)
     if check_curvature:
         info["infinite_descent"] = inf_desc
     if store_iterates:
@@ -319,7 +322,9 @@ def cg(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8, maxiter=None,
         tolerances; in f32 the drift makes unverified convergence
         meaningless for ill-conditioned systems (e.g. 1138bus at rtol
         1e-4 stops at TRUE relres ~0.65 without it).  Each replacement
-        costs one matvec, counted in ``n_matvec``;
+        costs one compensated matvec (two plain applies when the
+        operator storage has no compensated path), counted in
+        ``n_matvec``;
         ``info["n_replacements"]`` reports how many fired and
         ``info["x_lo"]`` the solution's double-f32 low part.
     leg_rtol : per-leg reduction target between replacements (the inner

@@ -152,10 +152,9 @@ def craigmr(A, b, *, M=None, N=None, etol=1.0e-6, window=5, itnlim=None,
     if show:
         # reference final block (craigmr.py:214-228; its per-iteration
         # table and most summary lines are commented out upstream)
-        from .craigmr import ISTOP_MSG as _MSG
         print(" ")
         print("CRAIG-MR finished")
-        print(_MSG.get(int(res.istop), ""))
+        print(ISTOP_MSG.get(int(res.istop), ""))
         print(" ")
         print("xNrgNorm2 = %7.1e   trnDirErr = %7.1e"
               % (float(res.info["xNrgNorm2"]),

@@ -342,12 +342,14 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     np.maximum.at(band_hi, e_step, base_k)
     band_lo_raw = np.minimum(band_lo_raw, band_hi)
     span = int((band_hi - band_lo_raw).max()) + 2 if nnz else 2
-    nb = max(8, -(-span // 8) * 8)
-    if nb > nb_max:
+    # budget check on the TRUE span; nb itself rounds up to the 8-aligned
+    # DMA shape (a non-multiple-of-8 nb_max must not reject fitting spans)
+    if span > nb_max:
         raise SpanError(
             "step column span of %d bands exceeds the %d-band window "
             "budget; RCM-reorder the matrix or use the ELL path"
             % (span, nb_max))
+    nb = max(8, -(-span // 8) * 8)
     ncb = max(ncb, nb)
     band_lo = np.minimum(band_lo_raw, ncb - nb).astype(np.int32)
 
@@ -402,7 +404,9 @@ def bell_stream_bytes(b: BELL) -> int:
     """Bytes the SpMV streams from HBM for the matrix itself: value +
     packed-index slots plus the COO remainder triples (excludes the
     x window and y, which are O(rows) not O(nnz))."""
-    itm = np.dtype(np.asarray(b.data).dtype).itemsize
+    # read dtype off the array directly — np.asarray on a device-resident
+    # array pulls the whole buffer through the transport (CLAUDE.md)
+    itm = np.dtype(b.data.dtype).itemsize
     slots = int(np.prod(b.data.shape))
     return slots * (itm + 1) + b.nnz_spill * (itm + 8)
 
@@ -662,7 +666,7 @@ def _strip_spill(b: BELL) -> BELL:
                       nnz=b.nnz - b.nnz_spill, nnz_spill=0)
 
 
-def _pack_levels(coo, nb_max, spill_cost, levels):
+def _pack_levels(coo, nb_max, spill_cost, levels, device=True):
     """Pack a COO matrix into up to ``levels`` BELL levels: all but the
     last are depth-capped and their overflow feeds the next level's
     (much smaller) packing; the last level is uncapped.  A thin overflow
@@ -673,10 +677,11 @@ def _pack_levels(coo, nb_max, spill_cost, levels):
     overflows the window budget (SpanError)."""
     # candidate packings stay host-resident (NumPy) — only the winner
     # rides the device transport
+    cvt = bell_to_device if device else (lambda b: b)
     b1 = bell_from_coo(coo, nb_max=nb_max, device=False,
                        spill_cost=spill_cost if levels > 1 else None)
     if levels <= 1 or b1.nnz_spill == 0:
-        return (bell_to_device(b1),)
+        return (cvt(b1),)
     out = [_strip_spill(b1)]
     cur = b1
     for li in range(1, levels):
@@ -707,13 +712,21 @@ def _pack_levels(coo, nb_max, spill_cost, levels):
         b1u = bell_from_coo(coo, nb_max=nb_max, spill_cost=None,
                             device=False)
         if int(np.prod(b1u.data.shape)) <= 1.1 * multi_slots:
-            return (bell_to_device(b1u),)
-    return tuple(bell_to_device(b) for b in out)
+            return (cvt(b1u),)
+    return tuple(cvt(b) for b in out)
+
+
+def _ensure_device_levels(lv):
+    if lv is None:
+        return None
+    return tuple(bell_to_device(b) if isinstance(b.data, np.ndarray) else b
+                 for b in lv)
 
 
 def bell_operator(source, shape=None, symmetric=False, interpret=None,
                   nb_max: int = NB_MAX, spill_cost: float = None,
-                  reorder=False, levels: int = 2, with_transpose=True):
+                  reorder=False, levels: int = 2, with_transpose=True,
+                  _prepacked=None):
     """Wrap a matrix as a LinearOperator whose matvec is the BELL kernel.
 
     ``source``: COO container or ``(vals, rows, cols, shape)`` triples or
@@ -753,16 +766,25 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
     perm = None
     if reorder:
         coo, perm = reorder_rcm(coo)
-    sc = _SPILL_BYTES if spill_cost is None else spill_cost
-    skip_bwd = symmetric or not with_transpose
-    if levels <= 1:
-        fwd = (bell_from_coo(coo, nb_max=nb_max, spill_cost=spill_cost),)
-        bwd = None if skip_bwd else (bell_from_coo(
-            F.transpose_coo(coo), nb_max=nb_max, spill_cost=spill_cost),)
+    if _prepacked is not None:
+        # host-planned candidates from the auto-format policy: only the
+        # accepted packing rides the device transport, here
+        fwd, bwd = _prepacked
+        fwd = _ensure_device_levels(fwd)
+        bwd = _ensure_device_levels(bwd)
     else:
-        fwd = _pack_levels(coo, nb_max, sc, levels)
-        bwd = None if skip_bwd else _pack_levels(
-            F.transpose_coo(coo), nb_max, sc, levels)
+        sc = _SPILL_BYTES if spill_cost is None else spill_cost
+        skip_bwd = symmetric or not with_transpose
+        if levels <= 1:
+            fwd = (bell_from_coo(coo, nb_max=nb_max,
+                                 spill_cost=spill_cost),)
+            bwd = None if skip_bwd else (bell_from_coo(
+                F.transpose_coo(coo), nb_max=nb_max,
+                spill_cost=spill_cost),)
+        else:
+            fwd = _pack_levels(coo, nb_max, sc, levels)
+            bwd = None if skip_bwd else _pack_levels(
+                F.transpose_coo(coo), nb_max, sc, levels)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -787,7 +809,7 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
         params = (fwd, bwd, jnp.asarray(perm.astype(np.int32)),
                   jnp.asarray(iperm.astype(np.int32)))
 
-    dtype = np.asarray(fwd[0].data).dtype
+    dtype = np.dtype(fwd[0].data.dtype)
     op = LinearOperator(n, m, matvec=mv, matvec_transp=rmv,
                         params=params, _takes_params=True,
                         symmetric=symmetric,

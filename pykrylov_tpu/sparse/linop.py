@@ -93,7 +93,8 @@ def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256):
     Tries the raw ordering first, then RCM (square only).  Returns None
     when neither packing qualifies."""
     import numpy as _np
-    from .bell import SpanError, bell_operator
+    from .bell import (NB_MAX, SpanError, _SPILL_BYTES, _pack_levels,
+                       bell_operator, reorder_rcm)
 
     def _ok(lv):
         nb = max(b.nb for b in lv)
@@ -102,24 +103,35 @@ def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256):
                / max(1, sum(b.nnz for b in lv)))
         return remainder == 0 and nb <= max_nb and spn <= max_slots_per_nnz
 
-    for reorder in (False, True):
-        if reorder and coo.shape[0] != coo.shape[1]:
-            break
+    def _plan(c):
+        # host-side candidate planning: disqualified packings must not
+        # ride the device transport (tens of MB each on a remote TPU)
         try:
-            op = bell_operator(coo, symmetric=symmetric, reorder=reorder)
+            return _pack_levels(c, NB_MAX, _SPILL_BYTES, 2, device=False)
         except SpanError:
+            return None
+
+    for reorder in (False, True):
+        c = coo
+        if reorder:
+            if coo.shape[0] != coo.shape[1]:
+                break
+            c, _ = reorder_rcm(coo)
+        fwd = _plan(c)
+        if fwd is None or not _ok(fwd):
             continue
-        fwd, bwd = op._params[0], op._params[1]
-        if not _ok(fwd):
-            continue
-        if bwd is None or _ok(bwd):
-            return op
+        bwd = None if symmetric else _plan(F.transpose_coo(c))
+        if symmetric or (bwd is not None and _ok(bwd)):
+            return bell_operator(coo, symmetric=symmetric,
+                                 reorder=reorder,
+                                 _prepacked=None if reorder
+                                 else (fwd, bwd))
         if not reorder:
             # directions are judged independently: a matrix whose rows
             # pack well but whose columns have heavy-tailed degrees gets
             # the BELL kernel forward and the XLA ELL path for A^T (the
             # direction most solvers never apply)
-            return _bell_fwd_ell_bwd(coo, fwd, op, symmetric)
+            return _bell_fwd_ell_bwd(coo, fwd, symmetric)
     return None
 
 
@@ -127,11 +139,13 @@ def _bell_ell_rmv(params, x):
     return F.ell_matvec(params[2], x)
 
 
-def _bell_fwd_ell_bwd(coo, fwd_levels, bell_op, symmetric):
+def _bell_fwd_ell_bwd(coo, fwd_levels, symmetric):
     from ..ops.base import LinearOperator
-    from .bell import _bell_mv_factory
+    from .bell import (_bell_mv_factory, _ensure_device_levels, bell_fill,
+                       bell_stream_bytes)
 
     m, n = coo.shape
+    fwd_levels = _ensure_device_levels(fwd_levels)
     ell_t = F.ell_from_coo(F.transpose_coo(coo), pad_to=4, device=False)
     ell_t = F.ELL(jnp.asarray(ell_t.data), jnp.asarray(ell_t.cols),
                   ell_t.shape)
@@ -139,13 +153,19 @@ def _bell_fwd_ell_bwd(coo, fwd_levels, bell_op, symmetric):
     import jax as _jax
     interpret = _jax.default_backend() != "tpu"
     mv = _bell_mv_factory(0, cfg, m, interpret)
+    dtype = np.dtype(fwd_levels[0].data.dtype)
     op = LinearOperator(n, m, matvec=mv, matvec_transp=_bell_ell_rmv,
                         params=(fwd_levels, None, ell_t),
                         _takes_params=True, symmetric=symmetric,
-                        hermitian=False, dtype=bell_op.dtype)
-    for attr in ("fill", "spill_frac", "stream_bytes", "bytes_per_nnz",
-                 "xla_remainder", "nb_max_level"):
-        setattr(op, attr, getattr(bell_op, attr))
+                        hermitian=False, dtype=dtype)
+    nnz_tot = sum(b.nnz for b in fwd_levels)
+    op.fill = bell_fill(fwd_levels[0])
+    op.spill_frac = (nnz_tot - fwd_levels[0].nnz
+                     + fwd_levels[0].nnz_spill) / max(1, nnz_tot)
+    op.stream_bytes = sum(bell_stream_bytes(b) for b in fwd_levels)
+    op.bytes_per_nnz = op.stream_bytes / max(1, nnz_tot)
+    op.xla_remainder = sum(b.nnz_spill for b in fwd_levels)
+    op.nb_max_level = max(b.nb for b in fwd_levels)
     return op
 
 

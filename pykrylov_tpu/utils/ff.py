@@ -10,7 +10,8 @@ the reference's f64 rtol 1e-6 target).
 
 All functions are elementwise/vectorized jnp and jit-safe.  TwoSum is
 Knuth's branchless 6-flop version; TwoProd uses Dekker splitting
-(factor 2^12+1 for f32 — no FMA primitive is exposed through XLA).
+(factor 2^12+1 for f32, 2^27+1 for f64 — no FMA primitive is exposed
+through XLA).
 References: Dekker 1971; Ogita, Rump & Oishi 2005.
 """
 
@@ -21,7 +22,9 @@ import jax.numpy as jnp
 __all__ = ["two_sum", "two_prod", "ff_add", "ff_add_ff", "ff_renorm",
            "ff_scale"]
 
-_SPLIT = 4097.0  # 2^12 + 1 for binary32 (Dekker)
+# Dekker split factors 2^ceil(p/2)+1: binary32 (p=24) and binary64 (p=53).
+_SPLIT32 = 4097.0
+_SPLIT64 = 134217729.0
 
 
 def two_sum(a, b):
@@ -35,7 +38,8 @@ def two_sum(a, b):
 
 
 def _split(a):
-    c = _SPLIT * a
+    f = _SPLIT32 if jnp.dtype(a.dtype).itemsize <= 4 else _SPLIT64
+    c = f * a
     hi = c - (c - a)
     return hi, a - hi
 
