@@ -76,8 +76,10 @@ class BELL(NamedTuple):
     ``lanes``: (nsteps, GS//4, 128) int32 — window-local indices in
                [0, 256), packed 4 per word: byte j of word m is the index
                of sublane row ``j*GS//4 + m``.
-    ``bands``: (nsteps, GS, 1) int32 — window-relative base band of each
-               sublane row (the window is bands [base, base+1]).
+    ``bands``: (nsteps, 1, GS) int32 — window-relative base band of each
+               sublane row, lane-major (the window is bands
+               [base, base+1]; a (GS, 1) layout would waste a full
+               (8,128) VMEM tile per 8 values).
     ``blocks``: (nsteps, 1, GS) int32 — output block of each sublane row
                within its step; dummy rows point at ``nblk`` so no row of
                the scatter one-hot matches.
@@ -105,6 +107,7 @@ class BELL(NamedTuple):
     nblk: int
     nnz: int
     nnz_spill: int
+    window: int = 2
 
 
 def _reg():
@@ -112,7 +115,7 @@ def _reg():
         return ((v.data, v.lanes, v.bands, v.blocks, v.band_lo,
                  v.sp_row, v.sp_col, v.sp_val),
                 (v.shape, v.padded_shape, v.nb, v.nblk, v.nnz,
-                 v.nnz_spill))
+                 v.nnz_spill, v.window))
 
     def unflatten(aux, children):
         return BELL(*children, *aux)
@@ -208,9 +211,45 @@ def _plan_blocks_py(rs, cs, bs, bounds, nblocks, spill_cost):
     return e_base, e_woff, e_cap, depth_per_block
 
 
+def _plan_bands_vec(rows, bs, blk, ncb, nblocks, spill_cost):
+    """Vectorized single-band window planning (``window=1``): each
+    present (block, band) pair is its own window with a byte-optimally
+    capped depth.  Same contract as the pair-DP planners (per-entry
+    base band / window row offset / capped depth + per-block depth),
+    but pure vectorized NumPy — no per-block Python loop, no native
+    planner needed."""
+    key = blk * np.int64(2 * ncb + 2) + bs
+    uk, kinv = np.unique(key, return_inverse=True)
+    C = np.zeros((len(uk), LANES), dtype=np.int64)
+    np.add.at(C, (kinv, rows % LANES), 1)
+    if spill_cost is None:
+        cap = C.max(axis=1)
+    else:
+        # marginal analysis of cost(d) = 5·128·d + spill·overflow(d):
+        # raising d by one pays 5·128 bytes and saves
+        # spill·#{lanes with count ≥ d}; the optimum is the largest d
+        # still worth paying for — the t-th largest per-lane count with
+        # t = ceil(5·128 / spill).
+        t = int(np.ceil(_SLOT_BYTES * LANES / spill_cost))
+        if t > LANES:
+            cap = np.zeros(len(uk), dtype=np.int64)
+        elif t < 1:
+            cap = C.max(axis=1)
+        else:
+            cap = np.partition(C, LANES - t, axis=1)[:, LANES - t]
+    blk_of_key = uk // np.int64(2 * ncb + 2)
+    csum = np.cumsum(cap) - cap
+    kfirst = np.flatnonzero(np.r_[True, np.diff(blk_of_key) != 0])
+    kcnt = np.diff(np.r_[kfirst, len(uk)])
+    woff_key = csum - np.repeat(csum[kfirst], kcnt)
+    depth_per_block = np.zeros(nblocks, dtype=np.int64)
+    np.add.at(depth_per_block, blk_of_key, cap)
+    return (bs.copy(), woff_key[kinv], cap[kinv], depth_per_block)
+
+
 def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
                   min_cols: int = 0, spill_cost: float = _SPILL_BYTES,
-                  device: bool = True) -> BELL:
+                  device: bool = True, window: int = 2) -> BELL:
     """Pack COO triples into BELL v2 (host-side).
 
     ``spill_cost`` is the per-entry byte cost charged for routing an
@@ -221,6 +260,14 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     ``device=False`` keeps the container arrays in NumPy — candidate
     packings that may be discarded must not ride the device transport
     (tens of MB each through a remote tunnel).
+
+    ``window=2`` (v2 layout) plans one-or-two-band windows with the
+    per-block DP; ``window=1`` (v3) plans single-band windows with
+    8-aligned block depths, enabling the kernel's grouped scatter
+    (8x smaller scatter matmul) and halving the staging matmul — at
+    a ~1.2-1.5x slot (stream) cost.  Faster whenever the kernel is
+    MXU-bound rather than HBM-bound (scattered sparsity); the banded /
+    high-fill regime keeps v2.
 
     Raises :class:`SpanError` when some step's column span exceeds
     ``nb_max`` bands.
@@ -246,21 +293,26 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     blks = bs_blk = rs // LANES
     bounds = np.searchsorted(bs_blk, np.arange(nblocks + 1))
 
-    plan = None
-    try:
-        # native C++ planner: the per-block DP is the packer's Python
-        # hot spot (~30-45 s at 1M rows; <2 s native)
-        from .. import native as _native
-        plan = _native.bell_plan_native(rs, cs, nblocks, spill_cost)
-    except Exception:  # pragma: no cover - no compiler in env
-        plan = None
-    if plan is not None:
-        e_base, e_woff, e_cap, depth_per_block = plan
+    if window == 1:
+        e_base, e_woff, e_cap, depth_per_block = _plan_bands_vec(
+            rs, bs, bs_blk, ncb, nblocks, spill_cost)
+        # 8-align block depths so scatter groups never straddle blocks
+        depth_per_block = -(-depth_per_block // 8) * 8
     else:
-        e_base, e_woff, e_cap, depth_per_block = _plan_blocks_py(
-            rs, cs, bs, bounds, nblocks, spill_cost)
-
-    depth_per_block = np.maximum(depth_per_block, 1)
+        plan = None
+        try:
+            # native C++ planner: the per-block DP is the packer's
+            # Python hot spot (~30-45 s at 1M rows; <2 s native)
+            from .. import native as _native
+            plan = _native.bell_plan_native(rs, cs, nblocks, spill_cost)
+        except Exception:  # pragma: no cover - no compiler in env
+            plan = None
+        if plan is not None:
+            e_base, e_woff, e_cap, depth_per_block = plan
+        else:
+            e_base, e_woff, e_cap, depth_per_block = _plan_blocks_py(
+                rs, cs, bs, bounds, nblocks, spill_cost)
+        depth_per_block = np.maximum(depth_per_block, 1)
 
     # --- per-entry depth ordinal within (row, window) -----------------
     # entries are (row, col)-sorted; within a row, same-window entries
@@ -298,7 +350,12 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     # --- steps of nblk blocks, padded to uniform GS -------------------
     if nblk is None:
         avg_d = max(1.0, float(depth_per_block.mean()))
-        nblk = int(max(1, min(64, round(GS_TARGET / avg_d))))
+        # w1's cheaper per-slot path tolerates (and measured-prefers)
+        # larger steps: GS 1440-2144 beat 1088 by ~10% on the 1M-row
+        # chain (probe_bell_chain), so target ~1.5x more rows per step
+        gs_target = GS_TARGET * 3 // 2 if window == 1 else GS_TARGET
+        cap = 96 if window == 1 else 64
+        nblk = int(max(1, min(cap, round(gs_target / avg_d))))
         nblk = max(8, -(-int(nblk) // 8) * 8)
         # fewer blocks per step ⇒ narrower per-step column span; shrink
         # until the x window fits the budget (the final check still
@@ -316,7 +373,10 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     step_of_block = np.arange(nblocks_p) // nblk
     rows_per_step = np.zeros(nsteps, dtype=np.int64)
     np.add.at(rows_per_step, step_of_block, dpb)
-    GS = -(-int(rows_per_step.max()) // 32) * 32  # lanes/4 stays 8-aligned
+    # lanes/4 stays 8-aligned; >= 32 even when the byte-optimal plan
+    # spills every entry (the kernel then just emits zeros and the COO
+    # remainder carries the matrix)
+    GS = max(32, -(-int(rows_per_step.max()) // 32) * 32)
 
     # sublane-row offset of each block within its step
     roff = np.cumsum(dpb) - dpb
@@ -331,9 +391,9 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     e_q = (row_in_step_of_block[blks_k] + e_woff[keep]
            + k[keep])                                 # sublane row in step
     e_lane = rs_k % LANES
-    e_idx = cs_k - base_k * LANES                     # in [0, 256)
+    e_idx = cs_k - base_k * LANES                     # in [0, 128*window)
     if len(e_idx):
-        assert e_idx.min() >= 0 and e_idx.max() < 256
+        assert e_idx.min() >= 0 and e_idx.max() < LANES * window
 
     # --- window span per step ----------------------------------------
     band_lo_raw = np.full(nsteps, 2**31 - 1, dtype=np.int64)
@@ -341,7 +401,7 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     np.minimum.at(band_lo_raw, e_step, base_k)
     np.maximum.at(band_hi, e_step, base_k)
     band_lo_raw = np.minimum(band_lo_raw, band_hi)
-    span = int((band_hi - band_lo_raw).max()) + 2 if nnz else 2
+    span = int((band_hi - band_lo_raw).max()) + window if nnz else window
     # budget check on the TRUE span; nb itself rounds up to the 8-aligned
     # DMA shape (a non-multiple-of-8 nb_max must not reject fitting spans)
     if span > nb_max:
@@ -356,8 +416,7 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     # --- emit arrays ---------------------------------------------------
     data = np.zeros((nsteps, GS, LANES), dtype=vals.dtype)
     idx8 = np.zeros((nsteps, GS, LANES), dtype=np.int64)
-    bands = np.zeros((nsteps, GS, 1), dtype=np.int32)
-    blocks = np.full((nsteps, 1, GS), nblk, dtype=np.int32)
+    bands = np.zeros((nsteps, 1, GS), dtype=np.int32)
 
     # add.at: duplicate COO entries accumulate (matches to_dense).
     # Every non-dummy sublane row (window, k) has k < d_w ≤ max_r count,
@@ -366,8 +425,24 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     # (all entries at a row agree on base and block).
     np.add.at(data, (e_step, e_q, e_lane), vs_k)
     idx8[e_step, e_q, e_lane] = e_idx
-    bands[e_step, e_q, 0] = (base_k - band_lo[e_step]).astype(np.int32)
-    blocks[e_step, 0, e_q] = (blks_k % nblk).astype(np.int32)
+    bands[e_step, 0, e_q] = (base_k - band_lo[e_step]).astype(np.int32)
+
+    if window == 1:
+        # grouped scatter map: one block id per 8-sublane-row group
+        # (depths are 8-aligned so groups never straddle blocks)
+        blocks = np.full((nsteps, 1, GS // 8), nblk, dtype=np.int32)
+        ngrp = dpb // 8
+        tot = int(ngrp.sum())
+        if tot:
+            gstep = np.repeat(step_of_block, ngrp)
+            gpos0 = np.repeat(row_in_step_of_block // 8, ngrp)
+            within = np.arange(tot) - np.repeat(np.cumsum(ngrp) - ngrp,
+                                                ngrp)
+            blocks[gstep, 0, gpos0 + within] = np.repeat(
+                np.arange(nblocks_p) % nblk, ngrp).astype(np.int32)
+    else:
+        blocks = np.full((nsteps, 1, GS), nblk, dtype=np.int32)
+        blocks[e_step, 0, e_q] = (blks_k % nblk).astype(np.int32)
 
     # pack indices: byte j of word m <- sublane row j*GS//4 + m
     GQ = GS // 4
@@ -386,7 +461,7 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     return BELL(cvt(data), cvt(lanes_packed), cvt(bands), cvt(blocks),
                 cvt(band_lo), cvt(sp_row), cvt(sp_col), cvt(sp_val),
                 (m, n), (nsteps * nblk * LANES, ncb * LANES),
-                int(nb), int(nblk), nnz, nnz_spill)
+                int(nb), int(nblk), nnz, nnz_spill, int(window))
 
 
 def bell_to_device(b: BELL) -> BELL:
@@ -424,13 +499,13 @@ def bell_to_dense(b: BELL):
     out = np.zeros((mp, npad), dtype=np.asarray(b.data).dtype)
     data = np.asarray(b.data)
     idx = _unpack_idx(b)
-    bands = np.asarray(b.bands)[..., 0]
+    bands = np.asarray(b.bands)[:, 0, :]
     blocks = np.asarray(b.blocks)[:, 0, :]
     band_lo = np.asarray(b.band_lo)
     nsteps, GS, L = data.shape
     for st in range(nsteps):
         for q in range(GS):
-            blko = blocks[st, q]
+            blko = blocks[st, q // 8] if b.window == 1 else blocks[st, q]
             if blko >= b.nblk:
                 continue
             blkrow = (st * b.nblk + blko) * LANES
@@ -444,7 +519,7 @@ def bell_to_dense(b: BELL):
     return out[:b.shape[0], :b.shape[1]]
 
 
-def _dot_onehot(oh, v, passes=3):
+def _dot_onehot(oh, v, passes=3, transposed=False):
     """``oh @ v`` where ``oh`` is a 0/1 one-hot matrix.
 
     One-hot entries are exact in bf16, so splitting only ``v`` into
@@ -453,10 +528,18 @@ def _dot_onehot(oh, v, passes=3):
     (which must split both operands); 2 passes trade ~1.5e-5 relative
     error for 1/3 less MXU time.  f64 (CPU interpret oracle runs) keeps
     the native product.
+
+    ``transposed=True`` computes ``oh.T @ v`` (contraction over dim 0
+    of both operands) — same MXU cost, lets callers build the one-hot
+    in lane-major orientation.
     """
-    dims = (((1,), (0,)), ((), ()))
-    if v.dtype != jnp.float32:
+    dims = ((((0,) if transposed else (1,)), (0,)), ((), ()))
+    if v.dtype != jnp.float32 or passes is None:
+        # native-precision product: exact for a one-hot operand under
+        # Precision.HIGHEST; costs 6 MXU passes but ZERO VPU work —
+        # the right trade in the VPU-bound regime (see _bell_kernel)
         return jax.lax.dot_general(oh.astype(v.dtype), v, dims,
+                                   precision=jax.lax.Precision.HIGHEST,
                                    preferred_element_type=v.dtype)
     ohb = oh.astype(jnp.bfloat16)
     out = None
@@ -470,9 +553,43 @@ def _dot_onehot(oh, v, passes=3):
     return out
 
 
-def _bell_kernel(nb, nblk, GS, nsteps, passes, band_lo_ref,
-                 data_ref, lanes_ref, bands_ref, blocks_ref, x_hbm,
-                 y_ref, win, sems):
+def _select_int8(ohs, w, transposed=False):
+    """Exact f32 one-hot selects via int8 bit planes on the MXU.
+
+    A one-hot row picks exactly one element, so transporting the f32
+    BITS through int8 matmuls is lossless: split the window into four
+    byte planes (packed along lanes), run one (k·GS, nb) @ (nb, 512)
+    int8 matmul with int32 accumulation over the ``k`` stacked one-hot
+    operands, mask each accumulator back to its byte (int8
+    sign-extends bytes >= 128) and reassemble.  v5e MXU int8 rate is
+    2x bf16, so this replaces 3 bf16 passes with the equivalent of 2 —
+    exact instead of ~f32-rounded.
+    """
+    L = w.shape[-1]
+    bits = jax.lax.bitcast_convert_type(w, jnp.int32)
+    planes = jnp.concatenate(
+        [((bits >> (8 * j)) & 255).astype(jnp.int8) for j in range(4)],
+        axis=1)                                           # (nb, 4L)
+
+    def one(oh):
+        dims = ((((0,) if transposed else (1,)), (0,)), ((), ()))
+        acc = jax.lax.dot_general(oh.astype(jnp.int8), planes, dims,
+                                  preferred_element_type=jnp.int32)
+        out = ((acc[:, :L] & 255) | ((acc[:, L:2 * L] & 255) << 8)
+               | ((acc[:, 2 * L:3 * L] & 255) << 16)
+               | ((acc[:, 3 * L:] & 255) << 24))
+        return jax.lax.bitcast_convert_type(out, jnp.float32)
+
+    if transposed or len(ohs) == 1:
+        return tuple(one(oh) for oh in ohs)
+    gs = ohs[0].shape[0]
+    y = one(jnp.concatenate(ohs, axis=0))
+    return tuple(y[i * gs:(i + 1) * gs] for i in range(len(ohs)))
+
+
+def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window,
+                 band_lo_ref, data_hbm, lanes_hbm, bands_ref, blocks_ref,
+                 x_hbm, y_ref, win, sems, dbuf, dsems, lbuf, lsems):
     st = pl.program_id(0)
     L = LANES
     GQ = GS // 4
@@ -487,49 +604,141 @@ def _bell_kernel(nb, nblk, GS, nsteps, passes, band_lo_ref,
             x_hbm.at[pl.ds(band_lo_ref[step], nb), :],
             win.at[step % nslots], sems.at[step % nslots])
 
-    # Ring-buffered window prefetch: a one-step-ahead double buffer stalls
+    # data/lanes stream through manual rings too: the automatic BlockSpec
+    # pipeline only double-buffers, and with per-step DMA latency on par
+    # with per-step compute that floors the stream at ~520 GB/s of the
+    # chip's ~1070 achievable; a deeper ring keeps several block copies
+    # in flight (measured: the whole kernel was stream-floor-bound).
+    def dat_dma(step):
+        return pltpu.make_async_copy(
+            data_hbm.at[step], dbuf.at[step % nslots],
+            dsems.at[step % nslots])
+
+    def lan_dma(step):
+        return pltpu.make_async_copy(
+            lanes_hbm.at[step], lbuf.at[step % nslots],
+            lsems.at[step % nslots])
+
+    # Ring-buffered prefetch: a one-step-ahead double buffer stalls
     # every step on HBM DMA latency.
     @pl.when(st == 0)
     def _():
         for kk in range(min(WIN_AHEAD, nsteps)):
             win_dma(kk).start()
+            dat_dma(kk).start()
+            lan_dma(kk).start()
     win_dma(st).wait()
+    dat_dma(st).wait()
+    lan_dma(st).wait()
 
     @pl.when(st + WIN_AHEAD < nsteps)
     def _():
         win_dma(st + WIN_AHEAD).start()
+        dat_dma(st + WIN_AHEAD).start()
+        lan_dma(st + WIN_AHEAD).start()
 
     w = win[st % nslots]                                   # (nb, 128)
+    dat = dbuf[st % nslots]                                # (GS, 128)
+    p = lbuf[st % nslots]                                  # (GQ, 128)
 
-    # Stage each sublane row's two candidate bands (base, base+1).
-    iot = jax.lax.broadcasted_iota(jnp.int32, (GS, nb), 1)
-    base = bands_ref[0]                                    # (GS, 1)
-    xsel0 = _dot_onehot(iot == base, w, passes)            # (GS, 128)
-    xsel1 = _dot_onehot(iot == base + 1, w, passes)        # (GS, 128)
+    # Stage each sublane row's candidate band(s): base (+ base+1 for
+    # two-band windows).  The one-hot is built TRANSPOSED, (nb, GS):
+    # bands rides along as a lane-major (1, GS) row (a (GS, 1) layout
+    # wastes a full (8,128) VMEM tile per 8 values and its strided DMA
+    # measurably stalls the stream); the MXU contracts dim 0 of both
+    # operands at identical cost.
+    iot = jax.lax.broadcasted_iota(jnp.int32, (nb, GS), 0)
+    base = bands_ref[0]                                    # (1, GS)
+    if stage == "bf16s" and w.dtype == jnp.float32:
+        # Stacked-contraction staging: put the three exact bf16
+        # components of w along the CONTRACTION dim so the MXU
+        # accumulates them internally — one dot, one f32 output, no
+        # VPU pass-adds (the kernel is VMEM-traffic-bound; every
+        # avoided (GS,128) intermediate matters).
+        comps, r = [], w
+        for _ in range(3):
+            vp = r.astype(jnp.bfloat16)
+            r = r - vp.astype(jnp.float32)
+            comps.append(vp)
+        w3 = jnp.concatenate(comps, axis=0)                # (3nb, 128)
+        oh = (iot == base).astype(jnp.bfloat16)
+        oh3 = jnp.concatenate([oh, oh, oh], axis=0)        # (3nb, GS)
+        dimsT = (((0,), (0,)), ((), ()))
+        xsel = jax.lax.dot_general(
+            oh3, w3, dimsT, preferred_element_type=jnp.float32)
+        if window != 1:
+            oh1 = (iot == base + 1).astype(jnp.bfloat16)
+            oh31 = jnp.concatenate([oh1, oh1, oh1], axis=0)
+            xsel1 = jax.lax.dot_general(
+                oh31, w3, dimsT, preferred_element_type=jnp.float32)
+            xsel0 = xsel
+    else:
+        if stage == "f32":
+            # all transport on the MXU at native precision (exact for
+            # one-hot operands): doubles MXU passes vs bf16 splitting
+            # but removes every VPU staging op
+            passes = None
+        use_i8 = stage == "int8" and w.dtype == jnp.float32
+        if window == 1:
+            if use_i8:
+                (xsel,) = _select_int8((iot == base,), w,
+                                       transposed=True)
+            else:
+                xsel = _dot_onehot(iot == base, w, passes,
+                                   transposed=True)        # (GS, 128)
+        elif use_i8:
+            xsel0, xsel1 = _select_int8((iot == base, iot == base + 1),
+                                        w, transposed=True)
+        else:
+            xsel0 = _dot_onehot(iot == base, w, passes,
+                                transposed=True)           # (GS, 128)
+            xsel1 = _dot_onehot(iot == base + 1, w, passes,
+                                transposed=True)           # (GS, 128)
 
     # Unpack the per-slot bytes: byte j of word m -> sublane row
     # j*GS/4 + m, so a sublane-aligned concat restores row order.
-    p = lanes_ref[0]                                       # (GQ, 128)
     idx = jnp.concatenate(
         [(p >> (8 * j)) & 255 for j in range(4)], axis=0)  # (GS, 128)
 
-    low = jnp.take_along_axis(xsel0, idx & 127, axis=1)
-    high = jnp.take_along_axis(xsel1, idx & 127, axis=1)
-    vals = jnp.where(idx < 128, low, high)
-    prod = data_ref[0] * vals                              # (GS, 128)
+    if window == 1:
+        vals = jnp.take_along_axis(xsel, idx, axis=1)
+    else:
+        low = jnp.take_along_axis(xsel0, idx & 127, axis=1)
+        high = jnp.take_along_axis(xsel1, idx & 127, axis=1)
+        vals = jnp.where(idx < 128, low, high)
+    prod = dat * vals                                      # (GS, 128)
 
     # Scatter sublane rows to y blocks (fuses the depth reduction).
-    ohY = (jax.lax.broadcasted_iota(jnp.int32, (nblk, GS), 0)
-           == blocks_ref[0])                               # (nblk, GS)
-    y_ref[:] = _dot_onehot(ohY, prod, passes)              # (nblk, 128)
+    if window == 1:
+        # block depths are 8-aligned: fold each 8-row group on the VPU
+        # first, then scatter the 8x-smaller partial-sum matrix
+        ps = prod.reshape(GS // 8, 8, LANES).sum(axis=1)   # (GS/8, 128)
+        ohY = (jax.lax.broadcasted_iota(jnp.int32, (nblk, GS // 8), 0)
+               == blocks_ref[0])                           # (nblk, GS/8)
+        y_ref[:] = _dot_onehot(ohY, ps, passes)            # (nblk, 128)
+    else:
+        ohY = (jax.lax.broadcasted_iota(jnp.int32, (nblk, GS), 0)
+               == blocks_ref[0])                           # (nblk, GS)
+        y_ref[:] = _dot_onehot(ohY, prod, passes)          # (nblk, 128)
+
+
+def _default_stage(window):
+    # measured on v5e (tools/probes/probe_bell_chain.py): the kernel is
+    # VMEM-traffic-bound, so the cheapest staging differs by layout —
+    # plain bf16 3-pass for single-band windows, int8 bit-planes for
+    # band pairs (whose two selects amortize the plane extraction)
+    return "bf16" if window == 1 else "int8"
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "nblk", "interpret",
-                                             "passes"))
+                                             "passes", "stage", "window"))
 def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
                       sp_row, sp_col, sp_val, nb, nblk, interpret,
-                      passes=3):
+                      passes=3, stage=None, window=2):
+    if stage is None:
+        stage = _default_stage(window)
     nsteps, GS, L = data.shape
+    gsc = GS // 8 if window == 1 else GS   # scatter-map row count
     xflat = x2.reshape(-1)
     if not interpret:
         # Multi-MB inputs otherwise get parked in VMEM around the call and
@@ -538,28 +747,32 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
         data = pltpu.with_memory_space_constraint(data, pltpu.HBM)
         lanes = pltpu.with_memory_space_constraint(lanes, pltpu.HBM)
 
+    nring = WIN_AHEAD + 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,           # band_lo
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, GS, L), lambda s, *_: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GS // 4, L), lambda s, *_: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GS, 1), lambda s, *_: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # data: manual ring
+            pl.BlockSpec(memory_space=pl.ANY),      # lanes: manual ring
             pl.BlockSpec((1, 1, GS), lambda s, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, gsc), lambda s, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
         ],
         out_specs=pl.BlockSpec((nblk, L), lambda s, *_: (s, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((WIN_AHEAD + 1, nb, L), data.dtype),  # window ring
-            pltpu.SemaphoreType.DMA((WIN_AHEAD + 1,)),
+            pltpu.VMEM((nring, nb, L), data.dtype),    # x window ring
+            pltpu.SemaphoreType.DMA((nring,)),
+            pltpu.VMEM((nring, GS, L), data.dtype),    # value-block ring
+            pltpu.SemaphoreType.DMA((nring,)),
+            pltpu.VMEM((nring, GS // 4, L), lanes.dtype),  # idx ring
+            pltpu.SemaphoreType.DMA((nring,)),
         ],
     )
-    kernel = functools.partial(_bell_kernel, nb, nblk, GS, nsteps, passes)
+    kernel = functools.partial(_bell_kernel, nb, nblk, GS, nsteps, passes,
+                               stage, window)
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nsteps * nblk, L), data.dtype),
@@ -578,15 +791,24 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
     return y
 
 
-def bell_matvec_pallas(b: BELL, x, interpret: bool = False, passes=3):
+def bell_matvec_pallas(b: BELL, x, interpret: bool = False, passes=3,
+                       stage=None):
     """``y = A @ x`` for a padded input ``x`` of length
     ``padded_shape[1]``; returns y of length ``padded_shape[0]`` — slice
-    to ``shape[0]``.  ``passes``: bf16 staging passes (3 ≈ f32-exact,
-    2 trades ~1.5e-5 relative error for less MXU time)."""
+    to ``shape[0]``.  ``stage``: x-window staging mode — ``None``
+    picks the measured-fastest per window mode; ``"int8"`` transports
+    f32 bits exactly through int8 MXU planes; ``"bf16"`` uses
+    ``passes`` exact bf16 one-hot passes (3 = f32-exact: the Veltkamp
+    splits are error-free and a one-hot dot adds at most one product
+    per output); ``"bf16s"`` stacks the 3 components along the
+    contraction dim (one dot); ``"f32"`` native HIGHEST.  Non-f32
+    dtypes always use the native-precision product."""
     x2 = x.reshape(-1, LANES)
     return _bell_matvec_call(b.data, b.lanes, b.bands, b.blocks,
                              b.band_lo, x2, b.sp_row, b.sp_col, b.sp_val,
-                             b.nb, b.nblk, bool(interpret), int(passes))
+                             b.nb, b.nblk, bool(interpret), int(passes),
+                             None if stage is None else str(stage),
+                             int(b.window))
 
 
 def reorder_rcm(coo: F.COO):
@@ -616,8 +838,8 @@ def reorder_rcm(coo: F.COO):
 def _bell_mv_factory(slot, cfg, rows_out, interpret):
     # Shared per-config function objects: per-instance closures would force
     # a full solver recompile per matrix (CLAUDE.md conventions).
-    # ``cfg``: tuple of (nb, nblk, padded_cols) per level — the matvec is
-    # the sum of every level's kernel product.
+    # ``cfg``: tuple of (nb, nblk, padded_cols, window) per level — the
+    # matvec is the sum of every level's kernel product.
     def mv(params, x):
         levels = params[slot]
         # NumPy-style promotion: a mixed-precision apply (f32 container,
@@ -627,7 +849,7 @@ def _bell_mv_factory(slot, cfg, rows_out, interpret):
         ct = jnp.promote_types(levels[0].data.dtype, x.dtype)
         x = x if x.dtype == ct else x.astype(ct)
         out = None
-        for (nb, nblk, cols_in), c in zip(cfg, levels):
+        for (nb, nblk, cols_in, window), c in zip(cfg, levels):
             data = c.data if c.data.dtype == ct else c.data.astype(ct)
             if x.shape[0] == cols_in:   # static shapes: skip the pad copy
                 xp = x
@@ -638,7 +860,7 @@ def _bell_mv_factory(slot, cfg, rows_out, interpret):
             y = _bell_matvec_call(data, c.lanes, c.bands, c.blocks,
                                   c.band_lo, xp.reshape(-1, LANES),
                                   c.sp_row, c.sp_col, spv,
-                                  nb, nblk, interpret)
+                                  nb, nblk, interpret, window=window)
             y = y if y.shape[0] == rows_out else y[:rows_out]
             out = y if out is None else out + y
         return out
@@ -666,7 +888,58 @@ def _strip_spill(b: BELL) -> BELL:
                       nnz=b.nnz - b.nnz_spill, nnz_spill=0)
 
 
-def _pack_levels(coo, nb_max, spill_cost, levels, device=True):
+# Measured per-slot kernel cost on v5e (ps/slot at 1M rows,
+# tools/probes/probe_bell_chain.py): single-band windows stream more
+# slots but run a much cheaper per-slot path (one gather, grouped
+# scatter); band pairs pack tighter but pay two gathers + select.
+_SLOT_COST_PS = {1: 10.7, 2: 17.4}
+
+
+def _pack_window_auto(coo, nb_max, spill_cost, levels, device=True):
+    """Pack with both window modes (host-side) and keep the one the
+    measured per-slot cost model predicts faster.  The w2 pair-DP
+    packing is only attempted when the native planner is available or
+    the matrix is small — its Python fallback is a 30-45 s per-block
+    loop at 1M rows, and w1 wins on every scattered matrix measured."""
+    try:
+        lv1 = _pack_levels(coo, nb_max, spill_cost, levels,
+                           device=False, window=1)
+    except SpanError:
+        lv1 = None
+    lv2 = None
+    native_ok = False
+    try:
+        from .. import native as _native
+        native_ok = _native.available()
+    except Exception:
+        pass
+    if lv1 is None or native_ok or coo.data.shape[0] < 100_000:
+        try:
+            lv2 = _pack_levels(coo, nb_max, spill_cost, levels,
+                               device=False, window=2)
+        except SpanError:
+            lv2 = None
+    if lv1 is None and lv2 is None:
+        raise SpanError("neither window mode fits the band budget; "
+                        "RCM-reorder or use the ELL path")
+
+    def cost(lv):
+        if lv is None:
+            return float("inf")
+        # an XLA scatter remainder costs ~16 ns/entry on-chip — three
+        # orders of magnitude above a kernel slot — so spilly packings
+        # must lose to clean ones of any window mode
+        return (sum(int(np.prod(b.data.shape)) * _SLOT_COST_PS[b.window]
+                    for b in lv)
+                + sum(b.nnz_spill for b in lv) * 16000.0)
+
+    win = lv1 if cost(lv1) <= cost(lv2) else lv2
+    return tuple(bell_to_device(b) for b in win) if device else win
+
+
+def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2):
+    if window == "auto":
+        return _pack_window_auto(coo, nb_max, spill_cost, levels, device)
     """Pack a COO matrix into up to ``levels`` BELL levels: all but the
     last are depth-capped and their overflow feeds the next level's
     (much smaller) packing; the last level is uncapped.  A thin overflow
@@ -678,7 +951,7 @@ def _pack_levels(coo, nb_max, spill_cost, levels, device=True):
     # candidate packings stay host-resident (NumPy) — only the winner
     # rides the device transport
     cvt = bell_to_device if device else (lambda b: b)
-    b1 = bell_from_coo(coo, nb_max=nb_max, device=False,
+    b1 = bell_from_coo(coo, nb_max=nb_max, device=False, window=window,
                        spill_cost=spill_cost if levels > 1 else None)
     if levels <= 1 or b1.nnz_spill == 0:
         return (cvt(b1),)
@@ -692,6 +965,7 @@ def _pack_levels(coo, nb_max, spill_cost, levels, device=True):
                                     device=False)
         try:
             b = bell_from_coo(nxt_coo, nb_max=nb_max, device=False,
+                              window=window,
                               spill_cost=None if last else spill_cost)
         except SpanError:
             # the overflow is too scattered to window: keep it as the
@@ -710,7 +984,7 @@ def _pack_levels(coo, nb_max, spill_cost, levels, device=True):
         # only on a clear (>10%) stream win — each extra level is
         # another kernel launch plus its own staging matmuls
         b1u = bell_from_coo(coo, nb_max=nb_max, spill_cost=None,
-                            device=False)
+                            device=False, window=window)
         if int(np.prod(b1u.data.shape)) <= 1.1 * multi_slots:
             return (cvt(b1u),)
     return tuple(cvt(b) for b in out)
@@ -726,7 +1000,7 @@ def _ensure_device_levels(lv):
 def bell_operator(source, shape=None, symmetric=False, interpret=None,
                   nb_max: int = NB_MAX, spill_cost: float = None,
                   reorder=False, levels: int = 2, with_transpose=True,
-                  _prepacked=None):
+                  window="auto", _prepacked=None):
     """Wrap a matrix as a LinearOperator whose matvec is the BELL kernel.
 
     ``source``: COO container or ``(vals, rows, cols, shape)`` triples or
@@ -745,6 +1019,11 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
     ``reorder=True`` packs the RCM-permuted matrix (square only) and
     wraps the permutation into the matvec (two O(m) gathers per apply) —
     the operator still acts in the ORIGINAL ordering.
+
+    ``window="auto"`` (default) plans both the single-band (v3) and
+    band-pair (v2) layouts host-side and keeps the one the measured
+    per-slot cost model predicts faster (see ``_SLOT_COST_PS``); pass
+    1 or 2 to force a layout.
 
     ``with_transpose=False`` skips packing A^T (halves construction for
     forward-only uses like CG/MINRES or benchmarking); ``op.T @ y`` then
@@ -775,23 +1054,26 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
     else:
         sc = _SPILL_BYTES if spill_cost is None else spill_cost
         skip_bwd = symmetric or not with_transpose
-        if levels <= 1:
-            fwd = (bell_from_coo(coo, nb_max=nb_max,
+        if levels <= 1 and window != "auto":
+            fwd = (bell_from_coo(coo, nb_max=nb_max, window=window,
                                  spill_cost=spill_cost),)
             bwd = None if skip_bwd else (bell_from_coo(
-                F.transpose_coo(coo), nb_max=nb_max,
+                F.transpose_coo(coo), nb_max=nb_max, window=window,
                 spill_cost=spill_cost),)
         else:
-            fwd = _pack_levels(coo, nb_max, sc, levels)
+            if levels <= 1:
+                sc = spill_cost   # keep the explicit no-spill request
+            fwd = _pack_levels(coo, nb_max, sc, levels, window=window)
             bwd = None if skip_bwd else _pack_levels(
-                F.transpose_coo(coo), nb_max, sc, levels)
+                F.transpose_coo(coo), nb_max, sc, levels, window=window)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     interpret = bool(interpret)
 
     def _cfg(lv):
-        return tuple((b.nb, b.nblk, b.padded_shape[1]) for b in lv)
+        return tuple((b.nb, b.nblk, b.padded_shape[1], b.window)
+                     for b in lv)
 
     factory = _bell_mv_factory if perm is None else _bell_mv_perm_factory
     mv = factory(0, _cfg(fwd), m, interpret)

@@ -97,17 +97,23 @@ def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256):
                        bell_operator, reorder_rcm)
 
     def _ok(lv):
+        from .bell import _SLOT_COST_PS
         nb = max(b.nb for b in lv)
         remainder = sum(b.nnz_spill for b in lv)
-        spn = (sum(int(_np.prod(b.data.shape)) for b in lv)
-               / max(1, sum(b.nnz for b in lv)))
+        # normalize padding by per-slot kernel cost so the budget means
+        # the same predicted time whichever window mode auto picked
+        # (w1 slots are ~1.6x cheaper than w2 slots)
+        spn = (sum(int(_np.prod(b.data.shape)) * _SLOT_COST_PS[b.window]
+                   for b in lv)
+               / (_SLOT_COST_PS[2] * max(1, sum(b.nnz for b in lv))))
         return remainder == 0 and nb <= max_nb and spn <= max_slots_per_nnz
 
     def _plan(c):
         # host-side candidate planning: disqualified packings must not
         # ride the device transport (tens of MB each on a remote TPU)
         try:
-            return _pack_levels(c, NB_MAX, _SPILL_BYTES, 2, device=False)
+            return _pack_levels(c, NB_MAX, _SPILL_BYTES, 2, device=False,
+                                window="auto")
         except SpanError:
             return None
 
@@ -149,7 +155,8 @@ def _bell_fwd_ell_bwd(coo, fwd_levels, symmetric):
     ell_t = F.ell_from_coo(F.transpose_coo(coo), pad_to=4, device=False)
     ell_t = F.ELL(jnp.asarray(ell_t.data), jnp.asarray(ell_t.cols),
                   ell_t.shape)
-    cfg = tuple((b.nb, b.nblk, b.padded_shape[1]) for b in fwd_levels)
+    cfg = tuple((b.nb, b.nblk, b.padded_shape[1], b.window)
+                for b in fwd_levels)
     import jax as _jax
     interpret = _jax.default_backend() != "tpu"
     mv = _bell_mv_factory(0, cfg, m, interpret)

@@ -261,3 +261,74 @@ def test_mixed_bell_fwd_ell_bwd():
                                rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(np.asarray(op.T @ jnp.asarray(x)), a.T @ x,
                                rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("m,n,nnz,bw,seed", [
+    (96, 96, 400, None, 0),
+    (1000, 1000, 8000, 90, 1),
+    (700, 300, 2500, None, 3),
+    (129, 257, 60, None, 5),
+])
+def test_window1_roundtrip_and_matvec(m, n, nnz, bw, seed):
+    # v3 layout: single-band windows, 8-aligned block depths, grouped
+    # scatter (one block id per 8-row group)
+    coo, *_ = _random_coo(m, n, nnz, seed, bandwidth=bw)
+    b = bell_from_coo(coo, window=1)
+    assert b.window == 1
+    assert b.blocks.shape[2] == b.data.shape[1] // 8
+    a = _dense(coo)
+    np.testing.assert_allclose(bell_to_dense(b), a, rtol=0, atol=0)
+    rng = np.random.default_rng(200 + seed)
+    x = rng.standard_normal(b.padded_shape[1])
+    y = bell_matvec_pallas(b, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y)[:m], a @ x[:n],
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("stage", ["bf16", "bf16s", "int8", "f32"])
+def test_window1_stage_modes_exact_f32(stage):
+    # every staging mode is an EXACT f32 transport (one-hot selects):
+    # bf16 Veltkamp splits are error-free, int8 moves raw bit planes,
+    # f32 uses Precision.HIGHEST
+    coo, *_ = _random_coo(500, 500, 4000, 21)
+    coo = F.COO(np.asarray(coo.data, np.float32), coo.row, coo.col,
+                coo.shape)
+    a = _dense(coo).astype(np.float32)
+    rng = np.random.default_rng(22)
+    for window in (1, 2):
+        b = bell_from_coo(coo, window=window)
+        x = rng.standard_normal(b.padded_shape[1]).astype(np.float32)
+        y = bell_matvec_pallas(b, jnp.asarray(x), interpret=True,
+                               stage=stage)
+        ref = a.astype(np.float64) @ x[:500].astype(np.float64)
+        err = np.abs(np.asarray(y)[:500] - ref.astype(np.float32)).max()
+        assert err <= 2e-6 * max(1.0, np.abs(ref).max()), (window, err)
+
+
+def test_window_auto_picks_by_cost_model():
+    from pykrylov_tpu.sparse.bell import _SLOT_COST_PS, _pack_levels
+
+    coo, *_ = _random_coo(2048, 2048, 30000, 11, bandwidth=128)
+    lv_auto = _pack_levels(coo, 1024, 12.0, 2, device=False,
+                           window="auto")
+    lv1 = _pack_levels(coo, 1024, 12.0, 2, device=False, window=1)
+    lv2 = _pack_levels(coo, 1024, 12.0, 2, device=False, window=2)
+
+    def cost(lv):
+        return sum(b.data.size * _SLOT_COST_PS[b.window] for b in lv)
+
+    assert cost(lv_auto) == min(cost(lv1), cost(lv2))
+
+
+def test_window1_spill_and_operator():
+    coo, r, c, v = _random_coo(1500, 1500, 12000, 31)
+    a = _dense(coo)
+    op = bell_operator(coo, window=1, spill_cost=12.0, levels=1,
+                       interpret=True)
+    rng = np.random.default_rng(32)
+    x = rng.standard_normal(1500)
+    np.testing.assert_allclose(np.asarray(op @ x), a @ x, rtol=1e-10,
+                               atol=1e-10)
+    y = rng.standard_normal(1500)
+    np.testing.assert_allclose(np.asarray(op.T @ y), a.T @ y, rtol=1e-10,
+                               atol=1e-10)

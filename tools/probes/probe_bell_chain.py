@@ -17,14 +17,15 @@ coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
 n = shape[0]
 ITERS = 1000
 
-def run(b, passes, iters=ITERS):
+def run(b, passes, stage="bf16", iters=ITERS):
     mp, npad = b.padded_shape
     sb = b.data.size * 5
     def chain(b, x):
         def body(_, x2):
             y = _bell_matvec_call(b.data, b.lanes, b.bands, b.blocks,
                                   b.band_lo, x2, b.sp_row, b.sp_col,
-                                  b.sp_val, b.nb, b.nblk, False, passes)
+                                  b.sp_val, b.nb, b.nblk, False, passes,
+                                  stage, b.window)
             return jnp.zeros(npad, jnp.float32).at[:n].set(
                 y[:n]).reshape(-1, LANES)
         return jax.lax.fori_loop(0, iters, body, x)
@@ -40,7 +41,8 @@ def run(b, passes, iters=ITERS):
         best = min(best, time.perf_counter() - t0)
     gbps = iters * sb / best / 1e9
     nnzps = iters * b.nnz / best
-    print(f"nblk={b.nblk} passes={passes} GS={b.data.shape[1]} nb={b.nb} "
+    print(f"nblk={b.nblk} w={b.window} stage={stage} passes={passes} "
+          f"GS={b.data.shape[1]} nb={b.nb} "
           f"steps={b.data.shape[0]}: {best/iters*1e3:.3f} ms/mv "
           f"stream={gbps:.0f}GB/s util={gbps/BW:.3f} "
           f"nnz/s={nnzps/1e9:.1f}G vs8B={nnzps/(BW*1e9/8):.3f}", flush=True)
@@ -51,8 +53,16 @@ for nblk in (112,):
     print(f"pack nblk={nblk}: {time.perf_counter()-t0:.1f}s "
           f"slots/nnz={bh.data.size/bh.nnz:.2f}", flush=True)
     b = bell_to_device(bh)
-    for passes in (3, 2):
-        run(b, passes)
+    run(b, 3, "int8")
+
+for nblk in (48, 64, 96):
+    t0 = time.perf_counter()
+    bh = bell_from_coo(coo, nblk=nblk, spill_cost=None, device=False,
+                       window=1)
+    print(f"pack w1 nblk={nblk}: {time.perf_counter()-t0:.1f}s "
+          f"slots/nnz={bh.data.size/bh.nnz:.2f}", flush=True)
+    b = bell_to_device(bh)
+    run(b, 3, "bf16")
 
 # XLA ELL context
 t0 = time.perf_counter()
