@@ -24,6 +24,7 @@ from .sharded import (shard_vector, replicate, shard_operator,
                       sharded_poisson3d)
 from .halo import HaloDiaOperator
 from .gather import GatherEllOperator, build_gather_schedule
+from .bell_sharded import GatherBellOperator
 from .halo2d import (Halo2DPoissonOperator, make_mesh2d, shard_vector_2d,
                      to_bricks, from_bricks)
 
@@ -31,6 +32,7 @@ __all__ = [
     "make_mesh", "default_mesh", "device_mesh_info",
     "shard_vector", "replicate", "shard_operator", "sharded_poisson3d",
     "HaloDiaOperator", "GatherEllOperator", "build_gather_schedule",
+    "GatherBellOperator",
     "Halo2DPoissonOperator", "make_mesh2d", "shard_vector_2d",
     "to_bricks", "from_bricks",
 ]

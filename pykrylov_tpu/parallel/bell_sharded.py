@@ -1,0 +1,220 @@
+"""Row-sharded general sparsity with the BELL Pallas kernel as the
+local matvec.
+
+:class:`~pykrylov_tpu.parallel.gather.GatherEllOperator` already
+replaces the all-gather fallback with a partition-time schedule (only
+the x entries a device actually references travel, one ``ppermute``
+round per mesh shift — the TPU analogue of the reference-era MPI
+neighbor exchange, reference ``linop/linop.py:697-706`` being the
+single-process C SpMV this generalizes).  Its local compute is an XLA
+ELL gather, ~500x off the BELL kernel on large blocks.  This module
+keeps the same schedule but packs each device's local block — columns
+remapped into the private ``[local x | round-1 buffer | ...]`` address
+space — as a BELL v3 container and runs the Pallas kernel inside
+``shard_map``.
+
+Per-device packings have data-dependent shapes; ``shard_map`` needs one
+program, so the containers are padded to common (nsteps, GS, nb, nblk)
+and stacked with a leading device axis sharded over the mesh (padding
+steps carry zero data and sentinel block ids — they contribute nothing).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.base import LinearOperator, _register_as_linop
+from ..sparse import formats as F
+from ..sparse.bell import LANES, bell_from_coo, _bell_matvec_call
+from .gather import build_gather_schedule
+from .mesh import ROW_AXIS
+from .sharded import pad_to_multiple
+
+__all__ = ["GatherBellOperator"]
+
+
+def _pack_local_blocks(data, cols_local, d, L, width, nblk):
+    """Pack each device's (L, K) remapped ELL block as a BELL v3
+    container over the uniform private address space ``[0, width)``;
+    pad all containers to common shapes and stack along a device axis.
+    Host-side NumPy throughout."""
+    bells = []
+    for i in range(d):
+        blk = slice(i * L, (i + 1) * L)
+        db, cb = data[blk], cols_local[blk]
+        live = db != 0
+        rr = np.nonzero(live)[0]
+        vv = db[live]
+        cc = cb[live]
+        coo = F.coo_from_arrays(vv, rr, cc, (L, width), device=False)
+        bells.append(bell_from_coo(coo, nblk=nblk, min_cols=width,
+                                   spill_cost=None, device=False,
+                                   window=1))
+    # the packer clamps nblk (no more blocks per step than exist):
+    # every device has the same L so the clamped value is uniform
+    nblk = bells[0].nblk
+    assert all(b.nblk == nblk for b in bells)
+    nsteps = max(b.data.shape[0] for b in bells)
+    GS = max(b.data.shape[1] for b in bells)
+    nb = max(b.nb for b in bells)
+    # stored bands are relative to band_lo, so band_lo must NOT be
+    # re-clamped to the unified nb; grow the x pad instead so every
+    # window [band_lo, band_lo + nb) stays in bounds
+    ncb = max(max(b.padded_shape[1] // LANES for b in bells),
+              max(int(np.asarray(b.band_lo).max(initial=0))
+                  for b in bells) + nb)
+
+    def pad3(a, shp, fill=0):
+        out = np.full(shp, fill, dtype=a.dtype)
+        out[:a.shape[0], :a.shape[1], :a.shape[2]] = a
+        return out
+
+    dat = np.stack([pad3(np.asarray(b.data), (nsteps, GS, LANES))
+                    for b in bells])
+
+    def repack_lanes(b):
+        # the packed-lanes byte<->row interleave depends on GS (byte j
+        # of word m is sublane row j*GS/4 + m), so padding to a larger
+        # GS must go through the unpacked form
+        from ..sparse.bell import _unpack_idx
+        idx = pad3(_unpack_idx(b), (nsteps, GS, LANES))
+        i4 = idx.reshape(nsteps, 4, GS // 4, LANES)
+        return (i4[:, 0] | (i4[:, 1] << 8) | (i4[:, 2] << 16)
+                | (i4[:, 3] << 24)).astype(np.uint32).view(np.int32)
+
+    lan = np.stack([repack_lanes(b) for b in bells])
+    bnd = np.stack([pad3(np.asarray(b.bands), (nsteps, 1, GS))
+                    for b in bells])
+    blo = np.stack([pad3(np.asarray(b.blocks), (nsteps, 1, GS // 8),
+                         fill=nblk) for b in bells])
+    bl = np.stack([np.pad(np.asarray(b.band_lo),
+                          (0, nsteps - b.band_lo.shape[0]))
+                   for b in bells]).astype(np.int32)
+    rows_pad = nsteps * nblk * LANES
+    return (dat, lan, bnd, blo, bl), (nb, nblk, ncb, rows_pad)
+
+
+@functools.lru_cache(maxsize=None)
+def _bell_gather_mv_factory(axis, n_dev, round_lens, cfg, L, mesh,
+                            interpret):
+    """shard_map-wrapped scheduled-gather BELL matvec, memoized per
+    config so equal-config operators share one function object."""
+    nb, nblk, ncb, rows_pad = cfg
+    perms = [tuple((j, (j - k) % n_dev) for j in range(n_dev))
+             for k in range(1, n_dev)]
+    empty_i = jnp.zeros(0, dtype=jnp.int32)
+
+    def local_mv(dat, lan, bnd, blo, bl, x_blk, *send_blks):
+        bufs = [x_blk]
+        for k, Lk in enumerate(round_lens):
+            if Lk == 0:
+                continue
+            out = jax.lax.ppermute(x_blk[send_blks[k][0]], axis,
+                                   perm=list(perms[k]))
+            bufs.append(out)
+        xfull = jnp.concatenate(bufs) if len(bufs) > 1 else bufs[0]
+        xp = jnp.zeros(ncb * LANES, xfull.dtype).at[
+            :xfull.shape[0]].set(xfull)
+        empty_v = jnp.zeros(0, dtype=dat.dtype)
+        y = _bell_matvec_call(dat[0], lan[0], bnd[0], blo[0], bl[0],
+                              xp.reshape(-1, LANES), empty_i, empty_i,
+                              empty_v, nb, nblk, interpret, window=1)
+        return y[:L]
+
+    nsend = len(round_lens)
+    mapped = shard_map(
+        local_mv, mesh=mesh,
+        in_specs=(P(axis, None, None, None),) * 4 + (P(axis, None),)
+        + (P(axis),) + (P(axis, None),) * nsend,
+        out_specs=P(axis),
+        # pallas_call can't annotate varying-mesh-axes on its outputs
+        check_vma=False)
+
+    def mv(params, x):
+        (dat, lan, bnd, blo, bl), send = params
+        return mapped(dat, lan, bnd, blo, bl, x, *send)
+
+    return mv
+
+
+class GatherBellOperator(LinearOperator):
+    """Row-sharded general-sparsity operator: partition-time ppermute
+    gather schedule + per-device BELL Pallas local SpMV.
+
+    Parameters match :class:`GatherEllOperator` (square ELL/COO
+    container, 1-D mesh, ``symmetric`` contract for ``op.T``); acts on
+    vectors of length ``m + self.pad`` sharded with ``shard_vector``.
+    ``nblk`` fixes the per-device step size (uniform across devices);
+    ``interpret=None`` auto-selects off-TPU.
+    """
+
+    def __init__(self, ell, mesh, axis=ROW_AXIS, symmetric=False,
+                 nblk=64, interpret=None, **kwargs):
+        if isinstance(ell, F.COO):
+            ell = F.ell_from_coo(ell, device=False)
+        m, n = ell.shape
+        if m != n:
+            raise ValueError("GatherBellOperator expects a square "
+                             "operator")
+        d = mesh.shape[axis]
+        mp = pad_to_multiple(m, d)
+        L = mp // d
+        K = ell.data.shape[1]
+
+        data = np.zeros((mp, K), dtype=np.asarray(ell.data).dtype)
+        cols = np.zeros((mp, K), dtype=np.int64)
+        data[:m] = np.asarray(ell.data)
+        cols[:m] = np.asarray(ell.cols)
+
+        cols_local, sendidx, lens = build_gather_schedule(cols, data,
+                                                          d, L)
+        round_lens = tuple(s.shape[1] for s in sendidx)
+        width = L + sum(round_lens)
+
+        arrs, cfg = _pack_local_blocks(data, cols_local, d, L, width,
+                                       nblk)
+
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+
+        sh_all = [NamedSharding(mesh, P(axis, *(None,) * (a.ndim - 1)))
+                  for a in arrs]
+        dev = tuple(jax.device_put(jnp.asarray(a), s)
+                    for a, s in zip(arrs, sh_all))
+        sh2 = NamedSharding(mesh, P(axis, None))
+        send_s = tuple(jax.device_put(s, sh2) for s in sendidx)
+
+        mv = _bell_gather_mv_factory(axis, d, round_lens, cfg, L, mesh,
+                                     bool(interpret))
+
+        is_complex = np.issubdtype(data.dtype, np.complexfloating)
+        super().__init__(mp, mp, matvec=mv,
+                         matvec_transp=mv if symmetric else None,
+                         params=(dev, send_s),
+                         _takes_params=True, symmetric=symmetric,
+                         hermitian=symmetric and not is_complex,
+                         dtype=data.dtype, **kwargs)
+        self.pad = mp - m
+        self.mesh = mesh
+        self.comm_entries_per_matvec = int(sum(d * Lk
+                                               for Lk in round_lens))
+        self.comm_entries_true = int(sum(sum(t) for t in lens))
+        self.allgather_entries_per_matvec = int(d * (d - 1) * L)
+        self.slots_per_device = int(arrs[0].shape[1] * arrs[0].shape[2])
+
+    @property
+    def container(self):
+        return self._params
+
+
+_register_as_linop(GatherBellOperator)

@@ -1,0 +1,110 @@
+"""Row-sharded BELL general-sparsity operator
+(`parallel/bell_sharded.py`) on the virtual 8-device CPU mesh.
+
+Same partition-time ppermute schedule as GatherEllOperator (SURVEY §7
+"halo exchange generality"), but the local compute is the BELL Pallas
+kernel (interpret mode here; the kernel itself is chip-verified by
+test_bell + the bench harness).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pykrylov_tpu.parallel import (make_mesh, shard_vector,
+                                   GatherBellOperator, GatherEllOperator)
+from pykrylov_tpu.sparse import formats as F
+from pykrylov_tpu.io.datasets import load_bundled
+from pykrylov_tpu.solvers.cg import cg
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def _dense(vals, rows, cols, shape):
+    a = np.zeros(shape)
+    np.add.at(a, (rows, cols), vals)
+    return a
+
+
+def _banded(n, bw, seed, per_row=6):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n), per_row)
+    cols = np.clip(rows + rng.integers(-bw, bw + 1, size=len(rows)),
+                   0, n - 1)
+    vals = rng.standard_normal(len(rows))
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    return rows[first], cols[first], vals[first]
+
+
+def test_matches_dense_and_gather_ell(mesh):
+    n = 3000
+    rows, cols, vals = _banded(n, 300, 5)
+    a = _dense(vals, rows, cols, (n, n))
+    coo = F.coo_from_arrays(vals, rows, cols, (n, n), device=False)
+    opb = GatherBellOperator(coo, mesh)
+    ope = GatherEllOperator(coo, mesh)
+    x = np.random.default_rng(6).standard_normal(opb.nargin)
+    xs = shard_vector(jnp.asarray(x), mesh)
+    yb = np.asarray(opb @ xs)
+    np.testing.assert_allclose(yb[:n], a @ x[:n], rtol=1e-11, atol=1e-11)
+    assert np.all(yb[n:] == 0)
+    # identical schedule -> identical comm accounting
+    assert (opb.comm_entries_per_matvec == ope.comm_entries_per_matvec)
+    assert (opb.allgather_entries_per_matvec
+            == ope.allgather_entries_per_matvec)
+    assert opb.comm_entries_per_matvec < opb.allgather_entries_per_matvec
+    # output stays sharded over the full mesh
+    out = jax.jit(lambda p, v: opb._mv(p, v))(opb._params, xs)
+    assert len(out.sharding.device_set) == 8
+
+
+def test_jpwh_bundled(mesh):
+    vals, rows, cols, shape = load_bundled("jpwh_991")
+    a = _dense(vals, rows, cols, shape)
+    coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+    op = GatherBellOperator(coo, mesh)
+    x = np.random.default_rng(7).standard_normal(op.nargin)
+    xs = shard_vector(jnp.asarray(x), mesh)
+    y = np.asarray(op @ xs)
+    np.testing.assert_allclose(y[:shape[0]], a @ x[:shape[1]],
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_cg_through_sharded_bell(mesh):
+    n = 600
+    rng = np.random.default_rng(3)
+    a = np.zeros((n, n))
+    for off in (-7, -1, 0, 1, 7):
+        a += np.diag(rng.standard_normal(n - abs(off)) * 0.1, off)
+    a = a @ a.T + np.eye(n) * 4
+    rr, cc = np.nonzero(a)
+    coo = F.coo_from_arrays(a[rr, cc], rr, cc, (n, n), device=False)
+    op = GatherBellOperator(coo, mesh, symmetric=True)
+    b = np.zeros(op.nargin)
+    b[:n] = rng.standard_normal(n)
+    bs = shard_vector(jnp.asarray(b), mesh)
+    res = cg(op, bs, rtol=1e-10, atol=0.0, maxiter=4 * n)
+    x = np.asarray(res.x)[:n]
+    assert np.linalg.norm(a @ x - b[:n]) <= 1e-8 * np.linalg.norm(b)
+
+
+def test_uneven_rows_pad(mesh):
+    # n not divisible by d: rows pad to the mesh multiple, padded rows
+    # produce zeros
+    n = 1003
+    rows, cols, vals = _banded(n, 60, 9, per_row=4)
+    a = _dense(vals, rows, cols, (n, n))
+    coo = F.coo_from_arrays(vals, rows, cols, (n, n), device=False)
+    op = GatherBellOperator(coo, mesh)
+    assert op.pad == op.shape[0] - n
+    x = np.random.default_rng(10).standard_normal(op.nargin)
+    xs = shard_vector(jnp.asarray(x), mesh)
+    y = np.asarray(op @ xs)
+    np.testing.assert_allclose(y[:n], a @ x[:n], rtol=1e-11, atol=1e-11)
+    assert np.all(y[n:] == 0)
