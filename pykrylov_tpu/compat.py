@@ -269,12 +269,12 @@ class LSQRFramework(_LLSFramework):
 
     def solve(self, rhs, itnlim=0, damp=0.0, M=None, N=None, atol=1.0e-9,
               btol=1.0e-9, conlim=1.0e8, etol=1.0e-6, window=5,
-              wantvar=False, show=False, **kwargs):
+              wantvar=False, show=False, verify_final=False, **kwargs):
         res = self._store(_S.lsqr(
             self.A, jnp.asarray(rhs), damp=damp, M=M, N=N, atol=atol,
             btol=btol, conlim=conlim, etol=etol, window=window,
             itnlim=itnlim or None, wantvar=wantvar, store_history=True,
-            show=show))
+            show=show, verify_final=verify_final))
         self.r1norm = float(res.info["r1norm"])
         self.r2norm = float(res.info["r2norm"])
         self.Anorm = float(res.info["Anorm"])
@@ -299,11 +299,12 @@ class LSMRFramework(_LLSFramework):
 
     def solve(self, b, damp=0.0, atol=1e-9, btol=1e-9, conlim=1e8,
               M=None, N=None, itnlim=None, etol=1.0e-6, window=5,
-              show=False, **kwargs):
+              show=False, verify_final=False, **kwargs):
         res = self._store(_S.lsmr(
             self.A, jnp.asarray(b), damp=damp, M=M, N=N, atol=atol,
             btol=btol, conlim=conlim, etol=etol, window=window,
-            itnlim=itnlim, store_history=True, show=show))
+            itnlim=itnlim, store_history=True, show=show,
+            verify_final=verify_final))
         self.normr = float(res.info["normr"])
         self.normar = float(res.info["normar"])
         self.normA = float(res.info["normA"])

@@ -149,6 +149,33 @@ def attach_true_residual(A, b, res):
     return res
 
 
+def attach_true_lls_residual(A, b, res, damp=0.0):
+    """Post-solve verification for the least-squares family: the true
+    residual ``rt = b - A x`` (compensated forward matvec when the
+    operator storage supports one) and the least-squares optimality
+    residual ``A' rt - damp^2 x`` — the quantity LSQR/LSMR's ``normar``
+    estimates recursively and an f32 recurrence can misreport.  Both
+    norms are Euclidean (M/N inner preconditioners are NOT folded in:
+    this is the certificate an external user would compute).  Recorded
+    as ``info["true_resid_norm"]`` / ``info["true_normar"]``; two
+    diagnostic matvecs, NOT counted in ``n_matvec``."""
+    from .cg import _resolve_ff
+    ff = _resolve_ff(A)
+    if ff is not None:
+        from ..utils.ff import two_sum
+        sh, sl = ff(A._params, res.x, jnp.zeros_like(res.x))
+        d, de = two_sum(b, -sh)
+        rt = d + (de - sl)
+    else:
+        rt = b - apply_op(A, res.x)
+    ar = apply_op_T(A, rt)
+    if damp:
+        ar = ar - (damp * damp) * res.x
+    res.info["true_resid_norm"] = jnp.linalg.norm(rt)
+    res.info["true_normar"] = jnp.linalg.norm(ar)
+    return res
+
+
 def require_square(A, b, solver_name):
     """Shape guard for square-system solvers: A square, b length-matched."""
     m, n = A.shape

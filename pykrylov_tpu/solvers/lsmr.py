@@ -204,13 +204,17 @@ def _lsmr_info(s, optimal):
 
 def lsmr(A, b, *, damp=0.0, M=None, N=None, atol=1.0e-9, btol=1.0e-9,
          conlim=1.0e8, etol=1.0e-6, window=5, itnlim=None,
-         store_history=False, show=False):
+         store_history=False, show=False, verify_final=False):
     """Solve ``min ||Ax - b||`` (or the damped variant) by LSMR.
 
     Parameters mirror :func:`lsqr`; LSMR minimizes ``||A'r||`` so its
     normal-equations residual decreases monotonically, making it safer to
     terminate early on least-squares problems.  ``itnlim`` defaults to
     min(m, n) (``lsmr.py:191-193``).
+
+    ``verify_final=True`` appends ``info["true_resid_norm"]`` and
+    ``info["true_normar"]`` — the verified counterparts of normr/normar
+    (see :func:`lsqr`); two uncounted diagnostic matvecs.
 
     Returns :class:`SolveResult` with the reference tuple's fields
     (normr, normar, normA, condA, normx) in ``info``.
@@ -233,4 +237,7 @@ def lsmr(A, b, *, damp=0.0, M=None, N=None, atol=1.0e-9, btol=1.0e-9,
         ctol = 1.0 / float(conlim) if conlim > 0 else 0.0
         print_lsmr(res, n=A.nargin, itnlim=int(itnlim),
                    atol=float(atol), rtol=float(btol), ctol=ctol)
+    if verify_final:
+        from .common import attach_true_lls_residual
+        res = attach_true_lls_residual(A, b, res, float(damp))
     return res

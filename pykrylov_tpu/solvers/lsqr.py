@@ -208,7 +208,7 @@ def _lsqr(A, b, M, N, damp, atol, btol, conlim, etol, itnlim, window,
 
 def lsqr(A, b, *, damp=0.0, M=None, N=None, atol=1.0e-9, btol=1.0e-9,
          conlim=1.0e8, etol=1.0e-6, window=5, itnlim=None, wantvar=False,
-         store_history=False, show=False):
+         store_history=False, show=False, verify_final=False):
     """Solve ``min ||Ax - b||`` (or the damped / SQD variant) by LSQR.
 
     Parameters
@@ -228,6 +228,13 @@ def lsqr(A, b, *, damp=0.0, M=None, N=None, atol=1.0e-9, btol=1.0e-9,
         (``lsqr.py:168-174,406-434``) — columns are recorded in a device
         buffer during the fused loop and rendered post-hoc
         (:mod:`pykrylov_tpu.solvers.show`).
+    verify_final : append the verified certificates
+        ``info["true_resid_norm"]`` (= ||b - A x||) and
+        ``info["true_normar"]`` (= ||A'(b - Ax) - damp^2 x||, the
+        optimality residual the recursive ``Arnorm`` estimates) — two
+        uncounted diagnostic matvecs, compensated forward apply when
+        the operator storage supports it; Euclidean metric (M/N not
+        folded in).
 
     Returns :class:`SolveResult`; ``converged`` is the reference's
     ``optimal`` flag (istop in {0,1,2,4,5,8}), ``n_matvec = 2 n_iter``.
@@ -250,4 +257,7 @@ def lsqr(A, b, *, damp=0.0, M=None, N=None, atol=1.0e-9, btol=1.0e-9,
         ctol = 1.0 / float(conlim) if conlim > 0 else 0.0
         print_lsqr(res, itnlim=int(itnlim), atol=float(atol),
                    rtol=float(btol), ctol=ctol)
+    if verify_final:
+        from .common import attach_true_lls_residual
+        res = attach_true_lls_residual(A, b, res, float(damp))
     return res

@@ -237,3 +237,31 @@ def test_craig_primal_dual_iterates(rng):
     np.testing.assert_allclose(idu[k], np.asarray(res.info["r"]),
                                atol=1e-12)
     assert np.all(np.isnan(ip[k + 1:]))
+
+
+def test_lsqr_lsmr_verify_final_certificates():
+    # the verified certificates must match directly computed
+    # ||b - Ax|| and ||A'(b-Ax) - damp^2 x|| (Euclidean metric)
+    import numpy as np
+    from pykrylov_tpu.solvers import lsqr, lsmr
+
+    rng = np.random.default_rng(40)
+    m, n = 120, 80
+    a = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    damp = 0.3
+    for solver in (lsqr, lsmr):
+        res = solver(a, jnp.asarray(b), damp=damp, atol=1e-12,
+                     btol=1e-12, verify_final=True)
+        x = np.asarray(res.x)
+        rt = b - a @ x
+        ar = a.T @ rt - damp**2 * x
+        assert abs(float(res.info["true_resid_norm"])
+                   - np.linalg.norm(rt)) < 1e-8 * np.linalg.norm(b)
+        assert abs(float(res.info["true_normar"])
+                   - np.linalg.norm(ar)) < 1e-8 * np.linalg.norm(b)
+        # at convergence the optimality residual is genuinely small
+        # (scale: ||A''r|| ~ ||A||*||rt||, rt = O(||b||) on an
+        # inconsistent random LS problem)
+        scale = np.linalg.norm(a, 2) * np.linalg.norm(rt)
+        assert float(res.info["true_normar"]) < 1e-4 * scale
