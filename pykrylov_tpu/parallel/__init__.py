@@ -19,7 +19,8 @@ Multi-host bootstrap is ``jax.distributed.initialize`` + the same mesh API;
 nothing in this package distinguishes single-host from multi-host meshes.
 """
 
-from .mesh import make_mesh, default_mesh, device_mesh_info
+from .mesh import (make_mesh, default_mesh, device_mesh_info,
+                   initialize_multihost)
 from .sharded import (shard_vector, replicate, shard_operator,
                       sharded_poisson3d)
 from .halo import HaloDiaOperator
@@ -30,6 +31,7 @@ from .halo2d import (Halo2DPoissonOperator, make_mesh2d, shard_vector_2d,
 
 __all__ = [
     "make_mesh", "default_mesh", "device_mesh_info",
+    "initialize_multihost",
     "shard_vector", "replicate", "shard_operator", "sharded_poisson3d",
     "HaloDiaOperator", "GatherEllOperator", "build_gather_schedule",
     "GatherBellOperator",

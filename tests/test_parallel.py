@@ -163,3 +163,14 @@ def test_shard_operator_rejects_non_container_ops(mesh):
     from pykrylov_tpu.ops import IdentityOperator
     with pytest.raises(TypeError, match="ELL/DIA"):
         shard_operator(IdentityOperator(16), mesh)
+
+
+def test_initialize_multihost_single_process_noop():
+    # single-process launch: no coordinator env, no explicit args — the
+    # bootstrap degrades to a documented no-op and reports the local
+    # process topology so drivers can call it unconditionally
+    from pykrylov_tpu.parallel import initialize_multihost
+    info = initialize_multihost()
+    assert info["process_count"] == 1
+    assert info["process_index"] == 0
+    assert info["n_devices"] >= 1
