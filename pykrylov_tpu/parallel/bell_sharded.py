@@ -93,10 +93,11 @@ def _pack_local_blocks(data, cols_local, d, L, width, nblk):
                 | (i4[:, 3] << 24)).astype(np.uint32).view(np.int32)
 
     lan = np.stack([repack_lanes(b) for b in bells])
+    from ..sparse.bell import _pad_blocks_w1
     bnd = np.stack([pad3(np.asarray(b.bands), (nsteps, 1, GS))
                     for b in bells])
-    blo = np.stack([pad3(np.asarray(b.blocks), (nsteps, 1, GS // 8),
-                         fill=nblk) for b in bells])
+    blo = np.stack([_pad_blocks_w1(b.blocks, b.data.shape[1], GS, nblk,
+                                   nsteps) for b in bells])
     bl = np.stack([np.pad(np.asarray(b.band_lo),
                           (0, nsteps - b.band_lo.shape[0]))
                    for b in bells]).astype(np.int32)

@@ -80,9 +80,13 @@ class BELL(NamedTuple):
                sublane row, lane-major (the window is bands
                [base, base+1]; a (GS, 1) layout would waste a full
                (8,128) VMEM tile per 8 values).
-    ``blocks``: (nsteps, 1, GS) int32 — output block of each sublane row
-               within its step; dummy rows point at ``nblk`` so no row of
-               the scatter one-hot matches.
+    ``blocks``: int32 scatter map, lane-major; dummy slots point at
+               ``nblk`` so no row of the scatter one-hot matches.
+               window=2: (nsteps, 1, GS), one block id per sublane row.
+               window=1: (nsteps, 1, GS//4), one id per 4-row group
+               stored in the kernel's [even tile halves | odd halves]
+               fold order (block depths are 4-aligned so groups never
+               straddle blocks).
     ``band_lo``: (nsteps,) int32 — first band of each step's x window.
     ``sp_row/sp_col/sp_val``: COO remainder — entries whose (row, window)
                depth exceeded the byte-optimal cap (see
@@ -296,8 +300,10 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     if window == 1:
         e_base, e_woff, e_cap, depth_per_block = _plan_bands_vec(
             rs, bs, bs_blk, ncb, nblocks, spill_cost)
-        # 8-align block depths so scatter groups never straddle blocks
-        depth_per_block = -(-depth_per_block // 8) * 8
+        # 4-align block depths so scatter groups never straddle blocks
+        # (the kernel folds 4-row halves of each (8,128) tile; 8-align
+        # wasted +24% slots on jpwh-class scatter, 4-align +7.5%)
+        depth_per_block = -(-depth_per_block // 4) * 4
     else:
         plan = None
         try:
@@ -428,18 +434,24 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     bands[e_step, 0, e_q] = (base_k - band_lo[e_step]).astype(np.int32)
 
     if window == 1:
-        # grouped scatter map: one block id per 8-sublane-row group
-        # (depths are 8-aligned so groups never straddle blocks)
-        blocks = np.full((nsteps, 1, GS // 8), nblk, dtype=np.int32)
-        ngrp = dpb // 8
+        # grouped scatter map: one block id per 4-sublane-row group
+        # (depths are 4-aligned so groups never straddle blocks).  The
+        # kernel reduces each (8,128) tile's two 4-row halves
+        # separately and concatenates [even halves | odd halves], so
+        # the map is stored in that split order.
+        gsg = GS // 4
+        blocksN = np.full((nsteps, gsg), nblk, dtype=np.int32)
+        ngrp = dpb // 4
         tot = int(ngrp.sum())
         if tot:
             gstep = np.repeat(step_of_block, ngrp)
-            gpos0 = np.repeat(row_in_step_of_block // 8, ngrp)
+            gpos0 = np.repeat(row_in_step_of_block // 4, ngrp)
             within = np.arange(tot) - np.repeat(np.cumsum(ngrp) - ngrp,
                                                 ngrp)
-            blocks[gstep, 0, gpos0 + within] = np.repeat(
+            blocksN[gstep, gpos0 + within] = np.repeat(
                 np.arange(nblocks_p) % nblk, ngrp).astype(np.int32)
+        blocks = np.concatenate([blocksN[:, 0::2], blocksN[:, 1::2]],
+                                axis=1)[:, None, :]
     else:
         blocks = np.full((nsteps, 1, GS), nblk, dtype=np.int32)
         blocks[e_step, 0, e_q] = (blks_k % nblk).astype(np.int32)
@@ -505,7 +517,11 @@ def bell_to_dense(b: BELL):
     nsteps, GS, L = data.shape
     for st in range(nsteps):
         for q in range(GS):
-            blko = blocks[st, q // 8] if b.window == 1 else blocks[st, q]
+            if b.window == 1:
+                g4 = q // 4   # storage order: [even halves | odd halves]
+                blko = blocks[st, g4 // 2 + (g4 % 2) * (GS // 8)]
+            else:
+                blko = blocks[st, q]
             if blko >= b.nblk:
                 continue
             blkrow = (st * b.nblk + blko) * LANES
@@ -710,11 +726,17 @@ def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window,
 
     # Scatter sublane rows to y blocks (fuses the depth reduction).
     if window == 1:
-        # block depths are 8-aligned: fold each 8-row group on the VPU
-        # first, then scatter the 8x-smaller partial-sum matrix
-        ps = prod.reshape(GS // 8, 8, LANES).sum(axis=1)   # (GS/8, 128)
-        ohY = (jax.lax.broadcasted_iota(jnp.int32, (nblk, GS // 8), 0)
-               == blocks_ref[0])                           # (nblk, GS/8)
+        # block depths are 4-aligned: fold each (8,128) tile's two
+        # 4-row halves on the VPU (same total adds as one 8-fold, each
+        # half tile-local), then scatter the 4x-smaller partial-sum
+        # matrix; blocks_ref stores the map in the matching
+        # [even halves | odd halves] order
+        s8 = prod.reshape(GS // 8, 8, LANES)
+        ps = jnp.concatenate([s8[:, :4, :].sum(axis=1),
+                              s8[:, 4:, :].sum(axis=1)],
+                             axis=0)                       # (GS/4, 128)
+        ohY = (jax.lax.broadcasted_iota(jnp.int32, (nblk, GS // 4), 0)
+               == blocks_ref[0])                           # (nblk, GS/4)
         y_ref[:] = _dot_onehot(ohY, ps, passes)            # (nblk, 128)
     else:
         ohY = (jax.lax.broadcasted_iota(jnp.int32, (nblk, GS), 0)
@@ -738,7 +760,7 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
     if stage is None:
         stage = _default_stage(window)
     nsteps, GS, L = data.shape
-    gsc = GS // 8 if window == 1 else GS   # scatter-map row count
+    gsc = GS // 4 if window == 1 else GS   # scatter-map row count
     xflat = x2.reshape(-1)
     if not interpret:
         # Multi-MB inputs otherwise get parked in VMEM around the call and
@@ -988,6 +1010,21 @@ def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2):
         if int(np.prod(b1u.data.shape)) <= 1.1 * multi_slots:
             return (cvt(b1u),)
     return tuple(cvt(b) for b in out)
+
+
+def _pad_blocks_w1(bl, gs_old, gs_new, nblk, nsteps_new):
+    """Pad a window-1 scatter map to a larger (nsteps, GS): the stored
+    [even halves | odd halves] split order depends on GS, so padding
+    must go through the natural group order (like the packed lanes)."""
+    bl = np.asarray(bl)[:, 0, :]
+    g_old, g_new = gs_old // 4, gs_new // 4
+    nat = np.empty((bl.shape[0], g_old), bl.dtype)
+    nat[:, 0::2] = bl[:, :g_old - g_old // 2]
+    nat[:, 1::2] = bl[:, g_old - g_old // 2:]
+    natp = np.full((nsteps_new, g_new), nblk, bl.dtype)
+    natp[:bl.shape[0], :g_old] = nat
+    return np.concatenate([natp[:, 0::2], natp[:, 1::2]],
+                          axis=1)[:, None, :]
 
 
 def _ensure_device_levels(lv):

@@ -275,7 +275,7 @@ def test_window1_roundtrip_and_matvec(m, n, nnz, bw, seed):
     coo, *_ = _random_coo(m, n, nnz, seed, bandwidth=bw)
     b = bell_from_coo(coo, window=1)
     assert b.window == 1
-    assert b.blocks.shape[2] == b.data.shape[1] // 8
+    assert b.blocks.shape[2] == b.data.shape[1] // 4
     a = _dense(coo)
     np.testing.assert_allclose(bell_to_dense(b), a, rtol=0, atol=0)
     rng = np.random.default_rng(200 + seed)

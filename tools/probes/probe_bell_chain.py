@@ -47,15 +47,7 @@ def run(b, passes, stage="bf16", iters=ITERS):
           f"stream={gbps:.0f}GB/s util={gbps/BW:.3f} "
           f"nnz/s={nnzps/1e9:.1f}G vs8B={nnzps/(BW*1e9/8):.3f}", flush=True)
 
-for nblk in (112,):
-    t0 = time.perf_counter()
-    bh = bell_from_coo(coo, nblk=nblk, spill_cost=None, device=False)
-    print(f"pack nblk={nblk}: {time.perf_counter()-t0:.1f}s "
-          f"slots/nnz={bh.data.size/bh.nnz:.2f}", flush=True)
-    b = bell_to_device(bh)
-    run(b, 3, "int8")
-
-for nblk in (48, 64, 96):
+for nblk in (64, 96):
     t0 = time.perf_counter()
     bh = bell_from_coo(coo, nblk=nblk, spill_cost=None, device=False,
                        window=1)
@@ -64,27 +56,3 @@ for nblk in (48, 64, 96):
     b = bell_to_device(bh)
     run(b, 3, "bf16")
 
-# XLA ELL context
-t0 = time.perf_counter()
-ell = F.ell_from_coo(coo, pad_to=4)
-print(f"ell pack: {time.perf_counter()-t0:.1f}s k={ell.data.shape}", flush=True)
-def ell_chain(data, idx, x):
-    def body(_, x):
-        y = F.ell_matvec(F.ELL(data, idx, shape), x)
-        return y
-    return jax.lax.fori_loop(0, 20, body, x)
-ej = jax.jit(ell_chain)
-ed = jnp.asarray(ell.data); ei = jnp.asarray(ell.cols)
-x0 = jnp.ones(n, jnp.float32)
-t0 = time.perf_counter()
-float(ej(ed, ei, x0)[0])
-print(f"ell compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
-best = np.inf
-for rep in range(2):
-    xr = jnp.full(n, 1.0 + 0.1 * rep, jnp.float32)
-    float(xr[0])
-    t0 = time.perf_counter()
-    float(ej(ed, ei, xr)[0])
-    best = min(best, time.perf_counter() - t0)
-print(f"XLA ELL: {best/20*1e3:.2f} ms/mv nnz/s={20*len(vals)/best/1e9:.2f}G",
-      flush=True)
