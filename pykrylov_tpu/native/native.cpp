@@ -13,11 +13,14 @@
 // (done lazily by pykrylov_tpu/native/__init__.py).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <functional>
 #include <string>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -344,6 +347,86 @@ int bell_plan(int64_t nnz, const int64_t* rows, const int64_t* cols,
     }
     depth_per_block[blk] = total;
     lo = hi;
+  }
+  return 0;
+}
+
+// Single-sort planning for the window=1 (v3) BELL layout.
+//
+// Sorts entries by (block, band, row, col) via one composite 62-bit key
+// (blk and band each fit 24 bits for row/col < 2^31), then derives in
+// one linear walk everything the Python packer needs: the sorted
+// permutation, per-entry window cap / row offset, the per-entry ordinal
+// within its (row, window) group, and per-block total depth.  This
+// replaces a NumPy pipeline of lexsort + run-flag cumsums that costs
+// ~10 s at 6M nnz on a slow host.  spill_cost < 0 disables spilling
+// (cap = per-window max lane count); otherwise cap is the t-th largest
+// lane count with t = ceil(5*128/spill_cost) (see _plan_bands_sorted).
+// Outputs (length nnz): order, rs, cs (sorted rows/cols), e_woff,
+// e_cap, k_ord; depth_per_block has length nblocks.  Returns 0, or 1
+// when a row/col exceeds 2^31 (caller falls back to NumPy).
+int bell_sort_plan_w1(int64_t nnz, const int64_t* rows,
+                      const int64_t* cols, int64_t nblocks,
+                      double spill_cost, int64_t* order, int64_t* rs,
+                      int64_t* cs, int64_t* e_woff, int64_t* e_cap,
+                      int64_t* k_ord, int64_t* depth_per_block) {
+  const bool use_spill = spill_cost >= 0.0;
+  const int64_t t_spill =
+      use_spill ? (int64_t)std::ceil(5.0 * 128.0 / spill_cost) : 0;
+  memset(depth_per_block, 0, nblocks * sizeof(int64_t));
+  std::vector<std::pair<uint64_t, uint32_t>> kv(nnz);
+  for (int64_t i = 0; i < nnz; ++i) {
+    int64_t r = rows[i], c = cols[i];
+    if (r < 0 || c < 0 || r >= (1LL << 31) || c >= (1LL << 31)) return 1;
+    uint64_t key = ((uint64_t)(r >> 7) << 38) | ((uint64_t)(c >> 7) << 14)
+                   | ((uint64_t)(r & 127) << 7) | (uint64_t)(c & 127);
+    kv[i] = {key, (uint32_t)i};
+  }
+  std::sort(kv.begin(), kv.end());
+  for (int64_t i = 0; i < nnz; ++i) {
+    order[i] = kv[i].second;
+    rs[i] = rows[kv[i].second];
+    cs[i] = cols[kv[i].second];
+  }
+  // one pass over (block, band) window runs
+  std::vector<int64_t> lane_counts;
+  int64_t i = 0;
+  while (i < nnz) {
+    uint64_t wkey = kv[i].first >> 14;         // (blk, band)
+    int64_t blk = (int64_t)(kv[i].first >> 38);
+    int64_t j = i;
+    lane_counts.clear();
+    while (j < nnz && (kv[j].first >> 14) == wkey) {
+      int64_t lane = (kv[j].first >> 7) & 127;
+      int64_t j2 = j;
+      while (j2 < nnz && ((kv[j2].first >> 7) & 127) == lane
+             && (kv[j2].first >> 14) == wkey)
+        ++j2;
+      lane_counts.push_back(j2 - j);
+      // ordinal within the (row, window) group
+      for (int64_t q = j; q < j2; ++q) k_ord[q] = q - j;
+      j = j2;
+    }
+    int64_t cap;
+    if (!use_spill || t_spill < 1) {
+      cap = *std::max_element(lane_counts.begin(), lane_counts.end());
+    } else if (t_spill > 128) {
+      cap = 0;
+    } else if ((int64_t)lane_counts.size() < t_spill) {
+      cap = 0;  // fewer than t lanes present: t-th largest count is 0
+    } else {
+      std::nth_element(lane_counts.begin(),
+                       lane_counts.begin() + (t_spill - 1),
+                       lane_counts.end(), std::greater<int64_t>());
+      cap = lane_counts[t_spill - 1];
+    }
+    int64_t woff = depth_per_block[blk];
+    for (int64_t q = i; q < j; ++q) {
+      e_woff[q] = woff;
+      e_cap[q] = cap;
+    }
+    depth_per_block[blk] += cap;
+    i = j;
   }
   return 0;
 }

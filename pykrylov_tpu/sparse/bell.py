@@ -215,17 +215,27 @@ def _plan_blocks_py(rs, cs, bs, bounds, nblocks, spill_cost):
     return e_base, e_woff, e_cap, depth_per_block
 
 
-def _plan_bands_vec(rows, bs, blk, ncb, nblocks, spill_cost):
-    """Vectorized single-band window planning (``window=1``): each
-    present (block, band) pair is its own window with a byte-optimally
-    capped depth.  Same contract as the pair-DP planners (per-entry
-    base band / window row offset / capped depth + per-block depth),
-    but pure vectorized NumPy — no per-block Python loop, no native
-    planner needed."""
-    key = blk * np.int64(2 * ncb + 2) + bs
-    uk, kinv = np.unique(key, return_inverse=True)
-    C = np.zeros((len(uk), LANES), dtype=np.int64)
-    np.add.at(C, (kinv, rows % LANES), 1)
+def _plan_bands_sorted(rows, bs, blk, nblocks, spill_cost):
+    """Vectorized single-band window planning (``window=1``) over
+    entries PRE-SORTED by (block, band, row, col): each present
+    (block, band) pair is its own window with a byte-optimally capped
+    depth.  Same contract as the pair-DP planners (per-entry base band
+    / window row offset / capped depth + per-block depth) plus the
+    (row, window) group starts for the ordinal pass — all from
+    run-boundary flags on the sorted arrays (no np.unique, no per-block
+    Python loop, no native planner needed)."""
+    n = len(rows)
+    newb = np.empty(n, dtype=bool)
+    newb[0] = True
+    np.not_equal(blk[1:], blk[:-1], out=newb[1:])
+    neww = np.empty(n, dtype=bool)
+    neww[0] = True
+    np.not_equal(bs[1:], bs[:-1], out=neww[1:])
+    neww |= newb                      # (block, band) window boundaries
+    kid = np.cumsum(neww) - 1         # window id per entry, 0..nkeys-1
+    nkeys = int(kid[-1]) + 1 if n else 0
+    C = np.zeros((nkeys, LANES), dtype=np.int64)
+    np.add.at(C, (kid, rows % LANES), 1)
     if spill_cost is None:
         cap = C.max(axis=1)
     else:
@@ -236,19 +246,24 @@ def _plan_bands_vec(rows, bs, blk, ncb, nblocks, spill_cost):
         # t = ceil(5·128 / spill).
         t = int(np.ceil(_SLOT_BYTES * LANES / spill_cost))
         if t > LANES:
-            cap = np.zeros(len(uk), dtype=np.int64)
+            cap = np.zeros(nkeys, dtype=np.int64)
         elif t < 1:
             cap = C.max(axis=1)
         else:
             cap = np.partition(C, LANES - t, axis=1)[:, LANES - t]
-    blk_of_key = uk // np.int64(2 * ncb + 2)
+    wfirst = np.flatnonzero(neww)     # first entry of each window
+    blk_of_key = blk[wfirst]
     csum = np.cumsum(cap) - cap
     kfirst = np.flatnonzero(np.r_[True, np.diff(blk_of_key) != 0])
-    kcnt = np.diff(np.r_[kfirst, len(uk)])
+    kcnt = np.diff(np.r_[kfirst, nkeys])
     woff_key = csum - np.repeat(csum[kfirst], kcnt)
     depth_per_block = np.zeros(nblocks, dtype=np.int64)
     np.add.at(depth_per_block, blk_of_key, cap)
-    return (bs.copy(), woff_key[kinv], cap[kinv], depth_per_block)
+    # (row, window) ordinal-group starts: row changes OR window changes
+    newg = neww.copy()
+    newg[1:] |= rows[1:] != rows[:-1]
+    gfirst = np.flatnonzero(newg)
+    return (bs, woff_key[kid], cap[kid], depth_per_block, gfirst)
 
 
 def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
@@ -292,19 +307,45 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     band = cols // LANES
 
     # --- per-block window plan (DP over present bands) ---------------
-    order = np.lexsort((cols, rows))
-    rs, cs, bs, vs = rows[order], cols[order], band[order], vals[order]
-    blks = bs_blk = rs // LANES
-    bounds = np.searchsorted(bs_blk, np.arange(nblocks + 1))
-
     if window == 1:
-        e_base, e_woff, e_cap, depth_per_block = _plan_bands_vec(
-            rs, bs, bs_blk, ncb, nblocks, spill_cost)
+        # Single-sort pipeline: order by (block, band, row, col) so
+        # (block, band) windows AND (row, window) ordinal groups are
+        # both contiguous runs — no np.unique, no second lexsort, no
+        # ordinal scatter-back (each costs seconds at 1M rows on a
+        # slow host).  The native planner fuses sort + caps + ordinals
+        # in one C++ pass.
+        plan = None
+        try:
+            from .. import native as _native
+            plan = _native.bell_sort_plan_w1_native(rows, cols, nblocks,
+                                                    spill_cost)
+        except Exception:  # pragma: no cover - no compiler in env
+            plan = None
+        if plan is not None:
+            order, rs, cs, e_woff, e_cap, k1, depth_per_block = plan
+            bs = cs // LANES
+            vs = vals[order]
+            e_base = bs
+            gfirst = None
+        else:
+            order = np.lexsort((cols, rows, band, rows // LANES))
+            rs, cs, bs, vs = (rows[order], cols[order], band[order],
+                              vals[order])
+            k1 = None
+            e_base, e_woff, e_cap, depth_per_block, gfirst = \
+                _plan_bands_sorted(rs, bs, rs // LANES, nblocks,
+                                   spill_cost)
+        blks = bs_blk = rs // LANES
+        bounds = np.searchsorted(bs_blk, np.arange(nblocks + 1))
         # 4-align block depths so scatter groups never straddle blocks
         # (the kernel folds 4-row halves of each (8,128) tile; 8-align
         # wasted +24% slots on jpwh-class scatter, 4-align +7.5%)
         depth_per_block = -(-depth_per_block // 4) * 4
     else:
+        order = np.lexsort((cols, rows))
+        rs, cs, bs, vs = rows[order], cols[order], band[order], vals[order]
+        blks = bs_blk = rs // LANES
+        bounds = np.searchsorted(bs_blk, np.arange(nblocks + 1))
         plan = None
         try:
             # native C++ planner: the per-block DP is the packer's
@@ -321,19 +362,29 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
         depth_per_block = np.maximum(depth_per_block, 1)
 
     # --- per-entry depth ordinal within (row, window) -----------------
-    # entries are (row, col)-sorted; within a row, same-window entries
-    # are consecutive in this order only per band pair — order by
-    # (row, window) explicitly.  Entries whose ordinal reaches the
-    # window's capped depth spill to the COO remainder.
-    wkey = blks * (2 * ncb + 2) + e_base   # unique per (block, window)
-    okey = np.lexsort((cs, wkey, rs))
-    r2, w2 = rs[okey], wkey[okey]
-    gfirst = np.flatnonzero(np.r_[True, (np.diff(r2) != 0) |
-                                  (np.diff(w2) != 0)])
-    gsizes = np.diff(np.r_[gfirst, len(r2)])
-    k2 = np.arange(len(r2)) - np.repeat(gfirst, gsizes)
-    k = np.empty(len(rs), dtype=np.int64)
-    k[okey] = k2
+    # Entries whose ordinal reaches the window's capped depth spill to
+    # the COO remainder.
+    if window == 1:
+        if k1 is not None:       # native planner already computed them
+            k = k1
+        else:
+            # already sorted so (row, window) groups are contiguous;
+            # the planner returned their start offsets
+            gsizes = np.diff(np.r_[gfirst, len(rs)])
+            k = np.arange(len(rs)) - np.repeat(gfirst, gsizes)
+    else:
+        # entries are (row, col)-sorted; within a row, same-window
+        # entries are consecutive in this order only per band pair —
+        # order by (row, window) explicitly
+        wkey = blks * (2 * ncb + 2) + e_base  # unique per (blk, window)
+        okey = np.lexsort((cs, wkey, rs))
+        r2, w2 = rs[okey], wkey[okey]
+        gfirst = np.flatnonzero(np.r_[True, (np.diff(r2) != 0) |
+                                      (np.diff(w2) != 0)])
+        gsizes = np.diff(np.r_[gfirst, len(r2)])
+        k2 = np.arange(len(r2)) - np.repeat(gfirst, gsizes)
+        k = np.empty(len(rs), dtype=np.int64)
+        k[okey] = k2
     keep = k < e_cap
 
     # per-block window-base extent (kept entries only — the remainder
@@ -421,7 +472,9 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
 
     # --- emit arrays ---------------------------------------------------
     data = np.zeros((nsteps, GS, LANES), dtype=vals.dtype)
-    idx8 = np.zeros((nsteps, GS, LANES), dtype=np.int64)
+    # idx fits a byte by construction (window-local < 128*window); the
+    # u8 scratch is upcast once at packing time
+    idx8 = np.zeros((nsteps, GS, LANES), dtype=np.uint8)
     bands = np.zeros((nsteps, 1, GS), dtype=np.int32)
 
     # add.at: duplicate COO entries accumulate (matches to_dense).
@@ -458,9 +511,9 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
 
     # pack indices: byte j of word m <- sublane row j*GS//4 + m
     GQ = GS // 4
-    i4 = idx8.reshape(nsteps, 4, GQ, LANES)
+    i4 = idx8.reshape(nsteps, 4, GQ, LANES).astype(np.uint32)
     lanes_packed = (i4[:, 0] | (i4[:, 1] << 8) | (i4[:, 2] << 16)
-                    | (i4[:, 3] << 24)).astype(np.uint32).view(np.int32)
+                    | (i4[:, 3] << 24)).view(np.int32)
 
     # COO remainder (the spilled tail)
     sp = ~keep
