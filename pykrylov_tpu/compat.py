@@ -322,11 +322,12 @@ class CRAIGFramework(_LLSFramework):
     acronym = "CRAIG"
 
     def solve(self, rhs, itnlim=0, damp=0.0, M=None, N=None, atol=1.0e-9,
-              btol=1.0e-9, etol=1.0e-6, window=5, **kwargs):
+              btol=1.0e-9, etol=1.0e-6, window=5, verify_final=False,
+              **kwargs):
         res = self._store(_S.craig(
             self.A, jnp.asarray(rhs), M=M, N=N, atol=atol, btol=btol,
             etol=etol, window=window, itnlim=itnlim or None,
-            store_history=True))
+            store_history=True, verify_final=verify_final))
         self.r = res.info["r"]
         self.r1norm = float(res.info["r1norm"])
         self.r2norm = float(res.info["r2norm"])
@@ -351,9 +352,10 @@ class CRAIGMRFramework(_LLSFramework):
         self.residHistory = []
 
     def solve(self, b, M=None, N=None, itnlim=None, etol=1.0e-6, window=5,
-              **kwargs):
+              verify_final=False, **kwargs):
         res = self._store(_S.craigmr(
             self.A, jnp.asarray(b), M=M, N=N, etol=etol, window=window,
-            itnlim=itnlim, store_history=True))
+            itnlim=itnlim, store_history=True,
+            verify_final=verify_final))
         self.optimal = bool(res.info["optimal"])
         return res

@@ -182,7 +182,7 @@ def _craig(A, b, M, N, atol, btol, etol, itnlim, window, store_history,
 
 def craig(A, b, *, M=None, N=None, atol=1.0e-9, btol=1.0e-9, etol=1.0e-6,
           window=5, itnlim=None, store_history=False,
-          store_iterates=False, show=False):
+          store_iterates=False, show=False, verify_final=False):
     """Solve consistent ``Ax = b`` or the SQD system
     ``[M A; A' -N][r; x] = [b; 0]`` by the generalized CRAIG method.
 
@@ -199,6 +199,12 @@ def craig(A, b, *, M=None, N=None, atol=1.0e-9, btol=1.0e-9, etol=1.0e-6,
 
     Returns :class:`SolveResult`; the dual iterate ``r`` (the SQD system's
     first block) is in ``info['r']``, and ``n_matvec = 2 n_iter``.
+
+    ``verify_final=True`` appends the SQD block-equation certificates —
+    both expressible with the AVAILABLE (inverse-weight) applies:
+    ``info["true_dual_resid"]`` = ||M(b - Ax) - r|| (first block) and
+    ``info["true_primal_resid"]`` = ||N(A'r) - x|| (second block); two
+    uncounted diagnostic matvecs.
     """
     A = as_operator(A)
     M = as_operator(M) if M is not None else None
@@ -216,4 +222,13 @@ def craig(A, b, *, M=None, N=None, atol=1.0e-9, btol=1.0e-9, etol=1.0e-6,
     if show:
         from .show import print_craig_final
         print_craig_final(res)
+    if verify_final:
+        from .common import apply_op, apply_op_T
+        r = res.info["r"]
+        d1 = b - apply_op(A, res.x)
+        d1 = (apply_op(M, d1) if M is not None else d1) - r
+        d2 = apply_op_T(A, r)
+        d2 = (apply_op(N, d2) if N is not None else d2) - res.x
+        res.info["true_dual_resid"] = jnp.linalg.norm(d1)
+        res.info["true_primal_resid"] = jnp.linalg.norm(d2)
     return res

@@ -126,7 +126,7 @@ def _craigmr(A, b, M, N, etol, itnlim, window, store_history):
 
 
 def craigmr(A, b, *, M=None, N=None, etol=1.0e-6, window=5, itnlim=None,
-            store_history=False, show=False):
+            store_history=False, show=False, verify_final=False):
     """Solve the least-norm minimum-residual problem by CRAIG-MR.
 
     Parameters
@@ -140,6 +140,11 @@ def craigmr(A, b, *, M=None, N=None, etol=1.0e-6, window=5, itnlim=None,
 
     Returns :class:`SolveResult`; the iterate is dual-space (length m,
     ``craigmr.py:112``), ``resid_history`` stores |zeta| per iteration.
+
+    ``verify_final=True`` appends ``info["true_dual_resid"]`` =
+    ||M(b - A N(A'y)) - y|| — the dual normal-equation certificate
+    (with identity weights the iterate solves ``(AA' + I) y = b``);
+    two uncounted diagnostic matvecs.
     """
     A = as_operator(A)
     M = as_operator(M) if M is not None else None
@@ -160,4 +165,11 @@ def craigmr(A, b, *, M=None, N=None, etol=1.0e-6, window=5, itnlim=None,
               % (float(res.info["xNrgNorm2"]),
                  float(res.info["trncDirErr"])))
         print(" ")
+    if verify_final:
+        from .common import apply_op, apply_op_T
+        xn = apply_op_T(A, res.x)
+        xn = apply_op(N, xn) if N is not None else xn
+        d = b - apply_op(A, xn)
+        d = (apply_op(M, d) if M is not None else d) - res.x
+        res.info["true_dual_resid"] = jnp.linalg.norm(d)
     return res

@@ -265,3 +265,31 @@ def test_lsqr_lsmr_verify_final_certificates():
         # inconsistent random LS problem)
         scale = np.linalg.norm(a, 2) * np.linalg.norm(rt)
         assert float(res.info["true_normar"]) < 1e-4 * scale
+
+
+def test_craig_craigmr_verify_final_certificates(rng):
+    # SQD block-equation certificates, expressible with the available
+    # inverse-weight applies (identity weights here)
+    m, n = 40, 90
+    a = rng.standard_normal((m, n))
+    b = a @ rng.standard_normal(n)
+    res = craig(MatrixOperator(jnp.asarray(a)), jnp.asarray(b),
+                btol=1e-12, etol=0.0, itnlim=400, verify_final=True)
+    x, r = np.asarray(res.x), np.asarray(res.info["r"])
+    d1 = (b - a @ x) - r
+    d2 = a.T @ r - x
+    assert abs(float(res.info["true_dual_resid"])
+               - np.linalg.norm(d1)) < 1e-9 * np.linalg.norm(b)
+    assert abs(float(res.info["true_primal_resid"])
+               - np.linalg.norm(d2)) < 1e-9 * np.linalg.norm(b)
+    # CRAIG solves the regularized SQD system: both blocks near zero
+    assert float(res.info["true_dual_resid"]) < 1e-6 * np.linalg.norm(b)
+    assert float(res.info["true_primal_resid"]) < 1e-6 * np.linalg.norm(b)
+
+    res2 = craigmr(MatrixOperator(jnp.asarray(a)), jnp.asarray(b),
+                   etol=1e-13, itnlim=400, verify_final=True)
+    y = np.asarray(res2.x)
+    d = (b - a @ (a.T @ y)) - y
+    assert abs(float(res2.info["true_dual_resid"])
+               - np.linalg.norm(d)) < 1e-9 * np.linalg.norm(b)
+    assert float(res2.info["true_dual_resid"]) < 1e-6 * np.linalg.norm(b)
