@@ -290,7 +290,7 @@ def _cg(A, b, x0, M, rtol, atol, maxiter, check_curvature, store_history,
 def cg(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8, maxiter=None,
        matvec_max=None, check_curvature=False, store_history=False,
        store_iterates=False, store_resids=False, replace_every=None,
-       leg_rtol=1e-2):
+       leg_rtol=1e-2, verify_final=False):
     """Solve SPD ``A x = b`` by preconditioned conjugate gradients.
 
     Parameters
@@ -342,7 +342,11 @@ def cg(A, b, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8, maxiter=None,
     x0 = jnp.asarray(x0) if x0 is not None else None
     replace_every = int(replace_every) if replace_every else None
     ff_mv = _resolve_ff(A) if replace_every else None
-    return _cg(A, b, x0, M, rtol, atol, int(maxiter),
-               bool(check_curvature), bool(store_history),
-               bool(store_iterates), bool(store_resids),
-               replace_every, ff_mv, float(leg_rtol))
+    res = _cg(A, b, x0, M, rtol, atol, int(maxiter),
+              bool(check_curvature), bool(store_history),
+              bool(store_iterates), bool(store_resids),
+              replace_every, ff_mv, float(leg_rtol))
+    if verify_final:
+        from .common import attach_true_residual
+        res = attach_true_residual(A, b, res)
+    return res

@@ -128,14 +128,14 @@ def table_push(tab, k, *cols):
                                     for c in cols]))
 
 
-def attach_true_residual(A, b, res):
+def attach_true_residual(A, b, res, shift=0.0):
     """Post-solve verification for solvers whose recurrences are trusted
-    unverified (the transpose-free family): compute the true residual
-    ``b - A x`` — with the compensated double-f32 matvec when the
-    operator storage supports one (see ``cg._resolve_ff``; the plain f32
-    matvec floors at ~eps·|A||x|) — and record its 2-norm as
-    ``info["true_resid_norm"]``.  One diagnostic matvec, NOT counted in
-    ``n_matvec`` (the reference has no analogue to mirror)."""
+    unverified: compute the true residual ``b - (A - shift I) x`` — with
+    the compensated double-f32 matvec when the operator storage supports
+    one (see ``cg._resolve_ff``; the plain f32 matvec floors at
+    ~eps·|A||x|) — and record its 2-norm as ``info["true_resid_norm"]``.
+    One diagnostic matvec, NOT counted in ``n_matvec`` (the reference
+    has no analogue to mirror)."""
     from .cg import _resolve_ff
     ff = _resolve_ff(A)
     if ff is not None:
@@ -145,6 +145,8 @@ def attach_true_residual(A, b, res):
         rt = d + (de - sl)
     else:
         rt = b - apply_op(A, res.x)
+    if shift:
+        rt = rt + shift * res.x
     res.info["true_resid_norm"] = jnp.linalg.norm(rt)
     return res
 

@@ -235,7 +235,7 @@ def _minres_info(s, store_iterates, store_history):
 
 def minres(A, b, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
            window=5, itnlim=None, check=False, store_history=False,
-           store_iterates=False, show=False):
+           store_iterates=False, show=False, verify_final=False):
     """Solve symmetric (possibly indefinite/singular) ``(A - shift I) x = b``
     or ``min ||Ax - b||`` by MINRES.
 
@@ -305,4 +305,7 @@ def minres(A, b, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
         from .show import print_minres
         print_minres(res, n=n, itnlim=int(itnlim), rtol=float(rtol),
                      eps=float(np.finfo(np.dtype(b.dtype)).eps))
+    if verify_final:
+        from .common import attach_true_residual
+        res = attach_true_residual(A, b, res, float(shift))
     return res

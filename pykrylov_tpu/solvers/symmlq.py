@@ -248,7 +248,8 @@ def _symmlq(A, b, M, shift, rtol, matvec_max, store_history,
 
 
 def symmlq(A, b, *, M=None, shift=0.0, rtol=1.0e-9, matvec_max=None,
-           check=False, store_history=False, store_iterates=False):
+           check=False, store_history=False, store_iterates=False,
+           verify_final=False):
     """Solve symmetric (possibly indefinite) ``(A - shift I) x = b`` by
     SYMMLQ.
 
@@ -291,5 +292,9 @@ def symmlq(A, b, *, M=None, shift=0.0, rtol=1.0e-9, matvec_max=None,
                 n_matvec=jnp.asarray(0, jnp.int32),
                 resid_norm=zero, resid_norm0=zero, info={})
 
-    return _symmlq(A, b, M, float(shift), float(rtol), int(matvec_max),
-                   bool(store_history), bool(store_iterates))
+    res = _symmlq(A, b, M, float(shift), float(rtol), int(matvec_max),
+                  bool(store_history), bool(store_iterates))
+    if verify_final:
+        from .common import attach_true_residual
+        res = attach_true_residual(A, b, res, float(shift))
+    return res
