@@ -150,13 +150,13 @@ class CG(KrylovMethod):
 
     def solve(self, rhs, guess=None, matvec_max=None, check_curvature=False,
               store_resids=False, store_iterates=False, replace_every=None,
-              **kwargs):
+              verify_final=False, **kwargs):
         res = _S.cg(
             self.op, jnp.asarray(rhs), x0=guess, M=self.precon,
             rtol=self.reltol, atol=self.abstol, matvec_max=matvec_max,
             check_curvature=check_curvature, store_history=True,
             store_iterates=store_iterates, store_resids=store_resids,
-            replace_every=replace_every)
+            replace_every=replace_every, verify_final=verify_final)
         self._log_iterations(res, guess is not None)
         res = self._store(res)
         self.definite = bool(res.info.get("definite", True))
@@ -220,11 +220,12 @@ class Minres(KrylovMethod):
     acronym = "MINRES"
 
     def solve(self, b, precon=None, shift=0.0, check=False, itnlim=None,
-              rtol=1.0e-12, etol=1.0e-6, window=5, show=False, **kwargs):
+              rtol=1.0e-12, etol=1.0e-6, window=5, show=False,
+              verify_final=False, **kwargs):
         res = self._store(_S.minres(
             self.op, jnp.asarray(b), M=precon or self.precon, shift=shift,
             rtol=rtol, etol=etol, window=window, itnlim=itnlim, check=check,
-            store_history=True, show=show))
+            store_history=True, show=show, verify_final=verify_final))
         self.rnorm = self.residNorm
         self.Anorm = float(res.info["Anorm"]) if "Anorm" in res.info else 0.0
         self.Acond = float(res.info["Acond"]) if "Acond" in res.info else 0.0
@@ -241,11 +242,12 @@ class Symmlq(KrylovMethod):
     acronym = "SYMMLQ"
 
     def solve(self, rhs, matvec_max=None, rtol=1.0e-9, shift=None,
-              check=False, **kwargs):
+              check=False, verify_final=False, **kwargs):
         res = self._store(_S.symmlq(
             self.op, jnp.asarray(rhs), M=self.precon,
             shift=shift if shift is not None else 0.0, rtol=rtol,
-            matvec_max=matvec_max, check=check, store_history=True))
+            matvec_max=matvec_max, check=check, store_history=True,
+            verify_final=verify_final))
         self.xNorm = self.solutionNorm = (
             float(res.info["xnorm"]) if "xnorm" in res.info else 0.0)
         self.anorm = float(res.info["Anorm"]) if "Anorm" in res.info else 0.0
