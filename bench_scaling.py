@@ -96,6 +96,14 @@ def gather_schedule_accounting():
     vals, rows, cols, shape = load_bundled("jpwh_991")
     coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
     op = GatherEllOperator(coo, mesh)
+    # the BELL-kernel sharded operator rides the SAME schedule; check
+    # compute parity and record its per-device kernel footprint
+    from pykrylov_tpu.parallel import GatherBellOperator, shard_vector
+    import numpy as np
+    opb = GatherBellOperator(coo, mesh)
+    x = np.random.default_rng(0).standard_normal(op.nargin)
+    xs = shard_vector(jnp.asarray(x), mesh)
+    diff = float(jnp.abs((op @ xs) - (opb @ xs)).max())
     return {
         "matrix": "jpwh_991", "devices": d,
         "scheduled_entries_per_mv": op.comm_entries_per_matvec,
@@ -103,6 +111,10 @@ def gather_schedule_accounting():
         "allgather_entries_per_mv": op.allgather_entries_per_matvec,
         "reduction_x": round(op.allgather_entries_per_matvec
                              / max(1, op.comm_entries_per_matvec), 2),
+        "bell_local_kernel": {
+            "max_abs_diff_vs_ell": diff,
+            "slots_per_device": opb.slots_per_device,
+        },
     }
 
 

@@ -211,7 +211,7 @@ class GatherBellOperator(LinearOperator):
                                                for Lk in round_lens))
         self.comm_entries_true = int(sum(sum(t) for t in lens))
         self.allgather_entries_per_matvec = int(d * (d - 1) * L)
-        self.slots_per_device = int(arrs[0].shape[1] * arrs[0].shape[2])
+        self.slots_per_device = int(np.prod(arrs[0].shape[1:]))
 
     @property
     def container(self):
