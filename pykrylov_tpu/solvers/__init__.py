@@ -18,7 +18,8 @@ from . import (cg as _m_cg, minres as _m_minres, symmlq as _m_symmlq,
                bicgstab as _m_bicgstab, cgs as _m_cgs, tfqmr as _m_tfqmr,
                lsqr as _m_lsqr, lsmr as _m_lsmr, craig as _m_craig,
                craigmr as _m_craigmr, pipelined as _m_pipelined,
-               diff as _m_diff, show as _m_show)  # noqa: F401
+               diff as _m_diff, show as _m_show,
+               refine as _m_refine)  # noqa: F401
 
 # function bindings win (rebinding the attributes set just above)
 from .cg import cg
@@ -33,8 +34,9 @@ from .craig import craig
 from .craigmr import craigmr
 from .pipelined import cg_pipelined
 from .diff import make_differentiable, cg_solve, bicgstab_solve, lsqr_solve
+from .refine import refined_solve
 
 __all__ = ["SolveResult", "cg", "minres", "symmlq", "bicgstab", "cgs",
            "tfqmr", "lsqr", "lsmr", "craig", "craigmr", "cg_pipelined",
            "make_differentiable", "cg_solve", "bicgstab_solve",
-           "lsqr_solve"]
+           "lsqr_solve", "refined_solve"]

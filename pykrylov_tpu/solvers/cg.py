@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from .common import (as_operator, apply_op, threshold_of, history_init,
                      history_push, default_maxiter, promote_rhs, require_square)
+from .ffmv import resolve_ff_matvec as _resolve_ff  # noqa: F401 (re-export)
 from .result import SolveResult
 
 __all__ = ["cg", "ISTOP_MSG"]
@@ -35,46 +36,6 @@ ISTOP_MSG = {
     1: "matvec budget exhausted before convergence",
     2: "operator appears indefinite: nonpositive curvature encountered",
 }
-
-
-def _ff_ell(params, xh, xl):
-    from ..sparse import formats as SF
-    return SF.ell_matvec_ff(params[0], xh, xl)
-
-
-def _ff_dense(params, xh, xl):
-    from ..utils.ff import two_prod, two_sum
-    a = params
-    m, n = a.shape
-    p, pe = two_prod(a, xh[None, :])
-    pe = pe + a * xl[None, :]
-
-    def body(j, carry):
-        yh, yl = carry
-        s, e = two_sum(yh, jax.lax.dynamic_slice_in_dim(p, j, 1, 1)[:, 0])
-        return two_sum(s, yl + e
-                       + jax.lax.dynamic_slice_in_dim(pe, j, 1, 1)[:, 0])
-
-    z = jnp.zeros(m, dtype=a.dtype)
-    return jax.lax.fori_loop(0, n, body, (z, z))
-
-
-def _resolve_ff(A):
-    """Pick a compensated (double-f32) matvec for the replacement
-    residual when the operator's storage supports one; None falls back
-    to two plain applies (limited by the f32 matvec floor).
-
-    The check is STRUCTURAL (container types in ``_params``), not
-    ``isinstance`` on the operator class: pytree round-trips inside an
-    outer jit reconstruct operators as plain ``LinearOperator``."""
-    from ..sparse import formats as SF
-    params = getattr(A, "_params", None)
-    if (isinstance(params, tuple) and len(params) >= 1
-            and isinstance(params[0], SF.ELL)):
-        return _ff_ell
-    if getattr(params, "ndim", None) == 2:  # dense MatrixOperator storage
-        return _ff_dense
-    return None
 
 
 @partial(jax.jit, static_argnames=("maxiter", "check_curvature",

@@ -132,12 +132,12 @@ def attach_true_residual(A, b, res, shift=0.0):
     """Post-solve verification for solvers whose recurrences are trusted
     unverified: compute the true residual ``b - (A - shift I) x`` — with
     the compensated double-f32 matvec when the operator storage supports
-    one (see ``cg._resolve_ff``; the plain f32 matvec floors at
+    one (see ``ffmv.resolve_ff_matvec``; the plain f32 matvec floors at
     ~eps·|A||x|) — and record its 2-norm as ``info["true_resid_norm"]``.
     One diagnostic matvec, NOT counted in ``n_matvec`` (the reference
     has no analogue to mirror)."""
-    from .cg import _resolve_ff
-    ff = _resolve_ff(A)
+    from .ffmv import resolve_ff_matvec
+    ff = resolve_ff_matvec(A)
     if ff is not None:
         from ..utils.ff import two_sum
         sh, sl = ff(A._params, res.x, jnp.zeros_like(res.x))
@@ -161,8 +161,8 @@ def attach_true_lls_residual(A, b, res, damp=0.0):
     this is the certificate an external user would compute).  Recorded
     as ``info["true_resid_norm"]`` / ``info["true_normar"]``; two
     diagnostic matvecs, NOT counted in ``n_matvec``."""
-    from .cg import _resolve_ff
-    ff = _resolve_ff(A)
+    from .ffmv import resolve_ff_matvec
+    ff = resolve_ff_matvec(A)
     if ff is not None:
         from ..utils.ff import two_sum
         sh, sl = ff(A._params, res.x, jnp.zeros_like(res.x))

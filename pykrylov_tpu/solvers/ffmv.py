@@ -1,0 +1,64 @@
+"""Compensated (double-f32) matvec resolution shared by the verified
+solver paths.
+
+f64 on TPU is emulated (~100x); the verified-convergence machinery
+(ff-CG's ``replace_every``, :func:`~pykrylov_tpu.solvers.refine.
+refined_solve`, the ``verify_final`` certificates) instead evaluates
+true residuals with an error-compensated matvec when the operator's
+STORAGE supports one — the plain f32 matvec floors at ~eps·|A||x|
+(measured 2.3e-6 relative on 1138bus), above the reference's f64
+rtol 1e-6 target (``/root/reference/pykrylov/cg/cg.py`` runs f64
+NumPy throughout).
+
+The check is STRUCTURAL (container types in ``_params``), not
+``isinstance`` on the operator class: pytree round-trips inside an
+outer jit reconstruct operators as plain ``LinearOperator``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["resolve_ff_matvec"]
+
+
+def _ff_ell(params, xh, xl):
+    from ..sparse import formats as SF
+    return SF.ell_matvec_ff(params[0], xh, xl)
+
+
+def _ff_dense(params, xh, xl):
+    from ..utils.ff import two_prod, two_sum
+    a = params
+    m, n = a.shape
+    p, pe = two_prod(a, xh[None, :])
+    pe = pe + a * xl[None, :]
+
+    def body(j, carry):
+        yh, yl = carry
+        s, e = two_sum(yh, jax.lax.dynamic_slice_in_dim(p, j, 1, 1)[:, 0])
+        return two_sum(s, yl + e
+                       + jax.lax.dynamic_slice_in_dim(pe, j, 1, 1)[:, 0])
+
+    z = jnp.zeros(m, dtype=a.dtype)
+    return jax.lax.fori_loop(0, n, body, (z, z))
+
+
+def resolve_ff_matvec(A):
+    """Pick a compensated (double-f32) matvec ``(params, xh, xl) ->
+    (yh, yl)`` for the operator's storage, or ``None`` when no
+    compensated path exists (callers then fall back to two plain
+    applies, limited by the f32 matvec floor)."""
+    from ..sparse import formats as SF
+    params = getattr(A, "_params", None)
+    if (isinstance(params, tuple) and len(params) >= 1
+            and isinstance(params[0], SF.ELL)):
+        return _ff_ell
+    if getattr(params, "ndim", None) == 2:  # dense MatrixOperator storage
+        return _ff_dense
+    return None
+
+
+# historical name (pre-refactor callers imported this from solvers.cg)
+_resolve_ff = resolve_ff_matvec
