@@ -43,11 +43,17 @@ from .sharded import pad_to_multiple
 __all__ = ["GatherBellOperator"]
 
 
-def _pack_local_blocks(data, cols_local, d, L, width, nblk):
+def _pack_local_blocks(data, cols_local, d, L, width, nblk,
+                       transpose=False):
     """Pack each device's (L, K) remapped ELL block as a BELL v3
     container over the uniform private address space ``[0, width)``;
     pad all containers to common shapes and stack along a device axis.
-    Host-side NumPy throughout."""
+    Host-side NumPy throughout.
+
+    ``transpose=True`` packs each device's TRANSPOSED block instead —
+    shape (width, L): rows are private-address positions, columns the
+    device's local rows — the local compute of the reversed-schedule
+    ``A' x`` product."""
     bells = []
     for i in range(d):
         blk = slice(i * L, (i + 1) * L)
@@ -56,6 +62,12 @@ def _pack_local_blocks(data, cols_local, d, L, width, nblk):
         rr = np.nonzero(live)[0]
         vv = db[live]
         cc = cb[live]
+        if transpose:
+            coo = F.coo_from_arrays(vv, cc, rr, (width, L), device=False)
+            bells.append(bell_from_coo(coo, nblk=nblk, min_cols=L,
+                                       spill_cost=None, device=False,
+                                       window=1))
+            continue
         coo = F.coo_from_arrays(vv, rr, cc, (L, width), device=False)
         bells.append(bell_from_coo(coo, nblk=nblk, min_cols=width,
                                    spill_cost=None, device=False,
@@ -142,10 +154,57 @@ def _bell_gather_mv_factory(axis, n_dev, round_lens, cfg, L, mesh,
         check_vma=False)
 
     def mv(params, x):
-        (dat, lan, bnd, blo, bl), send = params
+        (dat, lan, bnd, blo, bl), send = params[0], params[1]
         return mapped(dat, lan, bnd, blo, bl, x, *send)
 
     return mv
+
+
+@functools.lru_cache(maxsize=None)
+def _bell_gather_mvT_factory(axis, n_dev, round_lens, cfg_t, L, mesh,
+                             interpret):
+    """Transpose product: per-device BELL kernel over the TRANSPOSED
+    local block (outputs in the private address space), then the
+    reversed exchange scatter-adds each round's buffer segment back at
+    the owner's forward send list — same traffic as the forward
+    schedule, direction reversed (see ``gather._gather_mvT_factory``)."""
+    nb_t, nblk_t, ncb_t, rows_pad_t = cfg_t
+    width = L + sum(round_lens)
+    rev_perms = [tuple((j, (j + k) % n_dev) for j in range(n_dev))
+                 for k in range(1, n_dev)]
+    empty_i = jnp.zeros(0, dtype=jnp.int32)
+
+    def local_mv_t(dat, lan, bnd, blo, bl, x_blk, *send_blks):
+        xp = jnp.zeros(ncb_t * LANES, x_blk.dtype).at[:L].set(x_blk)
+        empty_v = jnp.zeros(0, dtype=dat.dtype)
+        y_priv = _bell_matvec_call(dat[0], lan[0], bnd[0], blo[0], bl[0],
+                                   xp.reshape(-1, LANES), empty_i,
+                                   empty_i, empty_v, nb_t, nblk_t,
+                                   interpret, window=1)
+        y = y_priv[:L]
+        off = L
+        for k, Lk in enumerate(round_lens):
+            if Lk == 0:
+                continue
+            seg = jax.lax.ppermute(y_priv[off:off + Lk], axis,
+                                   perm=list(rev_perms[k]))
+            off += Lk
+            y = y.at[send_blks[k][0]].add(seg)
+        return y
+
+    nsend = len(round_lens)
+    mapped = shard_map(
+        local_mv_t, mesh=mesh,
+        in_specs=(P(axis, None, None, None),) * 4 + (P(axis, None),)
+        + (P(axis),) + (P(axis, None),) * nsend,
+        out_specs=P(axis),
+        check_vma=False)
+
+    def mv_t(params, x):
+        (dat, lan, bnd, blo, bl), send = params[2], params[1]
+        return mapped(dat, lan, bnd, blo, bl, x, *send)
+
+    return mv_t
 
 
 class GatherBellOperator(LinearOperator):
@@ -153,14 +212,18 @@ class GatherBellOperator(LinearOperator):
     gather schedule + per-device BELL Pallas local SpMV.
 
     Parameters match :class:`GatherEllOperator` (square ELL/COO
-    container, 1-D mesh, ``symmetric`` contract for ``op.T``); acts on
-    vectors of length ``m + self.pad`` sharded with ``shard_vector``.
-    ``nblk`` fixes the per-device step size (uniform across devices);
-    ``interpret=None`` auto-selects off-TPU.
+    container, 1-D mesh); acts on vectors of length ``m + self.pad``
+    sharded with ``shard_vector``.  ``nblk`` fixes the per-device step
+    size (uniform across devices); ``interpret=None`` auto-selects
+    off-TPU.  ``with_transpose=True`` additionally packs each device's
+    TRANSPOSED local block so ``op.T @ x`` runs the reversed exchange
+    (sharded LSQR/LSMR on general square systems); ``symmetric=True``
+    reuses the forward product instead.
     """
 
     def __init__(self, ell, mesh, axis=ROW_AXIS, symmetric=False,
-                 nblk=64, interpret=None, **kwargs):
+                 nblk=64, interpret=None, with_transpose=False,
+                 **kwargs):
         if isinstance(ell, F.COO):
             ell = F.ell_from_coo(ell, device=False)
         m, n = ell.shape
@@ -188,20 +251,33 @@ class GatherBellOperator(LinearOperator):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
 
-        sh_all = [NamedSharding(mesh, P(axis, *(None,) * (a.ndim - 1)))
-                  for a in arrs]
-        dev = tuple(jax.device_put(jnp.asarray(a), s)
-                    for a, s in zip(arrs, sh_all))
+        def ship(arrs):
+            shs = [NamedSharding(mesh, P(axis, *(None,) * (a.ndim - 1)))
+                   for a in arrs]
+            return tuple(jax.device_put(jnp.asarray(a), s)
+                         for a, s in zip(arrs, shs))
+
+        dev = ship(arrs)
         sh2 = NamedSharding(mesh, P(axis, None))
         send_s = tuple(jax.device_put(s, sh2) for s in sendidx)
 
         mv = _bell_gather_mv_factory(axis, d, round_lens, cfg, L, mesh,
                                      bool(interpret))
+        if symmetric:
+            rmv, dev_t = mv, None
+        elif with_transpose:
+            arrs_t, cfg_t = _pack_local_blocks(data, cols_local, d, L,
+                                               width, nblk,
+                                               transpose=True)
+            dev_t = ship(arrs_t)
+            rmv = _bell_gather_mvT_factory(axis, d, round_lens, cfg_t,
+                                           L, mesh, bool(interpret))
+        else:
+            rmv, dev_t = None, None
 
         is_complex = np.issubdtype(data.dtype, np.complexfloating)
-        super().__init__(mp, mp, matvec=mv,
-                         matvec_transp=mv if symmetric else None,
-                         params=(dev, send_s),
+        super().__init__(mp, mp, matvec=mv, matvec_transp=rmv,
+                         params=(dev, send_s, dev_t),
                          _takes_params=True, symmetric=symmetric,
                          hermitian=symmetric and not is_complex,
                          dtype=data.dtype, **kwargs)

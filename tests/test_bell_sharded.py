@@ -108,3 +108,61 @@ def test_uneven_rows_pad(mesh):
     y = np.asarray(op @ xs)
     np.testing.assert_allclose(y[:n], a @ x[:n], rtol=1e-11, atol=1e-11)
     assert np.all(y[n:] == 0)
+
+
+def test_transpose_matches_dense_oracle(mesh):
+    # reversed-schedule A' x with the BELL kernel over transposed
+    # local blocks
+    vals, rows, cols, shape = load_bundled("jpwh_991")
+    a = _dense(vals, rows, cols, shape)
+    coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+    op = GatherBellOperator(coo, mesh, with_transpose=True)
+    rng = np.random.default_rng(7)
+    x = np.zeros(op.nargout)
+    x[:shape[0]] = rng.standard_normal(shape[0])
+    xs = shard_vector(jnp.asarray(x), mesh)
+    y = np.asarray(op.T @ xs)
+    np.testing.assert_allclose(y[:shape[1]], a.T @ x[:shape[0]],
+                               rtol=1e-10, atol=1e-10)
+    # forward still intact
+    yf = np.asarray(op @ xs)
+    np.testing.assert_allclose(yf[:shape[0]], a @ x[:shape[0]],
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_transpose_banded_uneven(mesh):
+    n = 1001  # does not divide the 8-device mesh
+    rows, cols, vals = _banded(n, 60, 11)
+    a = _dense(vals, rows, cols, (n, n))
+    coo = F.coo_from_arrays(vals, rows, cols, (n, n), device=False)
+    op = GatherBellOperator(coo, mesh, with_transpose=True)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(op.nargout)  # junk beyond n on purpose
+    xs = shard_vector(jnp.asarray(x), mesh)
+    y = np.asarray(op.T @ xs)
+    np.testing.assert_allclose(y[:n], a.T @ x[:n], rtol=1e-10,
+                               atol=1e-10)
+
+
+def test_lsqr_through_sharded_bell(mesh):
+    from pykrylov_tpu.solvers.lsqr import lsqr
+    vals, rows, cols, shape = load_bundled("jpwh_991")
+    a = _dense(vals, rows, cols, shape)
+    coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+    op = GatherBellOperator(coo, mesh, with_transpose=True)
+    n = shape[0]
+    b = np.zeros(op.nargin)
+    b[:n] = a @ np.ones(n)
+    bs = shard_vector(jnp.asarray(b), mesh)
+    res = lsqr(op, bs, atol=1e-10, btol=1e-10, itnlim=4 * n)
+    x = np.asarray(res.x)[:n]
+    assert np.linalg.norm(a @ x - b[:n]) <= 2e-6 * np.linalg.norm(b)
+
+
+def test_without_transpose_raises(mesh):
+    vals, rows, cols, shape = load_bundled("jpwh_991")
+    coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+    op = GatherBellOperator(coo, mesh)
+    x = shard_vector(jnp.zeros(op.nargout), mesh)
+    with pytest.raises(Exception):
+        op.T @ x

@@ -117,3 +117,54 @@ def test_schedule_skips_dead_padding():
     cols_local, send, lens = build_gather_schedule(cols, data, d, L)
     assert all(s.shape[1] == 0 for s in send)
     assert np.all(cols_local[:, 1] == 0)
+
+
+def test_transpose_matches_dense_oracle(mesh):
+    # y = A' x via the REVERSED gather schedule must equal the dense
+    # oracle on a general (nonsymmetric) matrix
+    vals, rows, cols, shape = load_bundled("jpwh_991")
+    a = _dense(vals, rows, cols, shape)
+    coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+    op = GatherEllOperator(coo, mesh)
+    x = np.zeros(op.nargout)
+    x[:shape[0]] = np.random.default_rng(1).standard_normal(shape[0])
+    xs = shard_vector(jnp.asarray(x), mesh)
+    y = np.asarray(op.T @ xs)
+    np.testing.assert_allclose(y[:shape[1]], a.T @ x[:shape[0]],
+                               rtol=1e-12, atol=1e-12)
+    assert np.all(y[shape[1]:] == 0)
+
+
+def test_transpose_of_padded_tail_rows(mesh):
+    # a size that does NOT divide the mesh: padded rows are all-zero and
+    # must contribute nothing to A' x even when x has junk there
+    n = 101
+    rng = np.random.default_rng(4)
+    a = np.zeros((n, n))
+    idx = rng.integers(0, n, size=(400, 2))
+    a[idx[:, 0], idx[:, 1]] = rng.standard_normal(400)
+    rr, cc = np.nonzero(a)
+    coo = F.coo_from_arrays(a[rr, cc], rr, cc, (n, n), device=False)
+    op = GatherEllOperator(coo, mesh)
+    assert op.pad > 0
+    x = rng.standard_normal(op.nargout)  # junk beyond n on purpose
+    xs = shard_vector(jnp.asarray(x), mesh)
+    y = np.asarray(op.T @ xs)
+    np.testing.assert_allclose(y[:n], a.T @ x[:n], rtol=1e-12, atol=1e-12)
+
+
+def test_lsqr_through_gather_operator(mesh):
+    # sharded LSQR on a square general system: needs BOTH products
+    # through the schedule (SURVEY §2.5 LLS configs under sharding)
+    from pykrylov_tpu.solvers.lsqr import lsqr
+    vals, rows, cols, shape = load_bundled("jpwh_991")
+    a = _dense(vals, rows, cols, shape)
+    coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+    op = GatherEllOperator(coo, mesh)
+    n = shape[0]
+    b = np.zeros(op.nargin)
+    b[:n] = a @ np.ones(n)
+    bs = shard_vector(jnp.asarray(b), mesh)
+    res = lsqr(op, bs, atol=1e-10, btol=1e-10, itnlim=4 * n)
+    x = np.asarray(res.x)[:n]
+    assert np.linalg.norm(a @ x - b[:n]) <= 1e-6 * np.linalg.norm(b)
