@@ -47,22 +47,45 @@ def _concrete_istop(res):
         return None
 
 
-def solve(A, b, method=None, **opts):
+def solve(A, b, method=None, verified=False, **opts):
     """Solve ``A x = b`` (or ``min ‖Ax-b‖`` for rectangular A).
 
     Returns a :class:`~pykrylov_tpu.solvers.SolveResult`.  ``opts`` pass
     through to the chosen solver.
+
+    ``verified=True`` wraps the chosen square-system method in
+    :func:`~pykrylov_tpu.solvers.refine.refined_solve`: the stopping
+    test runs on the TRUE residual (compensated double-f32 evaluation),
+    the f32-on-chip answer to the reference's f64 tolerances.  Only
+    meaningful for square systems; rectangular problems instead get the
+    post-solve optimality certificate via ``verify_final=True``.
     """
     A = as_operator(A)
     if method is not None:
         if method not in _METHODS:
             raise ValueError("unknown method %r (have %s)"
                              % (method, ", ".join(_METHODS)))
-        return getattr(_S, method)(A, b, **opts)
+        fn = getattr(_S, method)
+        if verified:
+            if method in ("lsqr", "lsmr", "craig", "craigmr"):
+                raise ValueError(
+                    "verified=True needs a square-system method; use "
+                    "verify_final=True for the least-squares family")
+            return _S.refined_solve(fn, A, b, **opts)
+        return fn(A, b, **opts)
 
     m, n = A.shape
     if m != n:
+        if verified:
+            opts.setdefault("verify_final", True)
         return _S.lsmr(A, b, **opts)
+    if verified:
+        if A.symmetric or A.hermitian:
+            # CG legs: their double-f32 in-loop carries survive long
+            # legs (pass method="minres" explicitly for indefinite
+            # operators — refined MINRES legs handle those)
+            return _S.refined_solve(_S.cg, A, b, **opts)
+        return _S.refined_solve(_S.bicgstab, A, b, **opts)
 
     if A.symmetric or A.hermitian:
         res = _S.cg(A, b, check_curvature=True, **opts)

@@ -105,3 +105,48 @@ class TestBreakdownFallback:
         res = solve(op, jnp.asarray(b), rtol=1e-8, matvec_max=4 * n)
         # Whichever path won, the result must be a finite SolveResult.
         assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+class TestVerified:
+    def _f32_spd(self):
+        from pykrylov_tpu.io.datasets import load_bundled
+        from pykrylov_tpu.sparse import sparse_operator
+        vals, rows, cols, shape = load_bundled("1138bus")
+        a64 = np.zeros(shape)
+        np.add.at(a64, (rows, cols),
+                  vals.astype(np.float32).astype(np.float64))
+        op = sparse_operator((vals.astype(np.float32), rows, cols, shape),
+                             symmetric=True, fmt="ell")
+        b64 = a64 @ np.ones(shape[0])
+        return op, a64, b64
+
+    def test_verified_spd_reaches_true_1e6(self):
+        op, a64, b64 = self._f32_spd()
+        res = solve(op, jnp.asarray(b64, jnp.float32), verified=True,
+                    rtol=1e-6)
+        assert bool(res.converged)
+        x = (np.asarray(res.x, np.float64)
+             + np.asarray(res.info["x_lo"], np.float64))
+        rel = np.linalg.norm(a64 @ x - b64) / np.linalg.norm(b64)
+        assert rel < 2.5e-6, rel
+
+    def test_verified_explicit_method(self):
+        op, a64, b64 = self._f32_spd()
+        res = solve(op, jnp.asarray(b64, jnp.float32), method="cg",
+                    verified=True, rtol=1e-6)
+        assert bool(res.converged)
+
+    def test_verified_rejects_lls_methods(self):
+        op, a64, b64 = self._f32_spd()
+        with pytest.raises(ValueError):
+            solve(op, jnp.asarray(b64, jnp.float32), method="lsqr",
+                  verified=True)
+
+    def test_verified_rectangular_attaches_certificate(self):
+        rng = np.random.default_rng(9)
+        a = rng.standard_normal((40, 17))
+        b = rng.standard_normal(40)
+        res = solve(MatrixOperator(jnp.asarray(a)), jnp.asarray(b),
+                    verified=True)
+        assert "true_normar" in res.info
+        assert float(res.info["true_normar"]) < 1e-6
