@@ -73,9 +73,15 @@ class BELL(NamedTuple):
     """Packed band-sliced ELL (see module docstring).
 
     ``data``:  (nsteps, GS, 128) values (zero-padded).
-    ``lanes``: (nsteps, GS//4, 128) int32 — window-local indices in
-               [0, 256), packed 4 per word: byte j of word m is the index
-               of sublane row ``j*GS//4 + m``.
+    ``lanes``: window-local indices in [0, 256).  ``idx_fmt="packed"``:
+               (nsteps, GS//4, 128) int32, 4 per word — byte j of word m
+               is the index of sublane row ``j*GS//4 + m``; the kernel
+               unpacks with 4 shift/mask passes + a sublane concat.
+               ``idx_fmt="int8"``: (nsteps, GS, 128) uint8 stored
+               directly — same stream bytes, one zero-extending upcast
+               instead of the unpack (fewer VPU ops per slot; subject to
+               Mosaic's (32,128) 1-byte tiling, GS is always a multiple
+               of 32).
     ``bands``: (nsteps, 1, GS) int32 — window-relative base band of each
                sublane row, lane-major (the window is bands
                [base, base+1]; a (GS, 1) layout would waste a full
@@ -112,6 +118,7 @@ class BELL(NamedTuple):
     nnz: int
     nnz_spill: int
     window: int = 2
+    idx_fmt: str = "packed"
 
 
 def _reg():
@@ -119,7 +126,7 @@ def _reg():
         return ((v.data, v.lanes, v.bands, v.blocks, v.band_lo,
                  v.sp_row, v.sp_col, v.sp_val),
                 (v.shape, v.padded_shape, v.nb, v.nblk, v.nnz,
-                 v.nnz_spill, v.window))
+                 v.nnz_spill, v.window, v.idx_fmt))
 
     def unflatten(aux, children):
         return BELL(*children, *aux)
@@ -268,7 +275,8 @@ def _plan_bands_sorted(rows, bs, blk, nblocks, spill_cost):
 
 def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
                   min_cols: int = 0, spill_cost: float = _SPILL_BYTES,
-                  device: bool = True, window: int = 2) -> BELL:
+                  device: bool = True, window: int = 2,
+                  idx_fmt: str = "packed") -> BELL:
     """Pack COO triples into BELL v2 (host-side).
 
     ``spill_cost`` is the per-entry byte cost charged for routing an
@@ -509,11 +517,14 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
         blocks = np.full((nsteps, 1, GS), nblk, dtype=np.int32)
         blocks[e_step, 0, e_q] = (blks_k % nblk).astype(np.int32)
 
-    # pack indices: byte j of word m <- sublane row j*GS//4 + m
-    GQ = GS // 4
-    i4 = idx8.reshape(nsteps, 4, GQ, LANES).astype(np.uint32)
-    lanes_packed = (i4[:, 0] | (i4[:, 1] << 8) | (i4[:, 2] << 16)
-                    | (i4[:, 3] << 24)).view(np.int32)
+    if idx_fmt == "int8":
+        lanes_packed = idx8  # stored directly (uint8, zero-extended load)
+    else:
+        # pack indices: byte j of word m <- sublane row j*GS//4 + m
+        GQ = GS // 4
+        i4 = idx8.reshape(nsteps, 4, GQ, LANES).astype(np.uint32)
+        lanes_packed = (i4[:, 0] | (i4[:, 1] << 8) | (i4[:, 2] << 16)
+                        | (i4[:, 3] << 24)).view(np.int32)
 
     # COO remainder (the spilled tail)
     sp = ~keep
@@ -526,7 +537,8 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     return BELL(cvt(data), cvt(lanes_packed), cvt(bands), cvt(blocks),
                 cvt(band_lo), cvt(sp_row), cvt(sp_col), cvt(sp_val),
                 (m, n), (nsteps * nblk * LANES, ncb * LANES),
-                int(nb), int(nblk), nnz, nnz_spill, int(window))
+                int(nb), int(nblk), nnz, nnz_spill, int(window),
+                str(idx_fmt))
 
 
 def bell_to_device(b: BELL) -> BELL:
@@ -553,9 +565,30 @@ def bell_stream_bytes(b: BELL) -> int:
 
 def _unpack_idx(b: BELL):
     """(nsteps, GS, LANES) int window-local indices (host-side)."""
+    if b.idx_fmt == "int8":
+        return np.asarray(b.lanes).astype(np.int64)
     p = np.asarray(b.lanes).astype(np.int64) & 0xFFFFFFFF
     parts = [(p >> (8 * j)) & 255 for j in range(4)]
     return np.concatenate(parts, axis=1)
+
+
+def bell_with_idx_fmt(b: BELL, idx_fmt: str) -> BELL:
+    """Repack a BELL container's index storage (host-side) without
+    re-planning; useful for A/B-ing the kernel's unpack path."""
+    if idx_fmt == b.idx_fmt:
+        return b
+    idx = _unpack_idx(b).astype(np.uint8)
+    if idx_fmt == "int8":
+        lanes = idx
+    elif idx_fmt == "packed":
+        nsteps, GS, L = idx.shape
+        i4 = idx.reshape(nsteps, 4, GS // 4, L).astype(np.uint32)
+        lanes = (i4[:, 0] | (i4[:, 1] << 8) | (i4[:, 2] << 16)
+                 | (i4[:, 3] << 24)).view(np.int32)
+    else:
+        raise ValueError("idx_fmt must be 'packed' or 'int8'")
+    cvt = jnp.asarray if not isinstance(b.data, np.ndarray) else np.asarray
+    return b._replace(lanes=cvt(lanes), idx_fmt=str(idx_fmt))
 
 
 def bell_to_dense(b: BELL):
@@ -764,10 +797,14 @@ def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window,
             xsel1 = _dot_onehot(iot == base + 1, w, passes,
                                 transposed=True)           # (GS, 128)
 
-    # Unpack the per-slot bytes: byte j of word m -> sublane row
-    # j*GS/4 + m, so a sublane-aligned concat restores row order.
-    idx = jnp.concatenate(
-        [(p >> (8 * j)) & 255 for j in range(4)], axis=0)  # (GS, 128)
+    if p.dtype == jnp.uint8:
+        # int8 layout: stored per-slot, one zero-extending upcast
+        idx = p.astype(jnp.int32)                          # (GS, 128)
+    else:
+        # Unpack the per-slot bytes: byte j of word m -> sublane row
+        # j*GS/4 + m, so a sublane-aligned concat restores row order.
+        idx = jnp.concatenate(
+            [(p >> (8 * j)) & 255 for j in range(4)], axis=0)  # (GS, 128)
 
     if window == 1:
         vals = jnp.take_along_axis(xsel, idx, axis=1)
@@ -842,7 +879,8 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
             pltpu.SemaphoreType.DMA((nring,)),
             pltpu.VMEM((nring, GS, L), data.dtype),    # value-block ring
             pltpu.SemaphoreType.DMA((nring,)),
-            pltpu.VMEM((nring, GS // 4, L), lanes.dtype),  # idx ring
+            # idx ring: (GS/4,128) int32 packed or (GS,128) uint8 direct
+            pltpu.VMEM((nring,) + lanes.shape[1:], lanes.dtype),
             pltpu.SemaphoreType.DMA((nring,)),
         ],
     )
@@ -970,7 +1008,8 @@ def _strip_spill(b: BELL) -> BELL:
 _SLOT_COST_PS = {1: 10.7, 2: 17.4}
 
 
-def _pack_window_auto(coo, nb_max, spill_cost, levels, device=True):
+def _pack_window_auto(coo, nb_max, spill_cost, levels, device=True,
+                      idx_fmt="packed"):
     """Pack with both window modes (host-side) and keep the one the
     measured per-slot cost model predicts faster.  The w2 pair-DP
     packing is only attempted when the native planner is available or
@@ -978,7 +1017,7 @@ def _pack_window_auto(coo, nb_max, spill_cost, levels, device=True):
     loop at 1M rows, and w1 wins on every scattered matrix measured."""
     try:
         lv1 = _pack_levels(coo, nb_max, spill_cost, levels,
-                           device=False, window=1)
+                           device=False, window=1, idx_fmt=idx_fmt)
     except SpanError:
         lv1 = None
     lv2 = None
@@ -991,7 +1030,7 @@ def _pack_window_auto(coo, nb_max, spill_cost, levels, device=True):
     if lv1 is None or native_ok or coo.data.shape[0] < 100_000:
         try:
             lv2 = _pack_levels(coo, nb_max, spill_cost, levels,
-                               device=False, window=2)
+                               device=False, window=2, idx_fmt=idx_fmt)
         except SpanError:
             lv2 = None
     if lv1 is None and lv2 is None:
@@ -1012,9 +1051,11 @@ def _pack_window_auto(coo, nb_max, spill_cost, levels, device=True):
     return tuple(bell_to_device(b) for b in win) if device else win
 
 
-def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2):
+def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2,
+                 idx_fmt="packed"):
     if window == "auto":
-        return _pack_window_auto(coo, nb_max, spill_cost, levels, device)
+        return _pack_window_auto(coo, nb_max, spill_cost, levels, device,
+                                 idx_fmt)
     """Pack a COO matrix into up to ``levels`` BELL levels: all but the
     last are depth-capped and their overflow feeds the next level's
     (much smaller) packing; the last level is uncapped.  A thin overflow
@@ -1027,6 +1068,7 @@ def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2):
     # rides the device transport
     cvt = bell_to_device if device else (lambda b: b)
     b1 = bell_from_coo(coo, nb_max=nb_max, device=False, window=window,
+                       idx_fmt=idx_fmt,
                        spill_cost=spill_cost if levels > 1 else None)
     if levels <= 1 or b1.nnz_spill == 0:
         return (cvt(b1),)
@@ -1040,7 +1082,7 @@ def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2):
                                     device=False)
         try:
             b = bell_from_coo(nxt_coo, nb_max=nb_max, device=False,
-                              window=window,
+                              window=window, idx_fmt=idx_fmt,
                               spill_cost=None if last else spill_cost)
         except SpanError:
             # the overflow is too scattered to window: keep it as the
@@ -1059,7 +1101,7 @@ def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2):
         # only on a clear (>10%) stream win — each extra level is
         # another kernel launch plus its own staging matmuls
         b1u = bell_from_coo(coo, nb_max=nb_max, spill_cost=None,
-                            device=False, window=window)
+                            device=False, window=window, idx_fmt=idx_fmt)
         if int(np.prod(b1u.data.shape)) <= 1.1 * multi_slots:
             return (cvt(b1u),)
     return tuple(cvt(b) for b in out)
@@ -1090,7 +1132,7 @@ def _ensure_device_levels(lv):
 def bell_operator(source, shape=None, symmetric=False, interpret=None,
                   nb_max: int = NB_MAX, spill_cost: float = None,
                   reorder=False, levels: int = 2, with_transpose=True,
-                  window="auto", _prepacked=None):
+                  window="auto", idx_fmt="packed", _prepacked=None):
     """Wrap a matrix as a LinearOperator whose matvec is the BELL kernel.
 
     ``source``: COO container or ``(vals, rows, cols, shape)`` triples or
@@ -1146,16 +1188,18 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
         skip_bwd = symmetric or not with_transpose
         if levels <= 1 and window != "auto":
             fwd = (bell_from_coo(coo, nb_max=nb_max, window=window,
-                                 spill_cost=spill_cost),)
+                                 spill_cost=spill_cost, idx_fmt=idx_fmt),)
             bwd = None if skip_bwd else (bell_from_coo(
                 F.transpose_coo(coo), nb_max=nb_max, window=window,
-                spill_cost=spill_cost),)
+                spill_cost=spill_cost, idx_fmt=idx_fmt),)
         else:
             if levels <= 1:
                 sc = spill_cost   # keep the explicit no-spill request
-            fwd = _pack_levels(coo, nb_max, sc, levels, window=window)
+            fwd = _pack_levels(coo, nb_max, sc, levels, window=window,
+                               idx_fmt=idx_fmt)
             bwd = None if skip_bwd else _pack_levels(
-                F.transpose_coo(coo), nb_max, sc, levels, window=window)
+                F.transpose_coo(coo), nb_max, sc, levels, window=window,
+                idx_fmt=idx_fmt)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -332,3 +332,45 @@ def test_window1_spill_and_operator():
     y = rng.standard_normal(1500)
     np.testing.assert_allclose(np.asarray(op.T @ y), a.T @ y, rtol=1e-10,
                                atol=1e-10)
+
+
+@pytest.mark.parametrize("window", [1, 2])
+def test_idx_fmt_int8_matches_packed(window):
+    coo, rows, cols, vals = _random_coo(500, 500, 3000, 21, bandwidth=90)
+    a = _dense(coo)
+    x = np.random.default_rng(1).standard_normal(500)
+    bp = bell_from_coo(coo, spill_cost=None, window=window)
+    b8 = bell_from_coo(coo, spill_cost=None, window=window,
+                       idx_fmt="int8")
+    assert b8.lanes.dtype == jnp.uint8
+    assert b8.lanes.shape == b8.data.shape
+    # host oracle agrees for both layouts
+    np.testing.assert_allclose(bell_to_dense(b8), a, rtol=1e-13)
+    xp = jnp.zeros(b8.padded_shape[1]).at[:500].set(jnp.asarray(x))
+    yp = np.asarray(bell_matvec_pallas(bp, xp, interpret=True))[:500]
+    y8 = np.asarray(bell_matvec_pallas(b8, xp, interpret=True))[:500]
+    np.testing.assert_allclose(y8, a @ x, rtol=1e-10)
+    np.testing.assert_array_equal(y8, yp)  # same arithmetic, same result
+
+
+def test_bell_with_idx_fmt_roundtrip():
+    from pykrylov_tpu.sparse.bell import bell_with_idx_fmt
+    coo, *_ = _random_coo(300, 300, 1500, 22, bandwidth=70)
+    b = bell_from_coo(coo, spill_cost=None, window=1, device=False)
+    b8 = bell_with_idx_fmt(b, "int8")
+    bp = bell_with_idx_fmt(b8, "packed")
+    np.testing.assert_array_equal(np.asarray(bp.lanes),
+                                  np.asarray(b.lanes))
+    np.testing.assert_allclose(bell_to_dense(b8), bell_to_dense(b),
+                               rtol=0, atol=0)
+
+
+def test_operator_idx_fmt_int8():
+    coo, rows, cols, vals = _random_coo(400, 400, 2400, 23, bandwidth=80)
+    a = _dense(coo)
+    op = bell_operator(coo, interpret=True, idx_fmt="int8")
+    x = np.random.default_rng(2).standard_normal(400)
+    y = np.asarray(op @ jnp.asarray(x))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-10)
+    yt = np.asarray(op.T @ jnp.asarray(x))
+    np.testing.assert_allclose(yt, a.T @ x, rtol=1e-10)
