@@ -1,0 +1,72 @@
+"""A/B the BELL index storage layouts on-chip: packed 4-per-int32
+(kernel unpacks with 4 shift/mask passes + a sublane concat) vs direct
+uint8 (one zero-extending upcast).  Same stream bytes either way, so
+any delta is pure VPU work.
+
+Run on the real chip; chain >=1000 matvecs per timing (the remote
+dispatch overhead is ~30 ms/call).  If int8 measures no worse than
+packed, flip the bell_operator default.
+"""
+
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+from pykrylov_tpu.gallery.general import tiled_general_coo
+from pykrylov_tpu.sparse import formats as F
+from pykrylov_tpu.sparse.bell import (bell_from_coo, bell_to_device,
+                                      bell_with_idx_fmt,
+                                      _bell_matvec_call, LANES)
+
+assert jax.default_backend() == "tpu"
+BW = 819.0
+
+vals, rows, cols, shape = tiled_general_coo(tiles=1024)
+rowsum = np.zeros(shape[0]); np.add.at(rowsum, rows, np.abs(vals))
+vals = (vals / rowsum.max()).astype(np.float32)
+coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+n = shape[0]
+ITERS = 1500
+
+
+def run(b, iters=ITERS):
+    mp, npad = b.padded_shape
+    sb = b.data.size * 5
+
+    def chain(b, x):
+        def body(_, x2):
+            y = _bell_matvec_call(b.data, b.lanes, b.bands, b.blocks,
+                                  b.band_lo, x2, b.sp_row, b.sp_col,
+                                  b.sp_val, b.nb, b.nblk, False, 3,
+                                  None, b.window)
+            return jnp.zeros(npad, jnp.float32).at[:n].set(
+                y[:n]).reshape(-1, LANES)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    cj = jax.jit(chain)
+    x0 = jnp.ones((npad // LANES, LANES), jnp.float32)
+    float(cj(b, x0)[0, 0])
+    best = np.inf
+    for rep in range(3):
+        xr = jnp.full((npad // LANES, LANES), 1.0 + 0.1 * rep,
+                      jnp.float32)
+        float(xr[0, 0])
+        t0 = time.perf_counter()
+        float(cj(b, xr)[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    gbps = iters * sb / best / 1e9
+    nnzps = iters * b.nnz / best
+    print(f"idx_fmt={b.idx_fmt:7s} w={b.window}: {best/iters*1e3:.3f} "
+          f"ms/mv stream={gbps:.0f}GB/s util={gbps/BW:.3f} "
+          f"nnz/s={nnzps/1e9:.1f}G", flush=True)
+
+
+t0 = time.perf_counter()
+bh = bell_from_coo(coo, spill_cost=None, device=False, window=1)
+print(f"pack w1: {time.perf_counter()-t0:.1f}s "
+      f"slots/nnz={bh.data.size/bh.nnz:.2f}", flush=True)
+b8h = bell_with_idx_fmt(bh, "int8")
+# interleave the two layouts across reps to decorrelate tunnel drift
+for _ in range(2):
+    run(bell_to_device(bh))
+    run(bell_to_device(b8h))
