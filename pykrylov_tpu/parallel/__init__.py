@@ -26,10 +26,12 @@ from .sharded import (shard_vector, replicate, shard_operator,
 from .halo import HaloDiaOperator
 from .gather import GatherEllOperator, build_gather_schedule
 from .bell_sharded import GatherBellOperator
+from .tall import TallSkinnyOperator
 from .halo2d import (Halo2DPoissonOperator, make_mesh2d, shard_vector_2d,
                      to_bricks, from_bricks)
 
 __all__ = [
+    "TallSkinnyOperator",
     "make_mesh", "default_mesh", "device_mesh_info",
     "initialize_multihost",
     "shard_vector", "replicate", "shard_operator", "sharded_poisson3d",
