@@ -104,6 +104,13 @@ def gather_schedule_accounting():
     x = np.random.default_rng(0).standard_normal(op.nargin)
     xs = shard_vector(jnp.asarray(x), mesh)
     diff = float(jnp.abs((op @ xs) - (opb @ xs)).max())
+    # transpose products ride the REVERSED schedule at identical volume
+    # (sharded LSQR on general square systems); check both local
+    # computes agree
+    diff_t = float(jnp.abs((op.T @ xs)
+                           - (GatherBellOperator(
+                               coo, mesh, with_transpose=True).T
+                              @ xs)).max())
     return {
         "matrix": "jpwh_991", "devices": d,
         "scheduled_entries_per_mv": op.comm_entries_per_matvec,
@@ -111,10 +118,40 @@ def gather_schedule_accounting():
         "allgather_entries_per_mv": op.allgather_entries_per_matvec,
         "reduction_x": round(op.allgather_entries_per_matvec
                              / max(1, op.comm_entries_per_matvec), 2),
+        "transpose_entries_per_mv": op.comm_entries_per_matvec,
+        "transpose_max_abs_diff_ell_vs_bell": diff_t,
         "bell_local_kernel": {
             "max_abs_diff_vs_ell": diff,
             "slots_per_device": opb.slots_per_device,
         },
+    }
+
+
+def tall_skinny_accounting():
+    """Sharded rectangular LSQR: per-iteration collective volume is one
+    psum of n floats (the replicated n-side partial), independent of m."""
+    import numpy as np
+    from pykrylov_tpu.parallel import (make_mesh, shard_vector,
+                                       TallSkinnyOperator)
+    from pykrylov_tpu.solvers import lsqr
+
+    d = min(8, len(jax.devices()))
+    mesh = make_mesh(d)
+    rng = np.random.default_rng(0)
+    m, n = 4096, 32
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    xt = rng.standard_normal(n).astype(np.float32)
+    op = TallSkinnyOperator(a, mesh)
+    b = np.zeros(op.nargout, np.float32)
+    b[:m] = a @ xt
+    res = lsqr(op, shard_vector(jnp.asarray(b), mesh), atol=1e-6,
+               btol=1e-6)
+    return {
+        "m": m, "n": n, "devices": d,
+        "iters": int(res.n_iter),
+        "err": float(jnp.linalg.norm(res.x - xt)),
+        "psum_floats_per_iteration": n,
+        "allgather_equivalent_floats": (d - 1) * (m // d),
     }
 
 
@@ -141,6 +178,7 @@ def main():
                  "efficiency" % host_cores),
         "weak_scaling": weak_scaling_curve(args.scale),
         "general_sparsity_gather_schedule": gather_schedule_accounting(),
+        "tall_skinny_lsqr": tall_skinny_accounting(),
     }
     out = json.dumps(report, indent=1)
     print(out)
