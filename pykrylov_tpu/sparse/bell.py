@@ -137,6 +137,12 @@ def _reg():
 _reg()
 
 
+try:
+    import ml_dtypes as _ml
+    _BF16 = np.dtype(_ml.bfloat16)
+except ImportError:  # pragma: no cover - ml_dtypes ships with jax
+    _BF16 = None
+
 _SLOT_BYTES = 5       # 4 B value + 1 B packed index per stored slot
 _SPILL_BYTES = 12.0   # 4 B value + 4 B row + 4 B col in the COO remainder
 
@@ -303,6 +309,13 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     rows = np.asarray(coo.row).astype(np.int64)
     cols = np.asarray(coo.col).astype(np.int64)
     vals = np.asarray(coo.data)
+    store_dtype = vals.dtype
+    if store_dtype == _BF16:
+        # bf16 STORAGE (2 B/slot value stream; the kernel computes in
+        # f32 — exact in the stored matrix): NumPy ufuncs like add.at
+        # don't cover ml_dtypes, so pack through f32 (bf16->f32 is
+        # exact) and round the emitted arrays back
+        vals = vals.astype(np.float32)
     nnz = len(vals)
     if nnz == 0:
         rows = np.zeros(1, dtype=np.int64)
@@ -532,6 +545,9 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     sp_row = rs[sp].astype(np.int32)
     sp_col = cs[sp].astype(np.int32)
     sp_val = vs[sp]
+    if store_dtype == _BF16:
+        data = data.astype(store_dtype)
+        sp_val = sp_val.astype(store_dtype)
 
     cvt = jnp.asarray if device else np.asarray
     return BELL(cvt(data), cvt(lanes_packed), cvt(bands), cvt(blocks),
@@ -812,6 +828,11 @@ def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window,
         low = jnp.take_along_axis(xsel0, idx & 127, axis=1)
         high = jnp.take_along_axis(xsel1, idx & 127, axis=1)
         vals = jnp.where(idx < 128, low, high)
+    if dat.dtype != vals.dtype:
+        # bf16-stored values, f32 compute: the only extra VPU op of the
+        # half-stream layout (the x window, staging, gather, fold and
+        # scatter all run at the compute dtype already)
+        dat = dat.astype(vals.dtype)
     prod = dat * vals                                      # (GS, 128)
 
     # Scatter sublane rows to y blocks (fuses the depth reduction).
@@ -851,6 +872,13 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
         stage = _default_stage(window)
     nsteps, GS, L = data.shape
     gsc = GS // 4 if window == 1 else GS   # scatter-map row count
+    # mixed-precision storage: bf16 values with an f32 x keep the value
+    # stream at 2 B/slot while every accumulation runs in f32 (the
+    # matvec is EXACT in the stored matrix; only the product/reduction
+    # rounding is f32, same as full-f32 storage)
+    ct = jnp.promote_types(data.dtype, x2.dtype)
+    if x2.dtype != ct:
+        x2 = x2.astype(ct)
     xflat = x2.reshape(-1)
     if not interpret:
         # Multi-MB inputs otherwise get parked in VMEM around the call and
@@ -875,7 +903,7 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
         out_specs=pl.BlockSpec((nblk, L), lambda s, *_: (s, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nring, nb, L), data.dtype),    # x window ring
+            pltpu.VMEM((nring, nb, L), ct),            # x window ring
             pltpu.SemaphoreType.DMA((nring,)),
             pltpu.VMEM((nring, GS, L), data.dtype),    # value-block ring
             pltpu.SemaphoreType.DMA((nring,)),
@@ -888,7 +916,7 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
                                stage, window)
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nsteps * nblk, L), data.dtype),
+        out_shape=jax.ShapeDtypeStruct((nsteps * nblk, L), ct),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * nsteps * GS * L * (2 * nb + nblk),
@@ -963,16 +991,16 @@ def _bell_mv_factory(slot, cfg, rows_out, interpret):
         x = x if x.dtype == ct else x.astype(ct)
         out = None
         for (nb, nblk, cols_in, window), c in zip(cfg, levels):
-            data = c.data if c.data.dtype == ct else c.data.astype(ct)
+            # stored values ride at their STORAGE dtype (bf16 storage
+            # keeps its 2 B/slot stream); the kernel itself computes at
+            # the promoted dtype
             if x.shape[0] == cols_in:   # static shapes: skip the pad copy
                 xp = x
             else:
                 xp = jnp.zeros(cols_in, dtype=ct).at[:x.shape[0]].set(x)
-            spv = (c.sp_val if c.sp_val.dtype == ct
-                   else c.sp_val.astype(ct))
-            y = _bell_matvec_call(data, c.lanes, c.bands, c.blocks,
+            y = _bell_matvec_call(c.data, c.lanes, c.bands, c.blocks,
                                   c.band_lo, xp.reshape(-1, LANES),
-                                  c.sp_row, c.sp_col, spv,
+                                  c.sp_row, c.sp_col, c.sp_val,
                                   nb, nblk, interpret, window=window)
             y = y if y.shape[0] == rows_out else y[:rows_out]
             out = y if out is None else out + y

@@ -374,3 +374,57 @@ def test_operator_idx_fmt_int8():
     np.testing.assert_allclose(y, a @ x, rtol=1e-10)
     yt = np.asarray(op.T @ jnp.asarray(x))
     np.testing.assert_allclose(yt, a.T @ x, rtol=1e-10)
+
+
+def test_bf16_storage_f32_compute():
+    # bf16-stored values (2 B/slot stream), f32 x and accumulation: the
+    # matvec must be EXACT in the stored (bf16-rounded) matrix up to
+    # f32 product/reduction rounding
+    import ml_dtypes
+    coo, rows, cols, vals = _random_coo(400, 400, 2500, 31, bandwidth=80)
+    v16 = np.asarray(vals, dtype=ml_dtypes.bfloat16)
+    a16 = np.zeros((400, 400))
+    np.add.at(a16, (rows, cols), v16.astype(np.float64))
+    c16 = F.coo_from_arrays(v16, rows, cols, (400, 400), device=False)
+    for window in (1, 2):
+        b = bell_from_coo(c16, spill_cost=None, window=window)
+        assert np.dtype(b.data.dtype) == np.dtype(ml_dtypes.bfloat16)
+        from pykrylov_tpu.sparse.bell import bell_stream_bytes
+        assert bell_stream_bytes(b) == 3 * int(np.prod(b.data.shape))
+        x = np.random.default_rng(3).standard_normal(400)
+        xp = jnp.zeros(b.padded_shape[1], jnp.float32).at[:400].set(
+            jnp.asarray(x, jnp.float32))
+        y = np.asarray(bell_matvec_pallas(b, xp, interpret=True))[:400]
+        assert y.dtype == np.float32
+        ref = a16 @ x.astype(np.float64)
+        np.testing.assert_allclose(y, ref, rtol=2e-6, atol=2e-6)
+
+
+def test_bf16_storage_operator_solver():
+    # a bf16-stored operator drives a solver with f32 vectors end to
+    # end; verified against the bf16-rounded dense system
+    import ml_dtypes
+    from pykrylov_tpu.solvers.bicgstab import bicgstab
+    rng = np.random.default_rng(33)
+    n = 384
+    rows = np.repeat(np.arange(n), 5)
+    cols = np.clip(rows + rng.integers(-40, 41, size=len(rows)), 0, n - 1)
+    vals = rng.standard_normal(len(rows)) * 0.05
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    rows, cols, vals = rows[first], cols[first], vals[first]
+    # diagonally dominant
+    rows = np.r_[rows, np.arange(n)]
+    cols = np.r_[cols, np.arange(n)]
+    vals = np.r_[vals, np.full(n, 4.0)]
+    v16 = np.asarray(vals, dtype=ml_dtypes.bfloat16)
+    a16 = np.zeros((n, n))
+    np.add.at(a16, (rows, cols), v16.astype(np.float64))
+    op = bell_operator(F.coo_from_arrays(v16, rows, cols, (n, n),
+                                         device=False), interpret=True)
+    b64 = a16 @ np.ones(n)
+    res = bicgstab(op, jnp.asarray(b64, jnp.float32), rtol=1e-5)
+    assert bool(res.converged)
+    x = np.asarray(res.x, np.float64)
+    rel = np.linalg.norm(a16 @ x - b64) / np.linalg.norm(b64)
+    assert rel < 1e-4, rel
