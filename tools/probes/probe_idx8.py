@@ -31,7 +31,7 @@ ITERS = 1500
 
 def run(b, iters=ITERS):
     mp, npad = b.padded_shape
-    sb = b.data.size * 5
+    sb = b.data.size * (np.dtype(b.data.dtype).itemsize + 1)
 
     def chain(b, x):
         def body(_, x2):
@@ -56,7 +56,8 @@ def run(b, iters=ITERS):
         best = min(best, time.perf_counter() - t0)
     gbps = iters * sb / best / 1e9
     nnzps = iters * b.nnz / best
-    print(f"idx_fmt={b.idx_fmt:7s} w={b.window}: {best/iters*1e3:.3f} "
+    print(f"idx_fmt={b.idx_fmt:7s} vals={np.dtype(b.data.dtype).name:9s} "
+          f"w={b.window}: {best/iters*1e3:.3f} "
           f"ms/mv stream={gbps:.0f}GB/s util={gbps/BW:.3f} "
           f"nnz/s={nnzps/1e9:.1f}G", flush=True)
 
@@ -66,7 +67,13 @@ bh = bell_from_coo(coo, spill_cost=None, device=False, window=1)
 print(f"pack w1: {time.perf_counter()-t0:.1f}s "
       f"slots/nnz={bh.data.size/bh.nnz:.2f}", flush=True)
 b8h = bell_with_idx_fmt(bh, "int8")
-# interleave the two layouts across reps to decorrelate tunnel drift
+# bf16 value storage (3 B/slot vs 5): f32 compute, one upcast/slot
+import ml_dtypes
+bf_coo = F.coo_from_arrays(vals.astype(ml_dtypes.bfloat16), rows, cols,
+                           shape, device=False)
+bbf = bell_from_coo(bf_coo, spill_cost=None, device=False, window=1)
+# interleave the layouts across reps to decorrelate tunnel drift
 for _ in range(2):
     run(bell_to_device(bh))
     run(bell_to_device(b8h))
+    run(bell_to_device(bbf))
