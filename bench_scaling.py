@@ -100,17 +100,14 @@ def gather_schedule_accounting():
     # compute parity and record its per-device kernel footprint
     from pykrylov_tpu.parallel import GatherBellOperator, shard_vector
     import numpy as np
-    opb = GatherBellOperator(coo, mesh)
+    opb = GatherBellOperator(coo, mesh, with_transpose=True)
     x = np.random.default_rng(0).standard_normal(op.nargin)
     xs = shard_vector(jnp.asarray(x), mesh)
     diff = float(jnp.abs((op @ xs) - (opb @ xs)).max())
     # transpose products ride the REVERSED schedule at identical volume
     # (sharded LSQR on general square systems); check both local
     # computes agree
-    diff_t = float(jnp.abs((op.T @ xs)
-                           - (GatherBellOperator(
-                               coo, mesh, with_transpose=True).T
-                              @ xs)).max())
+    diff_t = float(jnp.abs((op.T @ xs) - (opb.T @ xs)).max())
     return {
         "matrix": "jpwh_991", "devices": d,
         "scheduled_entries_per_mv": op.comm_entries_per_matvec,

@@ -81,10 +81,23 @@ def solve(A, b, method=None, verified=False, **opts):
         return _S.lsmr(A, b, **opts)
     if verified:
         if A.symmetric or A.hermitian:
-            # CG legs: their double-f32 in-loop carries survive long
-            # legs (pass method="minres" explicitly for indefinite
-            # operators — refined MINRES legs handle those)
-            return _S.refined_solve(_S.cg, A, b, **opts)
+            # CG legs (their double-f32 in-loop carries survive long
+            # legs), with the same indefinite safety net as the
+            # unverified path: a curvature abort in any leg reroutes to
+            # refined MINRES legs
+            copts = dict(opts)
+            copts.setdefault("check_curvature", True)
+            res = _S.refined_solve(_S.cg, A, b, **copts)
+            inner = res.info.get("inner_istop")
+            if (not bool(res.converged) and inner is not None
+                    and bool(jnp.any(inner == 2))):
+                import inspect
+                ok = (set(inspect.signature(_S.minres).parameters)
+                      | set(inspect.signature(
+                          _S.refined_solve).parameters))
+                mopts = {k: v for k, v in opts.items() if k in ok}
+                return _S.refined_solve(_S.minres, A, b, **mopts)
+            return res
         return _S.refined_solve(_S.bicgstab, A, b, **opts)
 
     if A.symmetric or A.hermitian:

@@ -61,7 +61,8 @@ ISTOP_MSG = {
 def _verifier(ff_mv):
     """Jitted verified-residual evaluation, memoized per compensated
     matvec so equal-storage operators share one compiled program.
-    Returns (r_hi, r_lo, ||r||)."""
+    Returns (r, ||r||) with r the compensated ``b - A x`` rounded to
+    the working dtype."""
     from ..utils.ff import two_sum
 
     if ff_mv is None:
@@ -70,15 +71,15 @@ def _verifier(ff_mv):
             sh = apply_op(A, xh)
             sl = apply_op(A, xl)
             d, de = two_sum(b, -sh)
-            rt, rtl = two_sum(d, de - sl)
-            return rt, rtl, jnp.linalg.norm(rt)
+            rt = d + (de - sl)
+            return rt, jnp.linalg.norm(rt)
     else:
         @jax.jit
         def verify(A, b, xh, xl):
             sh, sl = ff_mv(A._params, xh, xl)
             d, de = two_sum(b, -sh)
-            rt, rtl = two_sum(d, de - sl)
-            return rt, rtl, jnp.linalg.norm(rt)
+            rt = d + (de - sl)
+            return rt, jnp.linalg.norm(rt)
     return verify
 
 
@@ -88,15 +89,22 @@ def _accumulate(xh, xl, d):
     return ff_add(xh, xl, d)
 
 
-def _leg_cap_kwarg(solver):
-    """Map a leg iteration cap onto the solver's own cap kwarg."""
+def _solver_params(solver):
     import inspect
     try:
-        params = inspect.signature(solver).parameters
+        return inspect.signature(solver).parameters
     except (TypeError, ValueError):  # builtins / partials without sig
-        return None
+        return {}
+
+
+def _accepts_kwarg(solver, name):
+    return name in _solver_params(solver)
+
+
+def _leg_cap_kwarg(solver):
+    """Map a leg iteration cap onto the solver's own cap kwarg."""
     for name in ("itnlim", "maxiter", "matvec_max"):
-        if name in params:
+        if name in _solver_params(solver):
             return name
     return None
 
@@ -138,6 +146,12 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
         iterations (measured on 1138bus: a 300-iteration leg multiplies
         the true residual by 3.6); capping legs keeps each correction
         inside the drift-free range.
+    **solver_kwargs : forwarded verbatim to every inner leg (e.g.
+        ``shift=``, ``check_curvature=``).  Legs additionally receive
+        ``atol=0.0`` when the solver accepts it (inheriting the
+        solvers' absolute default would stop small-norm legs
+        immediately and misreport a reachable outer target as a
+        precision floor).
 
     Notes
     -----
@@ -151,8 +165,6 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
     the wrapper reports it honestly with istop 3.  SPD systems should
     prefer ``cg`` legs (or fused ff-CG via ``cg(replace_every=...)``),
     whose double-f32 in-loop carries survive long legs.
-    **solver_kwargs : forwarded verbatim to every inner leg (e.g.
-        ``shift=``, ``matvec_max=``, ``check_curvature=``).
 
     Returns
     -------
@@ -178,12 +190,12 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
     if x0 is None:
         xh = jnp.zeros(n, b.dtype)
         xl = jnp.zeros(n, b.dtype)
-        r, rl = b, jnp.zeros(n, b.dtype)
+        r = b
         resid = jnp.linalg.norm(b)
     else:
         xh = jnp.asarray(x0, b.dtype)
         xl = jnp.zeros(n, b.dtype)
-        r, rl, resid = verify(A, b, xh, xl)
+        r, resid = verify(A, b, xh, xl)
         n_matvec += verify_cost
     resid0 = resid
     thresh = max(float(atol), float(rtol) * float(resid0))
@@ -199,6 +211,11 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
         cap = _leg_cap_kwarg(solver)
         if cap is not None:
             kwargs.setdefault(cap, int(leg_maxiter))
+    if _accepts_kwarg(solver, "atol"):
+        # legs are rtol-driven: inheriting the solvers' absolute
+        # atol=1e-8 default would stop small-norm legs immediately and
+        # misreport a reachable outer target as a precision floor
+        kwargs.setdefault("atol", 0.0)
 
     # Solvers with SCALED stopping tests (MINRES's test1 divides by
     # Anorm*ynorm) satisfy a fixed leg_rtol long before reducing the
@@ -222,7 +239,7 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
         inner_iters.append(int(res.n_iter))
         inner_conv.append(bool(res.converged))
         xh2, xl2 = _accumulate(xh, xl, res.x)
-        r2, rl2, new_resid = verify(A, b, xh2, xl2)
+        r2, new_resid = verify(A, b, xh2, xl2)
         n_matvec += verify_cost
         leg_resids.append(float(new_resid))
         bad = not bool(jnp.isfinite(new_resid))
@@ -236,11 +253,11 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
             inner_rtol *= 0.1
         elif float(new_resid) > stall_factor * float(resid):
             # progress, but too slow: keep it and tighten the legs
-            xh, xl, r, rl, resid = xh2, xl2, r2, rl2, new_resid
+            xh, xl, r, resid = xh2, xl2, r2, new_resid
             tightens += 1
             inner_rtol *= 0.1
         else:
-            xh, xl, r, rl, resid = xh2, xl2, r2, rl2, new_resid
+            xh, xl, r, resid = xh2, xl2, r2, new_resid
             tightens = 0
         if tightens > _MAX_TIGHTENS:
             istop = 3

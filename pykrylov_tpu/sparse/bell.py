@@ -305,6 +305,9 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     Raises :class:`SpanError` when some step's column span exceeds
     ``nb_max`` bands.
     """
+    if idx_fmt not in ("packed", "int8"):
+        raise ValueError("idx_fmt must be 'packed' or 'int8', got %r"
+                         % (idx_fmt,))
     m, n = coo.shape
     rows = np.asarray(coo.row).astype(np.int64)
     cols = np.asarray(coo.col).astype(np.int64)

@@ -149,3 +149,36 @@ def test_refined_zero_rhs():
     assert bool(res.converged)
     assert res.info["n_legs"] == 0
     np.testing.assert_array_equal(np.asarray(res.x), 0.0)
+
+
+def test_refined_small_norm_rhs_not_floored_by_leg_atol():
+    # legs must get atol=0: the solvers' absolute default (1e-8) would
+    # stop small-norm legs immediately and misreport a reachable
+    # relative target as a precision floor (code-review finding)
+    rng = np.random.default_rng(11)
+    n = 100
+    a = (np.diag(np.full(n, 2.0)) + np.diag(np.full(n - 1, -1.0), 1)
+         + np.diag(np.full(n - 1, -1.0), -1)).astype(np.float32)
+    x_true = rng.standard_normal(n).astype(np.float32) * 1e-3
+    b = (a.astype(np.float64) @ x_true).astype(np.float32)
+    res = refined_solve(cg, jnp.asarray(a), jnp.asarray(b), rtol=1e-6)
+    assert bool(res.converged), (int(res.istop), float(res.resid_norm))
+    assert float(res.resid_norm) <= 1e-6 * float(res.resid_norm0)
+
+
+def test_solve_verified_indefinite_falls_back_to_minres_legs():
+    # declared-symmetric indefinite operator: the verified auto path
+    # must keep the unverified path's safety net — CG legs abort on
+    # curvature and the dispatcher reroutes to refined MINRES legs
+    # (code-review finding)
+    from pykrylov_tpu import solve
+    from pykrylov_tpu.ops import MatrixOperator
+    a32, a64 = _indefinite_f32()
+    n = a32.shape[0]
+    rng = np.random.default_rng(13)
+    b64 = a64 @ rng.standard_normal(n)
+    op = MatrixOperator(jnp.asarray(a32), symmetric=True)
+    res = solve(op, jnp.asarray(b64, jnp.float32),
+                verified=True, rtol=1e-6, leg_maxiter=400)
+    assert bool(res.converged), (int(res.istop), float(res.resid_norm))
+    assert _true_relres(a64, b64, res) < 2.5e-6
