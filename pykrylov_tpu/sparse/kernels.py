@@ -120,9 +120,14 @@ def _dia_kernel(offsets, brows, hrows, ndiag, data_ref, xl_ref, xc_ref,
                          rw[base:base + brows, :],
                          rw[base + 1:base + 1 + brows, :])
 
-    acc = data_ref[0] * shifted(offsets[0])
+    def diag(k):
+        d = data_ref[k]
+        # bf16-stored diagonals, f32 compute (cast per diagonal slice)
+        return d if d.dtype == xw.dtype else d.astype(xw.dtype)
+
+    acc = diag(0) * shifted(offsets[0])
     for k in range(1, ndiag):  # static unroll over diagonals
-        acc = acc + data_ref[k] * shifted(offsets[k])
+        acc = acc + diag(k) * shifted(offsets[k])
     y_ref[:] = acc
 
 
@@ -216,9 +221,13 @@ def _dia_kernel_ring(offsets, brows, hrows, ndiag, nblk,
                          rw[base:base + brows, :],
                          rw[base + 1:base + 1 + brows, :])
 
-    acc = data_ref[0] * shifted(offsets[0])
+    def diag(k):
+        d = data_ref[k]
+        return d if d.dtype == xw.dtype else d.astype(xw.dtype)
+
+    acc = diag(0) * shifted(offsets[0])
     for k in range(1, ndiag):
-        acc = acc + data_ref[k] * shifted(offsets[k])
+        acc = acc + diag(k) * shifted(offsets[k])
     y_ref[:] = acc
 
 
@@ -230,6 +239,12 @@ def _dia_matvec_call(d3, x, offsets, block, interpret, ring=None):
     m = rows * LANES
     nblk = m // block
     brows = block // LANES
+    # mixed-precision storage: bf16 diagonals with an f32 x — every
+    # accumulation runs at the promoted dtype, so the matvec is exact
+    # in the stored (bf16-rounded) matrix (2 B/value diagonal stream)
+    ct = jnp.promote_types(d3.dtype, x.dtype)
+    if x.dtype != ct:
+        x = x.astype(ct)
     x2 = x.reshape(rows, LANES)
     if not interpret:
         # Without this, XLA may keep the whole x vector and the diagonal
@@ -249,7 +264,7 @@ def _dia_matvec_call(d3, x, offsets, block, interpret, ring=None):
                                    hrows, ndiag, nblk)
         y = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((rows, LANES), d3.dtype),
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), ct),
             grid=(nblk,),
             in_specs=[
                 pl.BlockSpec((ndiag, brows, LANES), lambda i: (0, i, 0),
@@ -259,7 +274,7 @@ def _dia_matvec_call(d3, x, offsets, block, interpret, ring=None):
             out_specs=pl.BlockSpec((brows, LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((_RING, brows, LANES), d3.dtype),
+                pltpu.VMEM((_RING, brows, LANES), ct),   # x ring
                 pltpu.SemaphoreType.DMA((_RING,)),
             ],
             cost_estimate=pl.CostEstimate(
@@ -297,7 +312,7 @@ def _dia_matvec_call(d3, x, offsets, block, interpret, ring=None):
     )
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), d3.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), ct),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * ndiag * m,
@@ -346,7 +361,7 @@ def dia_matvec_packed(d3, offsets, x, block: int = DEFAULT_BLOCK,
 
 
 def dia_matvec_pallas(a: F.DIA, x, block: int = DEFAULT_BLOCK,
-                      interpret: bool = False):
+                      interpret: bool = False, ring=None):
     """``y = A @ x`` for a row-padded DIA container via the Pallas kernel.
 
     ``a.shape[0]`` must be a multiple of ``block`` (see
@@ -357,7 +372,8 @@ def dia_matvec_pallas(a: F.DIA, x, block: int = DEFAULT_BLOCK,
     happens once.
     """
     d3, offsets = pack_dia(a, block)
-    return _dia_matvec_call(d3, x, offsets, int(block), bool(interpret))
+    return _dia_matvec_call(d3, x, offsets, int(block), bool(interpret),
+                            ring)
 
 
 def dia_transpose(a: F.DIA) -> F.DIA:

@@ -120,3 +120,29 @@ def test_ring_matches_blockspec_path():
     y_bs = dia_matvec_packed(d3, offsets, x, block=block,
                              interpret=True, ring=False)
     np.testing.assert_array_equal(np.asarray(y_ring), np.asarray(y_bs))
+
+
+@pytest.mark.parametrize("ring", [True, False])
+def test_bf16_diagonal_storage_f32_compute(ring):
+    # bf16-stored diagonals (2 B/value stream) with f32 x: exact in the
+    # stored matrix up to f32 rounding — variable-coefficient stencil
+    import ml_dtypes
+    rng_ = np.random.default_rng(17)
+    vals, rows, cols, shape = poisson3d_coo(9)
+    vals = vals * (1.0 + 0.3 * rng_.standard_normal(len(vals)))
+    v16 = np.asarray(vals, dtype=ml_dtypes.bfloat16)
+    a16 = np.zeros(shape)
+    np.add.at(a16, (rows, cols), v16.astype(np.float64))
+    dia = F.dia_from_coo(F.coo_from_arrays(v16, rows, cols, shape),
+                         device=False)
+    dia_p, pad = ensure_dia_padded(dia, block=384)
+    m = dia_p.shape[0]
+    assert np.dtype(dia_p.data.dtype) == np.dtype(ml_dtypes.bfloat16)
+    x = np.zeros(m)
+    x[:shape[0]] = rng_.standard_normal(shape[0])
+    y = np.asarray(dia_matvec_pallas(dia_p, jnp.asarray(x, jnp.float32),
+                                     block=384, interpret=True,
+                                     ring=ring))
+    assert y.dtype == np.float32
+    ref = a16 @ x[:shape[0]]
+    np.testing.assert_allclose(y[:shape[0]], ref, rtol=2e-6, atol=2e-6)
