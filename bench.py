@@ -123,6 +123,43 @@ def bench_bell():
     ell_ms = (time.perf_counter() - t0) / eiters * 1e3
     note("ell timed")
 
+    # bf16 value storage (3 B/slot stream, f32 compute): same packing,
+    # values rounded — guarded so a kernel regression on a new Mosaic
+    # can never take down the headline metric
+    bf16 = {}
+    try:
+        import ml_dtypes
+        from pykrylov_tpu.sparse.bell import bell_with_values_dtype
+        lv = tuple(bell_with_values_dtype(b, ml_dtypes.bfloat16)
+                   for b in params[0])
+        pbf = (lv,) + tuple(params[1:])
+
+        @jax.jit
+        def chain_bf(pbf, x):
+            return jax.lax.fori_loop(0, iters,
+                                     lambda _, x: mv(pbf, x), x)
+
+        float(chain_bf(pbf, jnp.ones(n, jnp.float32))[0])
+        best_bf = np.inf
+        for rep in range(3):
+            xr = jnp.full(n, 1.0 + 0.1 * rep, jnp.float32)
+            float(xr[0])
+            t0 = time.perf_counter()
+            float(chain_bf(pbf, xr)[0])
+            best_bf = min(best_bf, time.perf_counter() - t0)
+        sb_bf = sum(int(np.prod(b.data.shape)) for b in lv) * 3 \
+            + sum(b.nnz_spill for b in lv) * 10
+        bf16 = {
+            "ms_per_mv": round(best_bf / iters * 1e3, 4),
+            "nnz_per_s_G": round(iters * nnz / best_bf / 1e9, 2),
+            "stream_gbps": round(iters * sb_bf / best_bf / 1e9, 1),
+            "speedup_vs_f32": round(best / best_bf, 2),
+        }
+        note("bf16 leg done")
+    except Exception as e:  # pragma: no cover - chip-dependent
+        bf16 = {"error": "%s: %s" % (type(e).__name__, str(e)[:120])}
+        note("bf16 leg failed: %r" % (e,))
+
     # auto-format policy check at a size the packer finishes quickly
     # (>= the 4096-row auto threshold)
     demo = tiled_general_coo(tiles=8)
@@ -142,6 +179,7 @@ def bench_bell():
         "xla_ell_ms_per_mv": round(ell_ms, 2),
         "speedup_vs_xla_ell": round(ell_ms / (best / iters * 1e3), 1),
         "auto_selects_bell": bool(auto_is_bell),
+        "bf16_storage": bf16,
     }
 
 

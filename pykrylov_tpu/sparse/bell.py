@@ -591,6 +591,19 @@ def _unpack_idx(b: BELL):
     return np.concatenate(parts, axis=1)
 
 
+def bell_with_values_dtype(b: BELL, dtype) -> BELL:
+    """Round a BELL container's stored values to ``dtype`` (host- or
+    device-side) without re-planning — e.g. bf16 storage (3 B/slot
+    stream; the kernel computes at the promoted dtype, see
+    ``_bell_matvec_call``)."""
+    dtype = jnp.dtype(dtype) if not isinstance(b.data, np.ndarray) \
+        else np.dtype(dtype)
+    if b.data.dtype == dtype:
+        return b
+    return b._replace(data=b.data.astype(dtype),
+                      sp_val=b.sp_val.astype(dtype))
+
+
 def bell_with_idx_fmt(b: BELL, idx_fmt: str) -> BELL:
     """Repack a BELL container's index storage (host-side) without
     re-planning; useful for A/B-ing the kernel's unpack path."""

@@ -428,3 +428,20 @@ def test_bf16_storage_operator_solver():
     x = np.asarray(res.x, np.float64)
     rel = np.linalg.norm(a16 @ x - b64) / np.linalg.norm(b64)
     assert rel < 1e-4, rel
+
+
+def test_bell_with_values_dtype_roundtrip():
+    import ml_dtypes
+    from pykrylov_tpu.sparse.bell import bell_with_values_dtype
+    coo, *_ = _random_coo(256, 256, 1200, 41, bandwidth=60)
+    b = bell_from_coo(coo, window=1)  # spilled entries exist
+    b16 = bell_with_values_dtype(b, ml_dtypes.bfloat16)
+    assert np.dtype(b16.data.dtype) == np.dtype(ml_dtypes.bfloat16)
+    assert np.dtype(b16.sp_val.dtype) == np.dtype(ml_dtypes.bfloat16)
+    # oracle equals the bf16-rounded reconstruction
+    d16 = bell_to_dense(b16)
+    d = bell_to_dense(b)
+    np.testing.assert_allclose(
+        d16.astype(np.float64),
+        np.asarray(d, np.float64).astype(ml_dtypes.bfloat16)
+          .astype(np.float64), rtol=0, atol=0)
