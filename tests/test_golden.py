@@ -96,3 +96,36 @@ class TestBmarkJpwh991:
         assert bool(res.converged)
         assert abs(int(res.n_matvec) - 64) <= 4
         assert float(res.resid_norm) == pytest.approx(4.72e-3, rel=0.05)
+
+
+class TestMinresF32Parity:
+    def test_f32_iteration_counts_match_f64(self):
+        """MINRES/1138bus/Jacobi (BASELINE config #2): the f32 recurrence
+        ESTIMATES track f64 so closely that the stopping iteration is
+        within one iteration (412 at rtol 1e-6, 583-584 at rtol 1e-8 via the etol
+        window) — the f32-on-TPU parity evidence for the non-CG
+        symmetric solver.  (The TRUE residual floor differs; that is
+        what verify_final / refined_solve certify.)"""
+        from pykrylov_tpu.io.datasets import load_bundled
+        from pykrylov_tpu.ops import DiagonalOperator
+        from pykrylov_tpu.sparse import sparse_operator
+        from pykrylov_tpu.solvers import minres
+
+        vals, rows, cols, shape = load_bundled("1138bus")
+        dm = rows == cols
+        d = np.zeros(shape[0])
+        d[rows[dm]] = vals[dm]
+        runs = {}
+        for dt in (np.float32, np.float64):
+            op = sparse_operator((vals.astype(dt), rows, cols, shape),
+                                 symmetric=True, fmt="ell")
+            M = DiagonalOperator(
+                jnp.asarray(1.0 / np.maximum(np.abs(d), 1.0), dt))
+            b = op * jnp.ones(shape[0], dt)
+            runs[dt] = [minres(op, b, M=M, rtol=rtol, itnlim=8000)
+                        for rtol in (1e-6, 1e-8)]
+        for r32, r64 in zip(runs[np.float32], runs[np.float64]):
+            assert abs(int(r32.n_iter) - int(r64.n_iter)) <= 1
+            assert int(r32.istop) == int(r64.istop)
+            assert float(r32.resid_norm) == pytest.approx(
+                float(r64.resid_norm), rel=2e-2)
