@@ -33,20 +33,40 @@ _SYMMETRIES = {0: "general", 1: "symmetric", 2: "skew-symmetric",
 
 
 def _build():
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # compile to a temp path and os.replace() it: a concurrent process
+    # (pytest + bench, xdist workers) must never dlopen a half-written
+    # library — g++ truncates the output before writing
+    tmp = "%s.%d.tmp" % (_SO, os.getpid())
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load():
     global _lib
     if _lib is not None:
+        if _lib is False:
+            raise RuntimeError("native build previously failed")
         return _lib
     with _lock:
         if _lib is not None:
+            if _lib is False:
+                raise RuntimeError("native build previously failed")
             return _lib
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                _build()
+        except Exception:
+            # negative-cache the failure: without this every
+            # available() / native-entry call re-spawns a full g++
+            # compile attempt (seconds each, several per operator)
+            _lib = False
+            raise
         lib = ctypes.CDLL(_SO)
         c = ctypes
         lib.mm_parse.restype = c.c_void_p
@@ -89,6 +109,19 @@ def available() -> bool:
 
 def _ptr(a):
     return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def _exceeds_i32(*index_arrays, m=0):
+    """True when any index would overflow the int32 C interface — the
+    downcast in np.ascontiguousarray is an unchecked same-kind cast
+    that silently wraps, corrupting the filled containers."""
+    if m >= 2**31:
+        return True
+    for a in index_arrays:
+        a = np.asarray(a)
+        if a.size and int(a.max()) >= 2**31:
+            return True
+    return False
 
 
 def mm_parse_native(path):
@@ -140,6 +173,8 @@ def ell_fill_native(rows, cols, vals, m, K):
     """
     if np.asarray(vals).dtype != np.float64 or not available():
         return None
+    if _exceeds_i32(rows, cols, m):
+        return None  # int32 C interface; NumPy path handles huge indices
     lib = _load()
     rows = np.ascontiguousarray(rows, dtype=np.int32)
     cols = np.ascontiguousarray(cols, dtype=np.int32)
@@ -160,6 +195,8 @@ def dia_fill_native(rows, cols, vals, m, offsets):
     """
     if np.asarray(vals).dtype != np.float64 or not available():
         return None
+    if _exceeds_i32(rows, cols, m):
+        return None
     lib = _load()
     rows = np.ascontiguousarray(rows, dtype=np.int32)
     cols = np.ascontiguousarray(cols, dtype=np.int32)
@@ -174,7 +211,7 @@ def dia_fill_native(rows, cols, vals, m, offsets):
 
 
 def row_counts_native(rows, m):
-    if not available():
+    if not available() or _exceeds_i32(rows, m=m):
         return None
     lib = _load()
     rows = np.ascontiguousarray(rows, dtype=np.int32)

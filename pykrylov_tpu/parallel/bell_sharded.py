@@ -98,11 +98,9 @@ def _pack_local_blocks(data, cols_local, d, L, width, nblk,
         # the packed-lanes byte<->row interleave depends on GS (byte j
         # of word m is sublane row j*GS/4 + m), so padding to a larger
         # GS must go through the unpacked form
-        from ..sparse.bell import _unpack_idx
-        idx = pad3(_unpack_idx(b), (nsteps, GS, LANES))
-        i4 = idx.reshape(nsteps, 4, GS // 4, LANES)
-        return (i4[:, 0] | (i4[:, 1] << 8) | (i4[:, 2] << 16)
-                | (i4[:, 3] << 24)).astype(np.uint32).view(np.int32)
+        from ..sparse.bell import _pack_idx, _unpack_idx
+        return _pack_idx(pad3(_unpack_idx(b), (nsteps, GS, LANES))
+                         .astype(np.uint8))
 
     lan = np.stack([repack_lanes(b) for b in bells])
     from ..sparse.bell import _pad_blocks_w1
@@ -169,7 +167,6 @@ def _bell_gather_mvT_factory(axis, n_dev, round_lens, cfg_t, L, mesh,
     the owner's forward send list — same traffic as the forward
     schedule, direction reversed (see ``gather._gather_mvT_factory``)."""
     nb_t, nblk_t, ncb_t, rows_pad_t = cfg_t
-    width = L + sum(round_lens)
     rev_perms = [tuple((j, (j + k) % n_dev) for j in range(n_dev))
                  for k in range(1, n_dev)]
     empty_i = jnp.zeros(0, dtype=jnp.int32)

@@ -321,9 +321,13 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
         vals = vals.astype(np.float32)
     nnz = len(vals)
     if nnz == 0:
+        # synthetic zero entry so the shapes below are non-degenerate;
+        # it must never be spill-analyzed (a spurious remainder entry
+        # would report nnz_spill=1 > nnz=0 and corrupt fill stats)
         rows = np.zeros(1, dtype=np.int64)
         cols = np.zeros(1, dtype=np.int64)
         vals = np.zeros(1, dtype=vals.dtype)
+        spill_cost = None
 
     nblocks = max(1, -(-m // LANES))
     ncb = max(1, -(-n // LANES), -(-min_cols // LANES))
@@ -536,11 +540,7 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     if idx_fmt == "int8":
         lanes_packed = idx8  # stored directly (uint8, zero-extended load)
     else:
-        # pack indices: byte j of word m <- sublane row j*GS//4 + m
-        GQ = GS // 4
-        i4 = idx8.reshape(nsteps, 4, GQ, LANES).astype(np.uint32)
-        lanes_packed = (i4[:, 0] | (i4[:, 1] << 8) | (i4[:, 2] << 16)
-                        | (i4[:, 3] << 24)).view(np.int32)
+        lanes_packed = _pack_idx(idx8)
 
     # COO remainder (the spilled tail)
     sp = ~keep
@@ -582,6 +582,17 @@ def bell_stream_bytes(b: BELL) -> int:
     return slots * (itm + 1) + b.nnz_spill * (itm + 8)
 
 
+def _pack_idx(idx8):
+    """Pack (nsteps, GS, LANES) byte indices 4-per-int32: byte j of
+    word m is sublane row ``j*GS/4 + m`` — the layout contract the
+    kernel's unpack concat depends on (single source of truth; the
+    sharded repack in ``bell_sharded`` reuses this)."""
+    nsteps, GS, L = idx8.shape
+    i4 = idx8.reshape(nsteps, 4, GS // 4, L).astype(np.uint32)
+    return (i4[:, 0] | (i4[:, 1] << 8) | (i4[:, 2] << 16)
+            | (i4[:, 3] << 24)).view(np.int32)
+
+
 def _unpack_idx(b: BELL):
     """(nsteps, GS, LANES) int window-local indices (host-side)."""
     if b.idx_fmt == "int8":
@@ -613,10 +624,7 @@ def bell_with_idx_fmt(b: BELL, idx_fmt: str) -> BELL:
     if idx_fmt == "int8":
         lanes = idx
     elif idx_fmt == "packed":
-        nsteps, GS, L = idx.shape
-        i4 = idx.reshape(nsteps, 4, GS // 4, L).astype(np.uint32)
-        lanes = (i4[:, 0] | (i4[:, 1] << 8) | (i4[:, 2] << 16)
-                 | (i4[:, 3] << 24)).view(np.int32)
+        lanes = _pack_idx(idx)
     else:
         raise ValueError("idx_fmt must be 'packed' or 'int8'")
     cvt = jnp.asarray if not isinstance(b.data, np.ndarray) else np.asarray
@@ -963,7 +971,8 @@ def bell_matvec_pallas(b: BELL, x, interpret: bool = False, passes=3,
     x2 = x.reshape(-1, LANES)
     return _bell_matvec_call(b.data, b.lanes, b.bands, b.blocks,
                              b.band_lo, x2, b.sp_row, b.sp_col, b.sp_val,
-                             b.nb, b.nblk, bool(interpret), int(passes),
+                             b.nb, b.nblk, bool(interpret),
+                             None if passes is None else int(passes),
                              None if stage is None else str(stage),
                              int(b.window))
 
@@ -1097,9 +1106,6 @@ def _pack_window_auto(coo, nb_max, spill_cost, levels, device=True,
 
 def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2,
                  idx_fmt="packed"):
-    if window == "auto":
-        return _pack_window_auto(coo, nb_max, spill_cost, levels, device,
-                                 idx_fmt)
     """Pack a COO matrix into up to ``levels`` BELL levels: all but the
     last are depth-capped and their overflow feeds the next level's
     (much smaller) packing; the last level is uncapped.  A thin overflow
@@ -1107,7 +1113,12 @@ def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2,
     touched window), so the multi-level split is kept only when it
     stores fewer total slots than the single uncapped packing.  Levels
     after the first keep an XLA COO remainder only if their own packing
-    overflows the window budget (SpanError)."""
+    overflows the window budget (SpanError).  ``window="auto"``
+    dispatches to :func:`_pack_window_auto` (plans both layouts, keeps
+    the cost-model winner)."""
+    if window == "auto":
+        return _pack_window_auto(coo, nb_max, spill_cost, levels, device,
+                                 idx_fmt)
     # candidate packings stay host-resident (NumPy) — only the winner
     # rides the device transport
     cvt = bell_to_device if device else (lambda b: b)
@@ -1143,10 +1154,19 @@ def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2,
     if sum(b.nnz_spill for b in out) == 0:
         # compare against the uncapped single-level packing; keep multi
         # only on a clear (>10%) stream win — each extra level is
-        # another kernel launch plus its own staging matmuls
-        b1u = bell_from_coo(coo, nb_max=nb_max, spill_cost=None,
-                            device=False, window=window, idx_fmt=idx_fmt)
-        if int(np.prod(b1u.data.shape)) <= 1.1 * multi_slots:
+        # another kernel launch plus its own staging matmuls.  The
+        # comparison packing itself may exceed the window budget (the
+        # clustered far entries the capped level spilled ARE what blow
+        # the span) — that must not discard the valid multi-level
+        # result in hand.
+        try:
+            b1u = bell_from_coo(coo, nb_max=nb_max, spill_cost=None,
+                                device=False, window=window,
+                                idx_fmt=idx_fmt)
+        except SpanError:
+            b1u = None
+        if b1u is not None and \
+                int(np.prod(b1u.data.shape)) <= 1.1 * multi_slots:
             return (cvt(b1u),)
     return tuple(cvt(b) for b in out)
 

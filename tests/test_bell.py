@@ -445,3 +445,54 @@ def test_bell_with_values_dtype_roundtrip():
         d16.astype(np.float64),
         np.asarray(d, np.float64).astype(ml_dtypes.bfloat16)
           .astype(np.float64), rtol=0, atol=0)
+
+
+def test_multilevel_survives_unpackable_comparison():
+    # code-review finding: a valid multi-level packing (level 1 spills
+    # clustered far entries, level 2 packs them alone) used to be
+    # DISCARDED by a SpanError raised inside its own uncapped-comparison
+    # packing, silently demoting the operator to the XLA ELL path.
+    rng = np.random.default_rng(51)
+    m, n = 256, 6400
+    rows = np.repeat(np.arange(m), 4)
+    cols = np.clip(rows + rng.integers(-6, 7, size=len(rows)), 0, m - 1)
+    vals = rng.standard_normal(len(rows))
+    # 10 clustered far entries in block 0, ~40 bands away from the core
+    fr = np.arange(10)
+    fc = 40 * 128 + np.arange(10)
+    rows = np.r_[rows, fr]
+    cols = np.r_[cols, fc]
+    vals = np.r_[vals, np.ones(10)]
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    rows, cols, vals = rows[first], cols[first], vals[first]
+    coo = F.coo_from_arrays(vals, rows, cols, (m, n), device=False)
+    a = np.zeros((m, n))
+    a[rows, cols] = vals
+    op = bell_operator(coo, nb_max=16, levels=2, interpret=True,
+                       with_transpose=False, window=1)
+    x = rng.standard_normal(n)
+    y = np.asarray(op @ jnp.asarray(x))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-10, atol=1e-12)
+
+
+def test_empty_matrix_with_spill_cost_has_no_spill():
+    # code-review finding: the synthetic placeholder entry of an empty
+    # matrix used to be spill-analyzed, reporting nnz_spill=1 > nnz=0
+    coo = F.coo_from_arrays(np.zeros(0), np.zeros(0, np.int64),
+                            np.zeros(0, np.int64), (200, 200),
+                            device=False)
+    b = bell_from_coo(coo, spill_cost=12.0)
+    assert b.nnz == 0 and b.nnz_spill == 0
+    assert bell_fill(b) == 0.0
+
+
+def test_matvec_pallas_passes_none():
+    coo, *_ = _random_coo(200, 200, 900, 61, bandwidth=50)
+    a = _dense(coo)
+    b = bell_from_coo(coo, spill_cost=None, window=1)
+    x = np.random.default_rng(5).standard_normal(200)
+    xp = jnp.zeros(b.padded_shape[1]).at[:200].set(jnp.asarray(x))
+    y = np.asarray(bell_matvec_pallas(b, xp, interpret=True,
+                                      passes=None))[:200]
+    np.testing.assert_allclose(y, a @ x, rtol=1e-10)
