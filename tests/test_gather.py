@@ -168,3 +168,31 @@ def test_lsqr_through_gather_operator(mesh):
     res = lsqr(op, bs, atol=1e-10, btol=1e-10, itnlim=4 * n)
     x = np.asarray(res.x)[:n]
     assert np.linalg.norm(a @ x - b[:n]) <= 1e-6 * np.linalg.norm(b)
+
+
+def test_complex_forward_and_adjoint(mesh):
+    # complex general sparsity through the schedule (CPU backend:
+    # complex is unsupported on the axon TPU transport): forward,
+    # transpose and ADJOINT (conjugated) products vs the dense oracle
+    rng = np.random.default_rng(21)
+    n = 160
+    nnz = 900
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz) + 1j * rng.standard_normal(nnz)
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    rows, cols, vals = rows[first], cols[first], vals[first]
+    a = np.zeros((n, n), complex)
+    a[rows, cols] = vals
+    coo = F.coo_from_arrays(vals, rows, cols, (n, n), device=False)
+    op = GatherEllOperator(coo, mesh)
+    x = rng.standard_normal(op.nargin) + 1j * rng.standard_normal(op.nargin)
+    x[n:] = 0
+    xs = shard_vector(jnp.asarray(x), mesh)
+    np.testing.assert_allclose(np.asarray(op @ xs)[:n], a @ x[:n],
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.T @ xs)[:n], a.T @ x[:n],
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.H @ xs)[:n],
+                               a.conj().T @ x[:n], rtol=1e-12, atol=1e-12)
