@@ -196,7 +196,10 @@ class GatherEllOperator(LinearOperator):
     Parameters
     ----------
     ell : :class:`pykrylov_tpu.sparse.formats.ELL` container (square) or a
-        COO container (converted).
+        COO container (converted).  Pass HOST-resident containers
+        (``device=False``): construction reads the arrays on the host,
+        and pulling a device-resident container back through a remote
+        transport costs seconds per array.
     mesh : 1-D ``jax.sharding.Mesh``; rows are blocked over ``axis``.
     symmetric : structural+value symmetry contract (``op.T`` reuses the
         forward product).  Nonsymmetric operators get a true transpose

@@ -68,7 +68,12 @@ def make_mesh2d(rz, ry, axis_names=("z", "y")):
 
 
 def shard_vector_2d(x, mesh):
-    """Shard a flat (z,y,x)-ordered grid vector over both mesh axes."""
+    """Shard a flat BRICK-ordered grid vector over both mesh axes.
+
+    The operator's basis is brick order (see
+    :class:`Halo2DPoissonOperator`): convert natural (z,y,x) vectors
+    with :func:`to_bricks` BEFORE sharding, and :func:`from_bricks`
+    after gathering results."""
     return jax.device_put(x, NamedSharding(mesh, P(tuple(mesh.axis_names))))
 
 
@@ -121,18 +126,24 @@ def _halo2d_mv_factory(n, rz, ry, az, ay, mesh):
 class Halo2DPoissonOperator(LinearOperator):
     """7-point 3-D Poisson operator on an (rz x ry) device mesh.
 
-    Acts on flat (z,y,x)-ordered vectors of length n^3 sharded with
-    :func:`shard_vector_2d`.  ``n`` must be divisible by both mesh
-    extents.  ``scale`` multiplies the stencil (1.0 gives the standard
-    [6, -1...] operator matching ``gallery.poisson3d_matvec``).
+    Acts on flat BRICK-ORDERED vectors of length n^3 sharded with
+    :func:`shard_vector_2d`: each device's contiguous chunk is its
+    (n/rz, n/ry, n) brick.  Convert natural (z,y,x)-ordered vectors
+    with :func:`to_bricks` first (and results back with
+    :func:`from_bricks`) — applying the operator to a natural-ordered
+    vector silently computes the permuted-basis product P'APv, not Av.
+    ``n`` must be divisible by both mesh extents.  ``scale`` multiplies
+    the stencil (1.0 gives the standard [6, -1...] operator matching
+    ``gallery.poisson3d_matvec``).
     """
 
     def __init__(self, n, mesh, scale=1.0, dtype=jnp.float32, **kwargs):
         az, ay = mesh.axis_names
         rz, ry = mesh.shape[az], mesh.shape[ay]
         if n % rz or n % ry:
-            raise ValueError("grid n=%d must divide mesh (%d, %d)"
-                             % (n, rz, ry))
+            raise ValueError(
+                "both mesh extents (%d, %d) must divide the grid n=%d"
+                % (rz, ry, n))
         mv = _halo2d_mv_factory(int(n), int(rz), int(ry), az, ay, mesh)
         scale = jnp.asarray(scale, dtype=dtype)
         super().__init__(n**3, n**3, matvec=mv, params=scale,

@@ -99,7 +99,8 @@ class TallSkinnyOperator(LinearOperator):
     ----------
     source : dense (m, n) array (row-block matmul local compute, MXU
         path), or a rectangular ELL/COO container (gather/scatter local
-        compute).
+        compute).  Pass HOST-resident containers/arrays (``device=False``
+        / NumPy): construction reads them on the host.
     mesh : 1-D ``jax.sharding.Mesh``; rows are blocked over ``axis``.
 
     The operator maps replicated length-n vectors to row-sharded

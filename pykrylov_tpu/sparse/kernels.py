@@ -50,25 +50,33 @@ LANES = 128
 DEFAULT_BLOCK = 65536  # elements per grid step: 512 rows x 128 lanes
 
 
-def choose_block(ndiag, offsets, vmem_budget=14 << 20):
+def choose_block(ndiag, offsets, vmem_budget=14 << 20, itemsize=4):
     """Largest supported block size for a diagonal structure.
 
-    Bigger blocks amortize the per-side x window (the 2*hrows halo is a
-    fixed cost per block), bounded by (a) every |offset| < block and
-    (b) the double-buffered VMEM footprint of data + window + output.
-    Measured on v5e: 131072 beats the 65536 default by ~9% effective
-    bandwidth on 7-diagonal stencils with n^2-scale offsets.
+    Bigger blocks amortize per-step costs, bounded by (a) every
+    |offset| < block and (b) the VMEM footprint of the (default)
+    ring-buffered path: double-buffered diagonal data at the STORAGE
+    itemsize (pass 2 for bf16 diagonals) + the 4-slot f32 x ring +
+    the double-buffered f32 output.  Measured on v5e: 131072 beats the
+    65536 default by ~9% effective bandwidth on 7-diagonal stencils
+    with n^2-scale offsets.  Raises when no supported block exceeds
+    the bandwidth; falls back to the smallest supported block when
+    every candidate overshoots the budget (the compile may still be
+    tight — shrink the stencil or the budget caller-side).
     """
     w = max((abs(int(o)) for o in offsets), default=0)
-    for block in (262144, 131072, 65536):
-        if w >= block:
-            continue
+    feasible = [b for b in (262144, 131072, 65536, 32768, 16384, 8192)
+                if w < b]
+    if not feasible:
+        raise ValueError("offset %d exceeds every supported block" % w)
+    for block in feasible:
         brows = block // LANES
-        hrows = _halo_rows(tuple(int(o) for o in offsets), brows)
-        rows_per_step = ndiag * brows + (brows + 2 * hrows) + brows
-        if rows_per_step * LANES * 4 * 2 <= vmem_budget:
+        data_b = ndiag * brows * LANES * itemsize * 2
+        ring_b = _RING * brows * LANES * 4
+        out_b = brows * LANES * 4 * 2
+        if data_b + ring_b + out_b <= vmem_budget:
             return block
-    return 65536
+    return feasible[-1]
 
 
 def ensure_dia_padded(dia: F.DIA, block: int = DEFAULT_BLOCK):
@@ -88,19 +96,17 @@ def ensure_dia_padded(dia: F.DIA, block: int = DEFAULT_BLOCK):
     return F.DIA(jnp.asarray(data), dia.offsets, (mp, mp)), mp - m
 
 
-def _dia_kernel(offsets, brows, hrows, ndiag, data_ref, xl_ref, xc_ref,
-                xr_ref, y_ref):
-    # Window = [left halo | current block | right halo]:
-    # (hrows + brows + hrows, LANES).  Halos are slim (hrows rows), so x
-    # HBM traffic is (1 + 2*hrows/brows)x instead of 3x.
-    xw = jnp.concatenate([xl_ref[:], xc_ref[:], xr_ref[:]], axis=0)
+def _dia_accumulate(offsets, brows, hrows, ndiag, data_ref, xw, y_ref):
+    """Shared accumulation body of both DIA kernels over an assembled
+    x window ``xw`` = [left halo (hrows) | block (brows) | right halo].
 
-    # A flat shift by static `off` on the (rows, 128) view is a row shift
-    # dr plus a lane rotate dl.  Mosaic cannot concatenate lane-misaligned
-    # slices, so the rotate is a circular pltpu.roll + lane-mask select —
-    # and since offsets sharing the same dl need the SAME rotation, the
-    # whole window is rolled once per distinct dl (2.5x fewer rolls than
-    # rolling the two contributing row blocks per offset).
+    A flat shift by static ``off`` on the (rows, 128) view is a row
+    shift dr plus a lane rotate dl.  Mosaic cannot concatenate
+    lane-misaligned slices, so the rotate is a circular pltpu.roll +
+    lane-mask select — and since offsets sharing the same dl need the
+    SAME rotation, the whole window is rolled once per distinct dl
+    (2.5x fewer rolls than rolling the two contributing row blocks per
+    offset)."""
     rolled = {0: xw}
     lane = jax.lax.broadcasted_iota(jnp.int32, (brows, LANES), 1)
     for off in offsets:
@@ -129,6 +135,22 @@ def _dia_kernel(offsets, brows, hrows, ndiag, data_ref, xl_ref, xc_ref,
     for k in range(1, ndiag):  # static unroll over diagonals
         acc = acc + diag(k) * shifted(offsets[k])
     y_ref[:] = acc
+
+
+def _dia_kernel(offsets, brows, hrows, ndiag, data_ref, xl_ref, xc_ref,
+                xr_ref, y_ref):
+    # Window = [left halo | current block | right halo]:
+    # (hrows + brows + hrows, LANES).  Halos are slim (hrows rows), so x
+    # HBM traffic is (1 + 2*hrows/brows)x instead of 3x.
+    xw = jnp.concatenate([xl_ref[:], xc_ref[:], xr_ref[:]], axis=0)
+
+    # A flat shift by static `off` on the (rows, 128) view is a row shift
+    # dr plus a lane rotate dl.  Mosaic cannot concatenate lane-misaligned
+    # slices, so the rotate is a circular pltpu.roll + lane-mask select —
+    # and since offsets sharing the same dl need the SAME rotation, the
+    # whole window is rolled once per distinct dl (2.5x fewer rolls than
+    # rolling the two contributing row blocks per offset).
+    _dia_accumulate(offsets, brows, hrows, ndiag, data_ref, xw, y_ref)
 
 
 def _halo_rows(offsets, brows):
@@ -204,31 +226,7 @@ def _dia_kernel_ring(offsets, brows, hrows, ndiag, nblk,
     xr = jnp.where(i == nblk - 1, jnp.zeros_like(xr), xr)
     xw = jnp.concatenate([xl, ring[i % _RING], xr], axis=0)
 
-    rolled = {0: xw}
-    lane = jax.lax.broadcasted_iota(jnp.int32, (brows, LANES), 1)
-    for off in offsets:
-        dl = off % LANES
-        if dl and dl not in rolled:
-            rolled[dl] = pltpu.roll(xw, LANES - dl, 1)
-
-    def shifted(off):
-        dr, dl = divmod(off, LANES)
-        base = hrows + dr
-        rw = rolled[dl]
-        if dl == 0:
-            return rw[base:base + brows, :]
-        return jnp.where(lane < LANES - dl,
-                         rw[base:base + brows, :],
-                         rw[base + 1:base + 1 + brows, :])
-
-    def diag(k):
-        d = data_ref[k]
-        return d if d.dtype == xw.dtype else d.astype(xw.dtype)
-
-    acc = diag(0) * shifted(offsets[0])
-    for k in range(1, ndiag):
-        acc = acc + diag(k) * shifted(offsets[k])
-    y_ref[:] = acc
+    _dia_accumulate(offsets, brows, hrows, ndiag, data_ref, xw, y_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "block",
@@ -356,6 +354,10 @@ def dia_matvec_packed(d3, offsets, x, block: int = DEFAULT_BLOCK,
     """``y = A @ x`` from a :func:`pack_dia`-packed diagonal array.
     ``ring=None`` auto-selects the ring-buffered x path (each block
     fetched once) whenever the grid has >= 2 steps."""
+    # a block inconsistent with the packed shape would otherwise return
+    # garbage (nblk=0 grids run no step at all and the output buffer
+    # comes back uninitialized)
+    _check_dia(d3.shape[1] * LANES, offsets, int(block))
     return _dia_matvec_call(d3, x, offsets, int(block), bool(interpret),
                             ring)
 
@@ -422,7 +424,8 @@ def pallas_dia_operator(dia: F.DIA, symmetric=False,
 
     m0 = dia.shape[0]
     if block is None:
-        block = choose_block(dia.data.shape[0], dia.offsets)
+        block = choose_block(dia.data.shape[0], dia.offsets,
+                             itemsize=np.dtype(dia.data.dtype).itemsize)
     dia_p, pad = ensure_dia_padded(dia, block)
     d3, offsets = pack_dia(dia_p, block)
     if symmetric:
