@@ -159,27 +159,31 @@ def _bell_gather_mv_factory(axis, n_dev, round_lens, cfg, L, mesh,
 
 
 @functools.lru_cache(maxsize=None)
-def _bell_gather_mvT_factory(axis, n_dev, round_lens, cfg_t, L, mesh,
-                             interpret):
+def _bell_gather_mvT_factory(axis, n_dev, round_lens, cfg_t, Lrow, Lx,
+                             mesh, interpret):
     """Transpose product: per-device BELL kernel over the TRANSPOSED
     local block (outputs in the private address space), then the
     reversed exchange scatter-adds each round's buffer segment back at
     the owner's forward send list — same traffic as the forward
-    schedule, direction reversed (see ``gather._gather_mvT_factory``)."""
+    schedule, direction reversed (see ``gather._gather_mvT_factory``).
+
+    ``Lrow`` is the per-device row-block size (length of the m-sharded
+    input block); ``Lx`` the per-device x-block size (length of the
+    n-sharded output block) — equal for square operators."""
     nb_t, nblk_t, ncb_t, rows_pad_t = cfg_t
     rev_perms = [tuple((j, (j + k) % n_dev) for j in range(n_dev))
                  for k in range(1, n_dev)]
     empty_i = jnp.zeros(0, dtype=jnp.int32)
 
     def local_mv_t(dat, lan, bnd, blo, bl, x_blk, *send_blks):
-        xp = jnp.zeros(ncb_t * LANES, x_blk.dtype).at[:L].set(x_blk)
+        xp = jnp.zeros(ncb_t * LANES, x_blk.dtype).at[:Lrow].set(x_blk)
         empty_v = jnp.zeros(0, dtype=dat.dtype)
         y_priv = _bell_matvec_call(dat[0], lan[0], bnd[0], blo[0], bl[0],
                                    xp.reshape(-1, LANES), empty_i,
                                    empty_i, empty_v, nb_t, nblk_t,
                                    interpret, window=1)
-        y = y_priv[:L]
-        off = L
+        y = y_priv[:Lx]
+        off = Lx
         for k, Lk in enumerate(round_lens):
             if Lk == 0:
                 continue
@@ -208,13 +212,15 @@ class GatherBellOperator(LinearOperator):
     """Row-sharded general-sparsity operator: partition-time ppermute
     gather schedule + per-device BELL Pallas local SpMV.
 
-    Parameters match :class:`GatherEllOperator` (square ELL/COO
-    container, 1-D mesh); acts on vectors of length ``m + self.pad``
-    sharded with ``shard_vector``.  ``nblk`` fixes the per-device step
-    size (uniform across devices); ``interpret=None`` auto-selects
-    off-TPU.  ``with_transpose=True`` additionally packs each device's
-    TRANSPOSED local block so ``op.T @ x`` runs the reversed exchange
-    (sharded LSQR/LSMR on general square systems); ``symmetric=True``
+    Parameters match :class:`GatherEllOperator` (ELL/COO container,
+    1-D mesh; rectangular containers shard rows AND columns over the
+    same axis); maps column-space vectors (length ``n + self.pad_n``)
+    to row-space vectors (length ``m + self.pad``), both sharded with
+    ``shard_vector``.  ``nblk`` fixes the per-device step size (uniform
+    across devices); ``interpret=None`` auto-selects off-TPU.
+    ``with_transpose=True`` additionally packs each device's TRANSPOSED
+    local block so ``op.T @ x`` runs the reversed exchange (sharded
+    LSQR/LSMR on general systems); ``symmetric=True`` (square only)
     reuses the forward product instead.
     """
 
@@ -224,12 +230,13 @@ class GatherBellOperator(LinearOperator):
         if isinstance(ell, F.COO):
             ell = F.ell_from_coo(ell, device=False)
         m, n = ell.shape
-        if m != n:
-            raise ValueError("GatherBellOperator expects a square "
-                             "operator")
+        if symmetric and m != n:
+            raise ValueError("symmetric requires a square operator")
         d = mesh.shape[axis]
         mp = pad_to_multiple(m, d)
-        L = mp // d
+        np_ = pad_to_multiple(n, d)
+        Lrow = mp // d
+        Lx = np_ // d
         K = ell.data.shape[1]
 
         data = np.zeros((mp, K), dtype=np.asarray(ell.data).dtype)
@@ -238,11 +245,11 @@ class GatherBellOperator(LinearOperator):
         cols[:m] = np.asarray(ell.cols)
 
         cols_local, sendidx, lens = build_gather_schedule(cols, data,
-                                                          d, L)
+                                                          d, Lx, Lrow)
         round_lens = tuple(s.shape[1] for s in sendidx)
-        width = L + sum(round_lens)
+        width = Lx + sum(round_lens)
 
-        arrs, cfg = _pack_local_blocks(data, cols_local, d, L, width,
+        arrs, cfg = _pack_local_blocks(data, cols_local, d, Lrow, width,
                                        nblk)
 
         if interpret is None:
@@ -258,32 +265,34 @@ class GatherBellOperator(LinearOperator):
         sh2 = NamedSharding(mesh, P(axis, None))
         send_s = tuple(jax.device_put(s, sh2) for s in sendidx)
 
-        mv = _bell_gather_mv_factory(axis, d, round_lens, cfg, L, mesh,
-                                     bool(interpret))
+        mv = _bell_gather_mv_factory(axis, d, round_lens, cfg, Lrow,
+                                     mesh, bool(interpret))
         if symmetric:
             rmv, dev_t = mv, None
         elif with_transpose:
-            arrs_t, cfg_t = _pack_local_blocks(data, cols_local, d, L,
+            arrs_t, cfg_t = _pack_local_blocks(data, cols_local, d, Lrow,
                                                width, nblk,
                                                transpose=True)
             dev_t = ship(arrs_t)
             rmv = _bell_gather_mvT_factory(axis, d, round_lens, cfg_t,
-                                           L, mesh, bool(interpret))
+                                           Lrow, Lx, mesh,
+                                           bool(interpret))
         else:
             rmv, dev_t = None, None
 
         is_complex = np.issubdtype(data.dtype, np.complexfloating)
-        super().__init__(mp, mp, matvec=mv, matvec_transp=rmv,
+        super().__init__(np_, mp, matvec=mv, matvec_transp=rmv,
                          params=(dev, send_s, dev_t),
                          _takes_params=True, symmetric=symmetric,
                          hermitian=symmetric and not is_complex,
                          dtype=data.dtype, **kwargs)
         self.pad = mp - m
+        self.pad_n = np_ - n
         self.mesh = mesh
         self.comm_entries_per_matvec = int(sum(d * Lk
                                                for Lk in round_lens))
         self.comm_entries_true = int(sum(sum(t) for t in lens))
-        self.allgather_entries_per_matvec = int(d * (d - 1) * L)
+        self.allgather_entries_per_matvec = int(d * (d - 1) * Lx)
         self.slots_per_device = int(np.prod(arrs[0].shape[1:]))
 
     @property

@@ -44,10 +44,12 @@ from .sharded import pad_to_multiple
 __all__ = ["GatherEllOperator", "build_gather_schedule"]
 
 
-def build_gather_schedule(cols, data, d, L):
+def build_gather_schedule(cols, data, d, L, Lrow=None):
     """Host-side schedule: per (device, shift) request lists + remapping.
 
-    Parameters: ``cols``/``data`` (mp, K) NumPy ELL arrays (mp = d·L).
+    Parameters: ``cols``/``data`` (mp, K) NumPy ELL arrays
+    (mp = d·Lrow); ``L`` is the x-side block size (entries of x each
+    device owns — equals ``Lrow`` for square operators, the default).
     Returns ``(cols_local, sendidx, lens)`` where
 
       * ``cols_local`` (mp, K) int32 — column indices remapped into each
@@ -60,10 +62,12 @@ def build_gather_schedule(cols, data, d, L):
     """
     cols = np.asarray(cols)
     data = np.asarray(data)
+    if Lrow is None:
+        Lrow = L
     mp, K = cols.shape
-    assert mp == d * L
+    assert mp == d * Lrow
     owner = cols // L
-    dev = (np.arange(mp) // L)[:, None]
+    dev = (np.arange(mp) // Lrow)[:, None]
     live = data != 0
     # shift of each slot's owner relative to its row's device
     shift = (owner - dev) % d
@@ -78,7 +82,7 @@ def build_gather_schedule(cols, data, d, L):
     for k in range(1, d):
         reqs = []
         for i in range(d):
-            rows = slice(i * L, (i + 1) * L)
+            rows = slice(i * Lrow, (i + 1) * Lrow)
             mask = live[rows] & (shift[rows] == k)
             reqs.append(np.unique(cols[rows][mask]) % L)
         Lk = max((len(r) for r in reqs), default=0)
@@ -97,7 +101,7 @@ def build_gather_schedule(cols, data, d, L):
         sendidx.append(send)
         # remap this round's remote references
         for i in range(d):
-            rows = slice(i * L, (i + 1) * L)
+            rows = slice(i * Lrow, (i + 1) * Lrow)
             mask = live[rows] & (shift[rows] == k)
             pos = np.searchsorted(reqs[i], cols[rows][mask] % L)
             block = cols_local[rows]
@@ -195,19 +199,27 @@ class GatherEllOperator(LinearOperator):
 
     Parameters
     ----------
-    ell : :class:`pykrylov_tpu.sparse.formats.ELL` container (square) or a
-        COO container (converted).  Pass HOST-resident containers
-        (``device=False``): construction reads the arrays on the host,
-        and pulling a device-resident container back through a remote
-        transport costs seconds per array.
+    ell : :class:`pykrylov_tpu.sparse.formats.ELL` container or a COO
+        container (converted).  RECTANGULAR containers are supported:
+        the row space (length ``m + self.pad``) and the column space
+        (length ``n + self.pad_n``) are blocked over the SAME mesh axis,
+        so both-sides-large m×n least squares runs fully sharded — the
+        regime :class:`~pykrylov_tpu.parallel.tall.TallSkinnyOperator`'s
+        replicated n-side cannot hold (reference single-process analogue:
+        pysparse C SpMV + matvec_transp, ``linop/linop.py:666-706``).
+        Pass HOST-resident containers (``device=False``): construction
+        reads the arrays on the host, and pulling a device-resident
+        container back through a remote transport costs seconds per
+        array.
     mesh : 1-D ``jax.sharding.Mesh``; rows are blocked over ``axis``.
     symmetric : structural+value symmetry contract (``op.T`` reuses the
-        forward product).  Nonsymmetric operators get a true transpose
-        product through the REVERSED schedule (same traffic volume) —
-        sharded LSQR/LSMR/CRAIG on general square systems work out of
-        the box.
+        forward product; square only).  Nonsymmetric operators get a
+        true transpose product through the REVERSED schedule (same
+        traffic volume) — sharded LSQR/LSMR/CRAIG on general systems
+        work out of the box.
 
-    Acts on vectors of length ``m + self.pad`` sharded with
+    Maps column-space vectors (length ``n + self.pad_n``) to row-space
+    vectors (length ``m + self.pad``), both sharded with
     :func:`~pykrylov_tpu.parallel.sharded.shard_vector`.
     """
 
@@ -215,11 +227,13 @@ class GatherEllOperator(LinearOperator):
         if isinstance(ell, F.COO):
             ell = F.ell_from_coo(ell, device=False)
         m, n = ell.shape
-        if m != n:
-            raise ValueError("GatherEllOperator expects a square operator")
+        if symmetric and m != n:
+            raise ValueError("symmetric requires a square operator")
         d = mesh.shape[axis]
         mp = pad_to_multiple(m, d)
-        L = mp // d
+        np_ = pad_to_multiple(n, d)
+        Lrow = mp // d   # rows of A (and y entries) per device
+        Lx = np_ // d    # x entries per device
         K = ell.data.shape[1]
 
         data = np.zeros((mp, K), dtype=np.asarray(ell.data).dtype)
@@ -227,7 +241,8 @@ class GatherEllOperator(LinearOperator):
         data[:m] = np.asarray(ell.data)
         cols[:m] = np.asarray(ell.cols)
 
-        cols_local, sendidx, lens = build_gather_schedule(cols, data, d, L)
+        cols_local, sendidx, lens = build_gather_schedule(cols, data, d,
+                                                          Lx, Lrow)
         round_lens = tuple(s.shape[1] for s in sendidx)
 
         sh2 = NamedSharding(mesh, P(axis, None))
@@ -239,21 +254,22 @@ class GatherEllOperator(LinearOperator):
         if symmetric:
             rmv = mv
         else:
-            rmv = _gather_mvT_factory(axis, d, round_lens, L, mesh)
+            rmv = _gather_mvT_factory(axis, d, round_lens, Lx, mesh)
 
         is_complex = np.issubdtype(data.dtype, np.complexfloating)
-        super().__init__(mp, mp, matvec=mv,
+        super().__init__(np_, mp, matvec=mv,
                          matvec_transp=rmv,
                          params=(data_s, cols_s, send_s),
                          _takes_params=True, symmetric=symmetric,
                          hermitian=symmetric and not is_complex,
                          dtype=data.dtype, **kwargs)
         self.pad = mp - m
+        self.pad_n = np_ - n
         self.mesh = mesh
         # padded entries actually shipped per matvec vs the all-gather
         self.comm_entries_per_matvec = int(sum(d * Lk for Lk in round_lens))
         self.comm_entries_true = int(sum(sum(t) for t in lens))
-        self.allgather_entries_per_matvec = int(d * (d - 1) * L)
+        self.allgather_entries_per_matvec = int(d * (d - 1) * Lx)
 
     @property
     def container(self):

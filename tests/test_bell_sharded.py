@@ -166,3 +166,41 @@ def test_without_transpose_raises(mesh):
     x = shard_vector(jnp.zeros(op.nargout), mesh)
     with pytest.raises(Exception):
         op.T @ x
+
+
+def test_rectangular_bell_products_and_lsmr(mesh):
+    # rectangular container through the BELL local kernel: forward +
+    # reversed-schedule transpose vs the dense oracle, then a fully
+    # sharded LSMR solve (both sides sharded, no replicated n-side)
+    from pykrylov_tpu.solvers.lsmr import lsmr
+    rng = np.random.default_rng(31)
+    m, n = 280, 104
+    a = np.zeros((m, n))
+    for i in range(n):
+        a[(i * 5 + 2) % m, i] = 3.0 + rng.standard_normal()
+    idx = rng.integers(0, m, 1500), rng.integers(0, n, 1500)
+    a[idx] += 0.1 * rng.standard_normal(1500)
+    rr, cc = np.nonzero(a)
+    coo = F.coo_from_arrays(a[rr, cc], rr, cc, (m, n), device=False)
+    op = GatherBellOperator(coo, mesh, with_transpose=True)
+    assert op.nargin == n + op.pad_n and op.nargout == m + op.pad
+    x = np.zeros(op.nargin)
+    x[:n] = rng.standard_normal(n)
+    xs = shard_vector(jnp.asarray(x), mesh)
+    np.testing.assert_allclose(np.asarray(op @ xs)[:m], a @ x[:n],
+                               rtol=1e-6, atol=1e-6)
+    u = np.zeros(op.nargout)
+    u[:m] = rng.standard_normal(m)
+    us = shard_vector(jnp.asarray(u), mesh)
+    np.testing.assert_allclose(np.asarray(op.T @ us)[:n], a.T @ u[:m],
+                               rtol=1e-6, atol=1e-6)
+    b = rng.standard_normal(m)
+    bp = np.zeros(op.nargout)
+    bp[:m] = b
+    bs = shard_vector(jnp.asarray(bp), mesh)
+    res = lsmr(op, bs, atol=1e-10, btol=1e-10, itnlim=8 * n)
+    x_ref = np.linalg.lstsq(a, b, rcond=None)[0]
+    # the BELL kernel computes in f32 (one-hot MXU staging): the solve
+    # can only reach f32 matvec accuracy
+    np.testing.assert_allclose(np.asarray(res.x)[:n], x_ref, rtol=2e-3,
+                               atol=5e-5)
