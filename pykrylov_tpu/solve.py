@@ -56,9 +56,13 @@ def solve(A, b, method=None, verified=False, **opts):
     ``verified=True`` wraps the chosen square-system method in
     :func:`~pykrylov_tpu.solvers.refine.refined_solve`: the stopping
     test runs on the TRUE residual (compensated double-f32 evaluation),
-    the f32-on-chip answer to the reference's f64 tolerances.  Only
-    meaningful for square systems; rectangular problems instead get the
-    post-solve optimality certificate via ``verify_final=True``.
+    the f32-on-chip answer to the reference's f64 tolerances.
+    Rectangular problems (and explicit ``method="lsqr"/"lsmr"``) route
+    through :func:`~pykrylov_tpu.solvers.refine.refined_lls`, which
+    stops on the verified Euclidean optimality residual
+    ``||A'(b - A x)||``; CRAIG/CRAIG-MR solve the SQD system, for which
+    no refinement wrapper exists — they get the post-solve certificate
+    via ``verify_final=True``.
     """
     A = as_operator(A)
     if method is not None:
@@ -67,17 +71,20 @@ def solve(A, b, method=None, verified=False, **opts):
                              % (method, ", ".join(_METHODS)))
         fn = getattr(_S, method)
         if verified:
-            if method in ("lsqr", "lsmr", "craig", "craigmr"):
+            if method in ("lsqr", "lsmr"):
+                return _S.refined_lls(fn, A, b, **opts)
+            if method in ("craig", "craigmr"):
                 raise ValueError(
-                    "verified=True needs a square-system method; use "
-                    "verify_final=True for the least-squares family")
+                    "verified=True is unsupported for the SQD solvers; "
+                    "use verify_final=True for the post-solve "
+                    "certificate")
             return _S.refined_solve(fn, A, b, **opts)
         return fn(A, b, **opts)
 
     m, n = A.shape
     if m != n:
         if verified:
-            opts.setdefault("verify_final", True)
+            return _S.refined_lls(_S.lsmr, A, b, **opts)
         return _S.lsmr(A, b, **opts)
     if verified:
         if A.symmetric or A.hermitian:

@@ -44,7 +44,7 @@ from .common import as_operator, apply_op, promote_rhs, require_square
 from .ffmv import resolve_ff_matvec
 from .result import SolveResult
 
-__all__ = ["refined_solve", "ISTOP_MSG"]
+__all__ = ["refined_solve", "refined_lls", "ISTOP_MSG"]
 
 ISTOP_MSG = {
     0: "verified residual small enough (relative/absolute tolerance "
@@ -272,6 +272,240 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
         "inner_n_iter": jnp.asarray(inner_iters or [0], jnp.int32),
         "inner_converged": jnp.asarray(inner_conv or [False]),
         "true_resid_norm": resid,
+    }
+    return SolveResult(
+        x=xh, converged=jnp.asarray(istop == 0),
+        istop=jnp.asarray(istop, jnp.int32),
+        n_iter=jnp.asarray(n_iter, jnp.int32),
+        n_matvec=jnp.asarray(n_matvec, jnp.int32),
+        resid_norm=resid, resid_norm0=resid0,
+        resid_history=jnp.asarray(leg_resids, jnp.result_type(resid)),
+        info=info)
+
+
+@functools.lru_cache(maxsize=None)
+def _lls_verifier(ff_mv):
+    """Jitted verified least-squares metrics, memoized per compensated
+    matvec.  Returns ``(rt, ||rt||, ||A' rt||)``: the true residual
+    ``b - A x`` from the double-f32 iterate (compensated forward matvec
+    when the storage supports one) and the Euclidean optimality
+    residual — the quantity LSQR/LSMR's recursive ``normar`` estimates
+    and an f32 recurrence misreports (the estimate keeps shrinking
+    while the true optimality residual stalls orders higher)."""
+    from ..utils.ff import two_sum
+    from .common import apply_op_T
+
+    if ff_mv is None:
+        @jax.jit
+        def verify(A, b, xh, xl):
+            sh = apply_op(A, xh)
+            sl = apply_op(A, xl)
+            d, de = two_sum(b, -sh)
+            rt = d + (de - sl)
+            return rt, jnp.linalg.norm(rt), \
+                jnp.linalg.norm(apply_op_T(A, rt))
+    else:
+        @jax.jit
+        def verify(A, b, xh, xl):
+            sh, sl = ff_mv(A._params, xh, xl)
+            d, de = two_sum(b, -sh)
+            rt = d + (de - sl)
+            return rt, jnp.linalg.norm(rt), \
+                jnp.linalg.norm(apply_op_T(A, rt))
+    return verify
+
+
+def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
+                leg_tol=1.0e-3, max_legs=20, stall_factor=0.9,
+                leg_maxiter=None, **solver_kwargs):
+    """Solve ``min ||A x - b||`` to a VERIFIED optimality tolerance by
+    iterative refinement with ``solver`` (``lsqr`` or ``lsmr``) as the
+    inner correction solver.
+
+    The least-squares analogue of :func:`refined_solve`: because the
+    outer iterate keeps ``r = b - A x`` exact (double-f32 x carry +
+    compensated residual evaluation), the augmented-system refinement
+    of Björck (1967) reduces to plain corrections — each leg solves
+    ``min ||A d - r||`` (whose exact solution is exactly the error
+    ``x* - x`` for full-column-rank A), accumulated on the (hi, lo)
+    carry.  Stopping runs on the TRUE Euclidean optimality residual
+    ``||A' (b - A x)||``, not the legs' recursive estimates.
+
+    Parameters
+    ----------
+    solver : ``lsqr`` or ``lsmr`` (any callable
+        ``solver(A, rhs, atol=..., btol=...) -> SolveResult`` whose
+        stopping follows the LSQR conventions).
+    atol : outer optimality stop — converged when
+        ``||A' rt|| <= atol * ||A|| * ||rt||`` (LSQR's test2, evaluated
+        on the verified residual; ``||A||`` is the legs' running
+        Frobenius-ish estimate).  The verification itself evaluates
+        ``A' rt`` with one plain (working-precision) transpose product,
+        so certificates much below ``sqrt(n)*eps`` are not resolvable
+        — in f32 keep ``atol >= ~1e-6``.
+    btol : consistent-system stop — converged when
+        ``||rt|| <= btol * ||b||`` (LSQR's test1 with the xnorm term
+        dropped).
+    x0 : optional initial iterate (verified before the first leg).
+    leg_tol : initial per-leg ``atol``/``btol``; adapts exactly like
+        :func:`refined_solve`'s ``leg_rtol`` (tighten 10x on stall,
+        revert worsening legs, declare the floor after 4 consecutive
+        no-progress legs → istop 3).
+    max_legs, stall_factor, leg_maxiter : as in :func:`refined_solve`
+        (stall is measured on the optimality norm — for inconsistent
+        systems ``||rt||`` floors at the incompatible component and
+        carries no progress signal).
+    **solver_kwargs : forwarded to every leg.  ``damp``, ``M`` and
+        ``N`` are REJECTED: a damped/preconditioned correction leg
+        solves a different correction equation than the outer verified
+        metric (the damped correction needs
+        ``(A'A + damp^2 I) d = A'r - damp^2 x``, which LSQR's damped
+        mode cannot express for nonzero x) — for damped refinement,
+        refine the explicitly augmented operator ``[A; damp I]``
+        instead; use ``verify_final=True`` on a direct solve for the
+        one-shot certificate.
+
+    Notes
+    -----
+    What refinement buys (measured, f32 storage, 600x200 dense,
+    singular values 1..10^k): at cond 10^3 a single f32 LSQR run floors
+    at true test2 ~ 7e-2 (its internal estimates report convergence);
+    refinement reaches ~3e-4 — a 200x better certificate.  The error
+    DISTRIBUTION differs from a long single run's: refinement drives
+    the optimality residual, which weights the error by A'A, so the
+    remaining error concentrates in the small-singular-value subspace;
+    a long single Krylov run may reach smaller ``||x - x*||`` while
+    certifying a far worse optimality residual.  Refinement certifies
+    optimality — the quantity LS users can actually check.
+
+    Returns
+    -------
+    :class:`SolveResult` — ``resid_norm`` is the verified
+    ``||b - A x||``; ``info["true_normar"]`` the verified optimality
+    norm, ``info["normar_history"]`` its per-leg trajectory,
+    ``info["anorm"]`` the norm estimate used in the stopping test, plus
+    the :func:`refined_solve` telemetry (``x_lo``, ``n_legs``,
+    ``inner_*``).
+    """
+    for bad in ("damp", "M", "N"):
+        if solver_kwargs.get(bad):
+            raise ValueError(
+                "refined_lls does not support %r legs (the correction "
+                "equation differs from the outer verified metric); "
+                "refine the augmented operator instead, or use "
+                "verify_final=True on a direct solve" % bad)
+    solver_kwargs.pop("damp", None)
+    solver_kwargs.pop("M", None)
+    solver_kwargs.pop("N", None)
+    A = as_operator(A)
+    b = promote_rhs(b, A, None)
+    m, n = A.shape
+    if jnp.ndim(b) != 1 or jnp.shape(b)[0] != m:
+        raise ValueError("refined_lls: rhs has shape %s, expected (%d,)"
+                         % (jnp.shape(b), m))
+
+    ff = resolve_ff_matvec(A)
+    verify = _lls_verifier(ff)
+    # one forward application (two when uncompensated) + one transpose
+    verify_cost = (1 if ff is not None else 2) + 1
+
+    bnorm = float(jnp.linalg.norm(b))
+    n_matvec = 0
+    if x0 is None:
+        xh = jnp.zeros(n, b.dtype)
+        xl = jnp.zeros(n, b.dtype)
+        r, resid, normar = verify(A, b, xh, xl)
+        n_matvec += 1   # A'b only; b - A*0 is free
+    else:
+        xh = jnp.asarray(x0, b.dtype)
+        xl = jnp.zeros(n, b.dtype)
+        r, resid, normar = verify(A, b, xh, xl)
+        n_matvec += verify_cost
+    resid0 = resid
+
+    normar_hist = [float(normar)]
+    leg_resids = [float(resid)]
+    inner_istops, inner_iters, inner_conv = [], [], []
+    istop = 1
+    n_iter = 0
+    anorm = 0.0
+    kwargs = dict(solver_kwargs)
+    if leg_maxiter is not None:
+        cap = _leg_cap_kwarg(solver)
+        if cap is not None:
+            kwargs.setdefault(cap, int(leg_maxiter))
+    if _accepts_kwarg(solver, "etol"):
+        # legs are optimality-driven: the energy-norm direct-error stop
+        # would end legs early on an unrelated criterion
+        kwargs.setdefault("etol", 0.0)
+
+    _MAX_TIGHTENS = 4
+    tighten_mult = 1.0
+    tightens = 0
+    for _ in range(int(max_legs)):
+        if float(resid) <= float(btol) * bnorm:
+            istop = 0
+            break
+        if anorm > 0 and float(normar) <= (float(atol) * anorm
+                                           * max(float(resid), 1e-300)):
+            istop = 0
+            break
+        # A leg stopping at its own test2 <= tol leaves the verified
+        # optimality residual at ~tol*||A||*||rt|| — it CANNOT land
+        # below the outer target unless its tolerance is tied to that
+        # target, so once ||A|| is known legs aim 4x inside ``atol``
+        # (with the stall multiplier tightening further on top).
+        base = float(leg_tol)
+        if anorm > 0 and float(atol) > 0:
+            base = min(base, 0.25 * float(atol))
+        inner_tol = base * tighten_mult
+        res = solver(A, r, atol=inner_tol, btol=inner_tol, **kwargs)
+        n_matvec += int(res.n_matvec)
+        n_iter += int(res.n_iter)
+        inner_istops.append(int(res.istop))
+        inner_iters.append(int(res.n_iter))
+        inner_conv.append(bool(res.converged))
+        leg_anorm = res.info.get("Anorm", res.info.get("normA"))
+        if leg_anorm is not None:
+            anorm = max(anorm, float(leg_anorm))
+        xh2, xl2 = _accumulate(xh, xl, res.x)
+        r2, new_resid, new_normar = verify(A, b, xh2, xl2)
+        n_matvec += verify_cost
+        leg_resids.append(float(new_resid))
+        normar_hist.append(float(new_normar))
+        bad = not bool(jnp.isfinite(new_normar))
+        if bad or float(new_normar) >= float(normar):
+            if bad and not bool(res.converged):
+                istop = 2
+                break
+            tightens += 1
+            tighten_mult *= 0.1
+        elif float(new_normar) > stall_factor * float(normar):
+            xh, xl, r, resid, normar = xh2, xl2, r2, new_resid, new_normar
+            tightens += 1
+            tighten_mult *= 0.1
+        else:
+            xh, xl, r, resid, normar = xh2, xl2, r2, new_resid, new_normar
+            tightens = 0
+        if tightens > _MAX_TIGHTENS:
+            istop = 3
+            break
+    if float(resid) <= float(btol) * bnorm or (
+            anorm > 0 and float(normar) <= (float(atol) * anorm
+                                            * max(float(resid), 1e-300))):
+        istop = 0
+
+    info = {
+        "x_lo": xl,
+        "n_legs": len(inner_istops),
+        "inner_istop": jnp.asarray(inner_istops or [0], jnp.int32),
+        "inner_n_iter": jnp.asarray(inner_iters or [0], jnp.int32),
+        "inner_converged": jnp.asarray(inner_conv or [False]),
+        "true_resid_norm": resid,
+        "true_normar": normar,
+        "normar_history": jnp.asarray(normar_hist,
+                                      jnp.result_type(normar)),
+        "anorm": jnp.asarray(anorm, jnp.result_type(normar)),
     }
     return SolveResult(
         x=xh, converged=jnp.asarray(istop == 0),

@@ -182,3 +182,110 @@ def test_solve_verified_indefinite_falls_back_to_minres_legs():
                 verified=True, rtol=1e-6, leg_maxiter=400)
     assert bool(res.converged), (int(res.istop), float(res.resid_norm))
     assert _true_relres(a64, b64, res) < 2.5e-6
+
+
+# ---------------------------------------------------------------------------
+# refined_lls: verified least-squares refinement
+# ---------------------------------------------------------------------------
+
+def _lls_f32(cond_exp=3, m=600, n=200, seed=0):
+    """f32-stored dense LS problem with controlled conditioning; the
+    f64 view of the SAME f32 values is the oracle problem."""
+    rng = np.random.default_rng(seed)
+    U, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = np.logspace(0, cond_exp, n)
+    a = ((U * s) @ V.T).astype(np.float32)
+    a64 = a.astype(np.float64)
+    b = (a64 @ rng.standard_normal(n)
+         + 0.01 * rng.standard_normal(m)).astype(np.float32)
+    b64 = b.astype(np.float64)
+    from pykrylov_tpu.ops import linop_from_ndarray
+    return linop_from_ndarray(jnp.asarray(a)), a64, b64
+
+
+def _true_test2(a64, b64, res):
+    x = (np.asarray(res.x, np.float64)
+         + np.asarray(res.info["x_lo"], np.float64))
+    rt = b64 - a64 @ x
+    anorm = np.linalg.norm(a64, 2)
+    return np.linalg.norm(a64.T @ rt) / (anorm * np.linalg.norm(rt))
+
+
+def test_refined_lls_beats_single_f32_run():
+    # cond 1e3: a single f32 LSQR run floors at true test2 ~ 7e-2 while
+    # its internal estimates report convergence; refinement must certify
+    # ~100x better on the SAME f32-stored matrix
+    from pykrylov_tpu.solvers import lsqr
+    from pykrylov_tpu.solvers.refine import refined_lls
+    A, a64, b64 = _lls_f32(cond_exp=3)
+    b = jnp.asarray(b64, jnp.float32)
+    single = lsqr(A, b, atol=1e-10, btol=1e-10, etol=0.0, itnlim=4000)
+    xs = np.asarray(single.x, np.float64)
+    rt_s = b64 - a64 @ xs
+    t2_single = (np.linalg.norm(a64.T @ rt_s)
+                 / (np.linalg.norm(a64, 2) * np.linalg.norm(rt_s)))
+    res = refined_lls(lsqr, A, b, atol=1e-4, max_legs=15, leg_tol=1e-3)
+    t2_ref = _true_test2(a64, b64, res)
+    assert t2_ref < 2e-3, t2_ref
+    assert t2_ref < 0.1 * t2_single, (t2_ref, t2_single)
+    # the reported certificate tracks the true one
+    anorm = np.linalg.norm(a64, 2)
+    claimed = float(res.info["true_normar"])
+    x = (np.asarray(res.x, np.float64)
+         + np.asarray(res.info["x_lo"], np.float64))
+    true_na = np.linalg.norm(a64.T @ (b64 - a64 @ x))
+    assert abs(claimed - true_na) <= 0.5 * true_na + 1e-3 * anorm
+
+
+def test_refined_lls_lsmr_legs_well_conditioned():
+    from pykrylov_tpu.solvers import lsmr
+    from pykrylov_tpu.solvers.refine import refined_lls
+    A, a64, b64 = _lls_f32(cond_exp=1, seed=3)
+    b = jnp.asarray(b64, jnp.float32)
+    res = refined_lls(lsmr, A, b, atol=1e-5, max_legs=15)
+    t2 = _true_test2(a64, b64, res)
+    assert t2 < 1e-4, t2
+    # x must be near the oracle LS solution on a well-conditioned system
+    x_ref = np.linalg.lstsq(a64, b64, rcond=None)[0]
+    x = (np.asarray(res.x, np.float64)
+         + np.asarray(res.info["x_lo"], np.float64))
+    assert np.linalg.norm(x - x_ref) < 1e-3 * np.linalg.norm(x_ref)
+
+
+def test_refined_lls_consistent_system_btol_stop():
+    # consistent rhs: must stop on the residual test (||rt|| <= btol||b||)
+    from pykrylov_tpu.solvers import lsqr
+    from pykrylov_tpu.solvers.refine import refined_lls
+    rng = np.random.default_rng(7)
+    m, n = 300, 80
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    a64 = a.astype(np.float64)
+    x_true = rng.standard_normal(n)
+    b64 = a64 @ x_true
+    res = refined_lls(lsqr, jnp.asarray(a), jnp.asarray(b64, jnp.float32),
+                      btol=1e-5, max_legs=10)
+    assert bool(res.converged), int(res.istop)
+    assert float(res.resid_norm) <= 1e-5 * np.linalg.norm(b64) * 1.01
+
+
+def test_refined_lls_rejects_damp_and_preconditioners():
+    import pytest
+    from pykrylov_tpu.solvers import lsqr
+    from pykrylov_tpu.solvers.refine import refined_lls
+    A, a64, b64 = _lls_f32(cond_exp=1, m=120, n=40, seed=5)
+    b = jnp.asarray(b64, jnp.float32)
+    for kw in ({"damp": 0.5}, {"M": DiagonalOperator(jnp.ones(120))},
+               {"N": DiagonalOperator(jnp.ones(40))}):
+        with pytest.raises(ValueError):
+            refined_lls(lsqr, A, b, **kw)
+
+
+def test_solve_verified_rectangular_routes_to_refined_lls():
+    from pykrylov_tpu import solve
+    A, a64, b64 = _lls_f32(cond_exp=2, m=300, n=100, seed=9)
+    res = solve(A, jnp.asarray(b64, jnp.float32), verified=True,
+                atol=1e-4, max_legs=10)
+    assert "true_normar" in res.info
+    t2 = _true_test2(a64, b64, res)
+    assert t2 < 5e-3, t2

@@ -136,10 +136,20 @@ class TestVerified:
                     verified=True, rtol=1e-6)
         assert bool(res.converged)
 
-    def test_verified_rejects_lls_methods(self):
+    def test_verified_lsqr_method_routes_to_refined_lls(self):
+        # explicit method="lsqr" + verified=True now runs the verified
+        # least-squares refinement (was: rejected)
+        rng = np.random.default_rng(9)
+        a = rng.standard_normal((60, 23))
+        b = rng.standard_normal(60)
+        res = solve(MatrixOperator(jnp.asarray(a)), jnp.asarray(b),
+                    method="lsqr", verified=True)
+        assert "true_normar" in res.info and "normar_history" in res.info
+
+    def test_verified_rejects_sqd_methods(self):
         op, a64, b64 = self._f32_spd()
         with pytest.raises(ValueError):
-            solve(op, jnp.asarray(b64, jnp.float32), method="lsqr",
+            solve(op, jnp.asarray(b64, jnp.float32), method="craig",
                   verified=True)
 
     def test_verified_rectangular_attaches_certificate(self):
@@ -149,4 +159,8 @@ class TestVerified:
         res = solve(MatrixOperator(jnp.asarray(a)), jnp.asarray(b),
                     verified=True)
         assert "true_normar" in res.info
-        assert float(res.info["true_normar"]) < 1e-6
+        assert bool(res.converged), int(res.istop)
+        # converged means the advertised contract held: the verified
+        # optimality residual is under atol * ||A|| * ||rt||
+        assert (float(res.info["true_normar"])
+                <= 1e-5 * float(res.info["anorm"]) * float(res.resid_norm))
