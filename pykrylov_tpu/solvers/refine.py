@@ -36,11 +36,13 @@ for a fully fused single-program verified CG use
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 
-from .common import as_operator, apply_op, promote_rhs, require_square
+from .common import (as_operator, apply_op, apply_op_T, promote_rhs,
+                     require_square)
 from .ffmv import resolve_ff_matvec
 from .result import SolveResult
 
@@ -57,29 +59,40 @@ ISTOP_MSG = {
 }
 
 
+def _true_residual(ff_mv):
+    """Compensated ``b - A x`` of a double-f32 iterate ``(xh, xl)``,
+    rounded to the working dtype: the (hi, lo) matvec when the operator
+    storage supports one, two plain applications otherwise, combined
+    through an error-free ``two_sum``.  Shared body of the square and
+    least-squares verifiers."""
+    from ..utils.ff import two_sum
+
+    if ff_mv is None:
+        def rt_of(A, b, xh, xl):
+            sh = apply_op(A, xh)
+            sl = apply_op(A, xl)
+            d, de = two_sum(b, -sh)
+            return d + (de - sl)
+    else:
+        def rt_of(A, b, xh, xl):
+            sh, sl = ff_mv(A._params, xh, xl)
+            d, de = two_sum(b, -sh)
+            return d + (de - sl)
+    return rt_of
+
+
 @functools.lru_cache(maxsize=None)
 def _verifier(ff_mv):
     """Jitted verified-residual evaluation, memoized per compensated
     matvec so equal-storage operators share one compiled program.
     Returns (r, ||r||) with r the compensated ``b - A x`` rounded to
     the working dtype."""
-    from ..utils.ff import two_sum
+    rt_of = _true_residual(ff_mv)
 
-    if ff_mv is None:
-        @jax.jit
-        def verify(A, b, xh, xl):
-            sh = apply_op(A, xh)
-            sl = apply_op(A, xl)
-            d, de = two_sum(b, -sh)
-            rt = d + (de - sl)
-            return rt, jnp.linalg.norm(rt)
-    else:
-        @jax.jit
-        def verify(A, b, xh, xl):
-            sh, sl = ff_mv(A._params, xh, xl)
-            d, de = two_sum(b, -sh)
-            rt = d + (de - sl)
-            return rt, jnp.linalg.norm(rt)
+    @jax.jit
+    def verify(A, b, xh, xl):
+        rt = rt_of(A, b, xh, xl)
+        return rt, jnp.linalg.norm(rt)
     return verify
 
 
@@ -147,7 +160,8 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
         the true residual by 3.6); capping legs keeps each correction
         inside the drift-free range.
     **solver_kwargs : forwarded verbatim to every inner leg (e.g.
-        ``shift=``, ``check_curvature=``).  Legs additionally receive
+        ``shift=``, ``check_curvature=``; ``verify_final`` is stripped
+        — the outer loop is the certificate).  Legs additionally receive
         ``atol=0.0`` when the solver accepts it (inheriting the
         solvers' absolute default would stop small-norm legs
         immediately and misreport a reachable outer target as a
@@ -205,6 +219,9 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
     istop = 1
     n_iter = 0
     kwargs = dict(solver_kwargs)
+    # the outer loop IS the certificate — per-leg certificates would be
+    # discarded at extra matvec cost per leg
+    kwargs.pop("verify_final", None)
     if M is not None:
         kwargs["M"] = M
     if leg_maxiter is not None:
@@ -292,26 +309,13 @@ def _lls_verifier(ff_mv):
     residual — the quantity LSQR/LSMR's recursive ``normar`` estimates
     and an f32 recurrence misreports (the estimate keeps shrinking
     while the true optimality residual stalls orders higher)."""
-    from ..utils.ff import two_sum
-    from .common import apply_op_T
+    rt_of = _true_residual(ff_mv)
 
-    if ff_mv is None:
-        @jax.jit
-        def verify(A, b, xh, xl):
-            sh = apply_op(A, xh)
-            sl = apply_op(A, xl)
-            d, de = two_sum(b, -sh)
-            rt = d + (de - sl)
-            return rt, jnp.linalg.norm(rt), \
-                jnp.linalg.norm(apply_op_T(A, rt))
-    else:
-        @jax.jit
-        def verify(A, b, xh, xl):
-            sh, sl = ff_mv(A._params, xh, xl)
-            d, de = two_sum(b, -sh)
-            rt = d + (de - sl)
-            return rt, jnp.linalg.norm(rt), \
-                jnp.linalg.norm(apply_op_T(A, rt))
+    @jax.jit
+    def verify(A, b, xh, xl):
+        rt = rt_of(A, b, xh, xl)
+        return rt, jnp.linalg.norm(rt), \
+            jnp.linalg.norm(apply_op_T(A, rt))
     return verify
 
 
@@ -338,8 +342,11 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
         stopping follows the LSQR conventions).
     atol : outer optimality stop — converged when
         ``||A' rt|| <= atol * ||A|| * ||rt||`` (LSQR's test2, evaluated
-        on the verified residual; ``||A||`` is the legs' running
-        Frobenius-ish estimate).  The verification itself evaluates
+        on the verified residual; ``||A||`` is the max of the legs'
+        running Frobenius-ish estimates and the verified lower bounds
+        ``||A'rt||/||rt||``, so the test stays armed even for leg
+        solvers exposing no norm estimate).  The verification itself
+        evaluates
         ``A' rt`` with one plain (working-precision) transpose product,
         so certificates much below ``sqrt(n)*eps`` are not resolvable
         — in f32 keep ``atol >= ~1e-6``.
@@ -349,14 +356,15 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
     x0 : optional initial iterate (verified before the first leg).
     leg_tol : initial per-leg ``atol``/``btol``; adapts exactly like
         :func:`refined_solve`'s ``leg_rtol`` (tighten 10x on stall,
-        revert worsening legs, declare the floor after 4 consecutive
-        no-progress legs → istop 3).
+        revert worsening legs, five consecutive no-progress legs
+        declare the precision floor → istop 3).
     max_legs, stall_factor, leg_maxiter : as in :func:`refined_solve`
         (stall is measured on the optimality norm — for inconsistent
         systems ``||rt||`` floors at the incompatible component and
         carries no progress signal).
-    **solver_kwargs : forwarded to every leg.  ``damp``, ``M`` and
-        ``N`` are REJECTED: a damped/preconditioned correction leg
+    **solver_kwargs : forwarded to every leg (``verify_final`` is
+        stripped — the outer loop is the certificate).  ``damp``, ``M``
+        and ``N`` are REJECTED: a damped/preconditioned correction leg
         solves a different correction equation than the outer verified
         metric (the damped correction needs
         ``(A'A + damp^2 I) d = A'r - damp^2 x``, which LSQR's damped
@@ -387,16 +395,20 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
     the :func:`refined_solve` telemetry (``x_lo``, ``n_legs``,
     ``inner_*``).
     """
-    for bad in ("damp", "M", "N"):
-        if solver_kwargs.get(bad):
-            raise ValueError(
-                "refined_lls does not support %r legs (the correction "
-                "equation differs from the outer verified metric); "
-                "refine the augmented operator instead, or use "
-                "verify_final=True on a direct solve" % bad)
-    solver_kwargs.pop("damp", None)
-    solver_kwargs.pop("M", None)
-    solver_kwargs.pop("N", None)
+    damp = solver_kwargs.pop("damp", None)
+    rejected = [name for name, val
+                in (("damp", damp), ("M", solver_kwargs.pop("M", None)),
+                    ("N", solver_kwargs.pop("N", None)))
+                if val is not None and not (name == "damp" and not val)]
+    if rejected:
+        raise ValueError(
+            "refined_lls does not support %r legs (the correction "
+            "equation differs from the outer verified metric); "
+            "refine the augmented operator instead, or use "
+            "verify_final=True on a direct solve" % rejected[0])
+    # the outer loop IS the certificate — per-leg certificates would be
+    # discarded at 2 extra matvecs per leg
+    solver_kwargs.pop("verify_final", None)
     A = as_operator(A)
     b = promote_rhs(b, A, None)
     m, n = A.shape
@@ -414,8 +426,10 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
     if x0 is None:
         xh = jnp.zeros(n, b.dtype)
         xl = jnp.zeros(n, b.dtype)
-        r, resid, normar = verify(A, b, xh, xl)
-        n_matvec += 1   # A'b only; b - A*0 is free
+        r = b
+        resid = jnp.linalg.norm(b)
+        normar = jnp.linalg.norm(apply_op_T(A, b))
+        n_matvec += 1   # b - A*0 is known; only A'b is computed
     else:
         xh = jnp.asarray(x0, b.dtype)
         xl = jnp.zeros(n, b.dtype)
@@ -428,7 +442,27 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
     inner_istops, inner_iters, inner_conv = [], [], []
     istop = 1
     n_iter = 0
+    # running ||A|| estimate for the optimality test: the max of the
+    # legs' Frobenius-ish estimates and the verified LOWER bounds
+    # ||A'rt|| / ||rt|| (valid since ||A'rt|| <= ||A||*||rt||); the
+    # bound keeps the atol stop armed even for leg solvers that expose
+    # no Anorm, and a lower bound only makes the test stricter
     anorm = 0.0
+
+    def absorb_anorm(est):
+        nonlocal anorm
+        est = float(est)
+        if math.isfinite(est) and est > anorm:
+            anorm = est
+
+    def stopped():
+        if float(resid) <= float(btol) * bnorm or float(normar) == 0.0:
+            return True
+        return anorm > 0 and float(normar) <= (
+            float(atol) * anorm * max(float(resid), 1e-300))
+
+    if float(resid) > 0:
+        absorb_anorm(float(normar) / float(resid))
     kwargs = dict(solver_kwargs)
     if leg_maxiter is not None:
         cap = _leg_cap_kwarg(solver)
@@ -443,11 +477,7 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
     tighten_mult = 1.0
     tightens = 0
     for _ in range(int(max_legs)):
-        if float(resid) <= float(btol) * bnorm:
-            istop = 0
-            break
-        if anorm > 0 and float(normar) <= (float(atol) * anorm
-                                           * max(float(resid), 1e-300)):
+        if stopped():
             istop = 0
             break
         # A leg stopping at its own test2 <= tol leaves the verified
@@ -467,12 +497,16 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
         inner_conv.append(bool(res.converged))
         leg_anorm = res.info.get("Anorm", res.info.get("normA"))
         if leg_anorm is not None:
-            anorm = max(anorm, float(leg_anorm))
+            # a diverged leg's estimate (inf/garbage) must not loosen
+            # the certificate threshold — absorb finite values only
+            absorb_anorm(leg_anorm)
         xh2, xl2 = _accumulate(xh, xl, res.x)
         r2, new_resid, new_normar = verify(A, b, xh2, xl2)
         n_matvec += verify_cost
         leg_resids.append(float(new_resid))
         normar_hist.append(float(new_normar))
+        if bool(jnp.isfinite(new_normar)) and float(new_resid) > 0:
+            absorb_anorm(float(new_normar) / float(new_resid))
         bad = not bool(jnp.isfinite(new_normar))
         if bad or float(new_normar) >= float(normar):
             if bad and not bool(res.converged):
@@ -490,9 +524,7 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
         if tightens > _MAX_TIGHTENS:
             istop = 3
             break
-    if float(resid) <= float(btol) * bnorm or (
-            anorm > 0 and float(normar) <= (float(atol) * anorm
-                                            * max(float(resid), 1e-300))):
+    if stopped():
         istop = 0
 
     info = {

@@ -289,3 +289,74 @@ def test_solve_verified_rectangular_routes_to_refined_lls():
     assert "true_normar" in res.info
     t2 = _true_test2(a64, b64, res)
     assert t2 < 5e-3, t2
+
+
+def test_refined_lls_array_preconditioner_rejection_message():
+    # M/N passed as raw arrays must hit the intended ValueError, not an
+    # ambiguous-truth-value error from bool(ndarray)
+    import pytest
+    from pykrylov_tpu.solvers import lsqr
+    from pykrylov_tpu.solvers.refine import refined_lls
+    A, a64, b64 = _lls_f32(cond_exp=1, m=120, n=40, seed=5)
+    b = jnp.asarray(b64, jnp.float32)
+    with pytest.raises(ValueError, match="refined_lls does not support"):
+        refined_lls(lsqr, A, b, M=np.ones(120, np.float32))
+    # the harmless defaults pass through
+    res = refined_lls(lsqr, A, b, damp=0.0, M=None, N=None, max_legs=5)
+    assert np.isfinite(float(res.resid_norm))
+
+
+def test_refined_lls_atol_stop_without_leg_anorm():
+    # a contract-conforming leg solver that exposes NO Anorm estimate:
+    # the verified lower bound ||A'rt||/||rt|| must keep the atol stop
+    # armed (previously anorm stayed 0 and the stop could never fire)
+    from pykrylov_tpu.solvers import lsqr
+    from pykrylov_tpu.solvers.refine import refined_lls
+
+    def bare_lsqr(A, rhs, atol=0.0, btol=0.0, **kw):
+        res = lsqr(A, rhs, atol=atol, btol=btol, **kw)
+        import dataclasses
+        return dataclasses.replace(res, info={})
+
+    A, a64, b64 = _lls_f32(cond_exp=1, seed=11)
+    res = refined_lls(bare_lsqr, A, jnp.asarray(b64, jnp.float32),
+                      atol=1e-4, max_legs=10)
+    assert bool(res.converged), (int(res.istop), float(res.info["true_normar"]))
+    assert res.info["n_legs"] < 10
+
+
+def test_refined_lls_inf_leg_anorm_cannot_fake_convergence():
+    # a blown-up leg reporting Anorm=inf must not loosen the certificate
+    # threshold into a vacuous pass
+    from pykrylov_tpu.solvers.refine import refined_lls
+    from pykrylov_tpu.solvers.result import SolveResult
+
+    def exploding(A, rhs, atol=0.0, btol=0.0, **kw):
+        n = A.shape[1]
+        return SolveResult(
+            x=jnp.full(n, jnp.nan, jnp.float32),
+            converged=jnp.asarray(False), istop=jnp.asarray(7, jnp.int32),
+            n_iter=jnp.asarray(1, jnp.int32), n_matvec=jnp.asarray(2, jnp.int32),
+            resid_norm=jnp.asarray(jnp.inf), resid_norm0=jnp.asarray(1.0),
+            resid_history=jnp.ones(1), info={"Anorm": jnp.asarray(jnp.inf)})
+
+    A, a64, b64 = _lls_f32(cond_exp=2, m=120, n=40, seed=6)
+    res = refined_lls(exploding, A, jnp.asarray(b64, jnp.float32),
+                      atol=1e-4, max_legs=5)
+    assert not bool(res.converged)
+    assert int(res.istop) == 2
+    assert np.isfinite(float(res.info["anorm"]))
+
+
+def test_refined_lls_initial_matvec_count_is_exact():
+    # x0=None performs exactly one transpose product up front (A'b);
+    # each leg then adds its own count + the verify cost (1 ff or 2
+    # plain forward + 1 transpose)
+    from pykrylov_tpu.solvers import lsqr
+    from pykrylov_tpu.solvers.refine import refined_lls
+    A, a64, b64 = _lls_f32(cond_exp=1, m=120, n=40, seed=8)
+    res = refined_lls(lsqr, A, jnp.asarray(b64, jnp.float32), max_legs=4)
+    inner = int(np.sum(res.info["inner_n_iter"])) * 2
+    legs = int(res.info["n_legs"])
+    # dense operator resolves a compensated matvec -> verify cost 2
+    assert int(res.n_matvec) == 1 + inner + 2 * legs
