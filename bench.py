@@ -261,6 +261,12 @@ def main():
         float(xla_chain(xr)[0])
         best_x = min(best_x, time.perf_counter() - t0)
     achievable = iters * 2 * m * np.dtype(dtype).itemsize / best_x / 1e9
+    # the BELL section must never take down the headline metric: a
+    # failure (Mosaic change, pack regression) is reported inline
+    try:
+        bell = bench_bell()
+    except Exception as e:  # pragma: no cover - chip-dependent
+        bell = {"error": "%s: %s" % (type(e).__name__, str(e)[:200])}
     print(json.dumps({
         "metric": "spmv_dia_poisson3d_bandwidth",
         "value": round(gbps, 2),
@@ -274,7 +280,7 @@ def main():
             "peak_gbps": peak_bandwidth_gbps(),
             "xla_achievable_gbps": round(achievable, 2),
             "vs_achievable": round(gbps / achievable, 4),
-            "bell_general_spmv": bench_bell(),
+            "bell_general_spmv": bell,
         },
     }))
 
