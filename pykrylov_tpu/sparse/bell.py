@@ -197,9 +197,10 @@ def _plan_block_windows(C, bu, spill_cost):
     return starts, depths, width
 
 
-def _plan_blocks_py(rs, cs, bs, bounds, nblocks, spill_cost):
-    """Pure-NumPy per-block window planning — the fallback for
-    environments without g++ (mirrors native.cpp ``bell_plan``)."""
+def _plan_blocks_loop(rs, cs, bs, bounds, nblocks, spill_cost):
+    """Per-block-Python-loop window planning — kept as the readable
+    reference oracle for :func:`_plan_blocks_py` (mirrors native.cpp
+    ``bell_plan`` line for line)."""
     e_base = np.zeros(len(rs), dtype=np.int64)   # window base band
     e_woff = np.zeros(len(rs), dtype=np.int64)   # window row offset in blk
     e_cap = np.zeros(len(rs), dtype=np.int64)    # window capped depth
@@ -226,6 +227,147 @@ def _plan_blocks_py(rs, cs, bs, bounds, nblocks, spill_cost):
         e_cap[lo:hi] = darr[wsel]
         depth_per_block[bi] = int(np.sum(depths))
     return e_base, e_woff, e_cap, depth_per_block
+
+
+def _cap_and_cost(C, spill_cost):
+    """Vectorized byte-optimal capped depth per window.  ``C`` is
+    (nkeys, LANES) per-lane counts; returns (cap, cost) arrays.
+
+    Evaluates the SAME float expression as :func:`_capped_depth`
+    (``cost(d) = 5*128*d + spill*overflow(d)`` with integer overflow)
+    and takes the same first-argmin, so results are bit-identical even
+    where the convex cost plateaus and the minimizer is decided by
+    floating-point residue (e.g. ``spill_cost = 640/t`` for integer t).
+    ``overflow(d)`` comes from per-key count histograms via suffix sums
+    — O(LANES + maxdepth) per key, chunked to bound the (keys, depth)
+    scratch matrix."""
+    nkeys = C.shape[0]
+    if spill_cost is None:
+        cap = C.max(axis=1)
+        return cap, _SLOT_BYTES * LANES * cap.astype(np.float64)
+    cap = np.zeros(nkeys, dtype=np.int64)
+    cost = np.zeros(nkeys, dtype=np.float64)
+    step = max(1, (1 << 22) // max(2, int(C.max(initial=0)) + 2))
+    for lo in range(0, nkeys, step):
+        Cc = C[lo:lo + step]
+        D = int(Cc.max(initial=0))
+        ch = Cc.shape[0]
+        if D == 0:
+            continue
+        hist = np.zeros((ch, D + 1), dtype=np.int64)
+        np.add.at(hist, (np.repeat(np.arange(ch), LANES), Cc.ravel()), 1)
+        deeper = LANES - np.cumsum(hist, axis=1)      # #{c > d}, d=0..D
+        overflow = np.zeros((ch, D + 1), dtype=np.int64)
+        overflow[:, :-1] = deeper[:, :-1][:, ::-1].cumsum(axis=1)[:, ::-1]
+        costs = (_SLOT_BYTES * LANES * np.arange(D + 1, dtype=np.int64)
+                 + spill_cost * overflow)
+        j = np.argmin(costs, axis=1)
+        cap[lo:lo + step] = j
+        cost[lo:lo + step] = costs[np.arange(ch), j]
+    return cap, cost
+
+
+def _plan_blocks_py(rs, cs, bs, bounds, nblocks, spill_cost):
+    """Pure-NumPy per-block window planning — the fallback for
+    environments without g++ (same plan as native.cpp ``bell_plan``
+    and :func:`_plan_blocks_loop`, which it is tested against).
+
+    Vectorized across blocks: the 1-or-2-consecutive-band window DP
+    runs as a lockstep sweep over band POSITIONS (all blocks advance
+    their own DP simultaneously), so the Python-level work is
+    O(max bands per block) iterations instead of O(nblocks)."""
+    n = len(rs)
+    if n == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), np.zeros(nblocks, np.int64))
+    blks = rs // LANES
+    # (block, band) keys in sorted order; kid maps entries -> keys
+    key = blks * (np.int64(bs.max()) + 2) + bs
+    ukey, kid = np.unique(key, return_inverse=True)
+    nkeys = len(ukey)
+    C = np.zeros((nkeys, LANES), dtype=np.int64)
+    np.add.at(C, (kid, rs % LANES), 1)
+    ublk = ukey // (np.int64(bs.max()) + 2)
+    uband = ukey % (np.int64(bs.max()) + 2)
+
+    cap1, cost1 = _cap_and_cost(C, spill_cost)
+    # pair windows join key k-1 and k when same block, consecutive bands
+    pair_ok = np.zeros(nkeys, dtype=bool)
+    if nkeys > 1:
+        pair_ok[1:] = (ublk[1:] == ublk[:-1]) & (uband[1:] == uband[:-1] + 1)
+    cap2 = np.zeros(nkeys, dtype=np.int64)
+    cost2 = np.full(nkeys, np.inf)
+    if pair_ok.any():
+        pk = np.flatnonzero(pair_ok)
+        cap2[pk], cost2[pk] = _cap_and_cost(C[pk] + C[pk - 1], spill_cost)
+
+    # per-block key ranges
+    bfirst = np.flatnonzero(np.r_[True, np.diff(ublk) != 0])
+    bcnt = np.diff(np.r_[bfirst, nkeys])       # keys per present block
+    nb = len(bfirst)
+    J = int(bcnt.max())
+
+    # lockstep DP over band positions: dp[:, j] = best bytes covering
+    # the block's first j bands; choice 1 = single-band window ending
+    # at j, 2 = pair window covering bands j-1..j
+    INF = np.inf
+    dp = np.full((nb, J + 1), INF)
+    choice = np.zeros((nb, J + 1), dtype=np.int8)
+    dp[:, 0] = 0.0
+    pos = np.arange(nb)
+    for j in range(1, J + 1):
+        act = bcnt >= j
+        gk = (bfirst + (j - 1)) % nkeys   # mod only guards inactive rows
+        v1 = np.where(act, dp[:, j - 1] + cost1[gk], INF)
+        if j >= 2:
+            ok2 = act & pair_ok[gk]
+            v2 = np.where(ok2, dp[:, j - 2] + cost2[gk], INF)
+        else:
+            v2 = np.full(nb, INF)
+        take2 = v2 < v1                         # strict: ties keep singles
+        dp[:, j] = np.where(take2, v2, v1)
+        choice[:, j] = np.where(act, np.where(take2, 2, 1), 0)
+
+    # lockstep backtrack: every block walks its choice row from its top
+    # position down, stamping one window per sweep iteration
+    wstart = np.zeros(nkeys, dtype=bool)        # key starts a window
+    wwidth = np.zeros(nkeys, dtype=np.int8)
+    ptr = bcnt.copy()
+    while True:
+        act = ptr > 0
+        if not act.any():
+            break
+        w = choice[pos[act], ptr[act]].astype(np.int64)
+        sk = bfirst[act] + ptr[act] - w
+        wstart[sk] = True
+        wwidth[sk] = w.astype(np.int8)
+        ptr[act] -= w
+    # window cap: singles read cap1 at the start key, pairs read cap2 at
+    # the SECOND key of the pair
+    sidx = np.flatnonzero(wstart)
+    capw = np.where(wwidth[sidx] == 2, cap2[np.minimum(sidx + 1, nkeys - 1)],
+                    cap1[sidx])
+    # per-key window start: widths are <= 2, so a non-start key's window
+    # starts at the previous key
+    ws_of_key = np.arange(nkeys)
+    ws_of_key[~wstart] -= 1
+    # window row offsets: cumulative depth of earlier windows in the block
+    csum = np.cumsum(capw) - capw
+    sblk = ublk[sidx]
+    sblk_first = np.flatnonzero(np.r_[True, np.diff(sblk) != 0])
+    scnt = np.diff(np.r_[sblk_first, len(sidx)])
+    woff_w = csum - np.repeat(csum[sblk_first], scnt)
+    # scatter window attrs back to keys, then to entries
+    win_of_key = np.zeros(nkeys, dtype=np.int64)
+    win_of_key[sidx] = np.arange(len(sidx))
+    win = win_of_key[ws_of_key]
+    cap_of_key = capw[win]
+    woff_of_key = woff_w[win]
+    base_of_key = uband[ws_of_key]
+    depth_per_block = np.zeros(nblocks, dtype=np.int64)
+    np.add.at(depth_per_block, sblk, capw)
+    return (base_of_key[kid], woff_of_key[kid], cap_of_key[kid],
+            depth_per_block)
 
 
 def _plan_bands_sorted(rows, bs, blk, nblocks, spill_cost):

@@ -496,3 +496,28 @@ def test_matvec_pallas_passes_none():
     y = np.asarray(bell_matvec_pallas(b, xp, interpret=True,
                                       passes=None))[:200]
     np.testing.assert_allclose(y, a @ x, rtol=1e-10)
+
+
+def test_vectorized_w2_planner_matches_loop_oracle():
+    # the vectorized cross-block DP fallback must reproduce the
+    # per-block-loop reference plan BIT-EXACTLY, including spill costs
+    # where the cost plateau is decided by floating-point residue
+    from pykrylov_tpu.sparse.bell import _plan_blocks_loop, _plan_blocks_py
+    for seed, (m, nnz, cw) in enumerate([(2048, 12000, 2048),
+                                         (512, 40000, 512),
+                                         (1024, 3000, 4096),
+                                         (128, 50, 128), (256, 1, 999)]):
+        rng = np.random.default_rng(seed)
+        rows = np.sort(rng.integers(0, m, size=nnz).astype(np.int64))
+        cols = np.clip((rows * cw // m)
+                       + rng.integers(-300, 301, nnz), 0, cw - 1)
+        order = np.lexsort((cols, rows))
+        rs, cs = rows[order], cols[order].astype(np.int64)
+        bs = cs // 128
+        nblocks = -(-m // 128)
+        bounds = np.searchsorted(rs // 128, np.arange(nblocks + 1))
+        for sc in (12.0, None, 640.0 / 7, 640.0 / 64, 1e9, 0.51):
+            vec = _plan_blocks_py(rs, cs, bs, bounds, nblocks, sc)
+            ref = _plan_blocks_loop(rs, cs, bs, bounds, nblocks, sc)
+            for a, b in zip(vec, ref):
+                np.testing.assert_array_equal(a, b)
