@@ -1,0 +1,140 @@
+"""Multi-RHS solves (`solvers/batched.py`): each column of the block-
+batched CG must track a single-RHS `cg` run up to floating-point
+reduction order (the block product sums in a different order than the
+single dot, so trajectories drift at rounding level and stopping
+iterations can shift by 1-2 over hundreds of iterations)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pykrylov_tpu.ops import DiagonalOperator, linop_from_ndarray
+from pykrylov_tpu.solvers import cg, cg_batched, minres, solve_columns
+
+
+def _spd(n=120, cond=1e3, seed=0):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.logspace(0, np.log10(cond), n)
+    return (Q * lam) @ Q.T
+
+
+def test_columns_match_single_cg():
+    a = _spd()
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((120, 5))
+    # column scaling spreads convergence speeds so freeze masking is hit
+    B[:, 0] *= 1e3
+    B[:, 3] = a @ np.ones(120)
+    res = cg_batched(op, jnp.asarray(B), rtol=1e-8, store_history=True)
+    assert res.x.shape == (120, 5)
+    for j in range(5):
+        single = cg(op, jnp.asarray(B[:, j]), rtol=1e-8)
+        assert abs(int(res.info["n_iter_columns"][j])
+                   - int(single.n_iter)) <= 3, j
+        # the block product's reduction order differs bitwise from the
+        # single dot, so iterates drift at rounding level (~1e-9 rel
+        # over hundreds of f64 iterations at cond 1e3) and the stopping
+        # iteration can shift by a couple
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(single.x),
+                                   rtol=1e-6, atol=1e-8)
+        assert bool(res.converged[j]) == bool(single.converged)
+        # the exact sub-threshold landing value is run-dependent; the
+        # contract is the stopping rule itself
+        assert (float(res.resid_norm[j])
+                <= max(1e-8, 1e-8 * float(res.resid_norm0[j])) * (1 + 1e-12))
+    # block iterations = max column iterations
+    assert int(res.n_iter) == int(res.info["n_iter_columns"].max())
+    # history: NaN beyond each column's own stop
+    h = np.asarray(res.resid_history)
+    done_early = int(res.info["n_iter_columns"].min())
+    assert np.isnan(h[int(res.n_iter), np.argmin(res.info["n_iter_columns"])]) \
+        or done_early == int(res.n_iter)
+
+
+def test_preconditioned_columns_match():
+    a = _spd(n=80, cond=1e5, seed=3)
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    M = DiagonalOperator(jnp.asarray(1.0 / np.diag(a)))
+    rng = np.random.default_rng(4)
+    B = rng.standard_normal((80, 3))
+    res = cg_batched(op, jnp.asarray(B), M=M, rtol=1e-8, maxiter=2000)
+    for j in range(3):
+        single = cg(op, jnp.asarray(B[:, j]), M=M, rtol=1e-8, maxiter=2000)
+        assert bool(res.converged[j]) and bool(single.converged)
+        # high-kappa CG iteration counts are rounding-path sensitive:
+        # ~470-iteration runs drift by ~10 between summation orders
+        assert abs(int(res.info["n_iter_columns"][j])
+                   - int(single.n_iter)) <= 0.1 * int(single.n_iter)
+        # at cond 1e5 any solution meeting the stopping rule may differ
+        # from another by O(kappa * rtol); pin both to the oracle within
+        # that bound instead of to each other
+        x_ref = np.linalg.solve(a, B[:, j])
+        nrm = np.linalg.norm(x_ref)
+        assert np.linalg.norm(np.asarray(res.x[:, j]) - x_ref) < 5e-3 * nrm
+        assert np.linalg.norm(np.asarray(single.x) - x_ref) < 5e-3 * nrm
+
+
+def test_curvature_flags_per_column():
+    # indefinite operator: columns abort with istop 2 and report
+    # definite=False, exactly like single cg's curvature check
+    n = 40
+    d = np.ones(n)
+    d[-1] = -1.0
+    op = DiagonalOperator(jnp.asarray(d))
+    rng = np.random.default_rng(5)
+    B = rng.standard_normal((n, 2))
+    res = cg_batched(op, jnp.asarray(B), check_curvature=True, rtol=1e-10)
+    for j in range(2):
+        single = cg(op, jnp.asarray(B[:, j]), check_curvature=True,
+                    rtol=1e-10)
+        assert int(res.istop[j]) == int(single.istop)
+        assert bool(res.info["definite"][j]) == bool(single.info["definite"])
+        assert int(res.info["n_iter_columns"][j]) == int(single.n_iter)
+
+
+def test_single_column_rhs_promotes():
+    a = _spd(n=30, cond=10, seed=6)
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    b = np.random.default_rng(7).standard_normal(30)
+    res = cg_batched(op, jnp.asarray(b))
+    assert res.x.shape == (30, 1)
+    assert bool(res.converged[0])
+
+
+def test_trivial_rhs_column_converges_at_zero_iters():
+    a = _spd(n=30, cond=10, seed=8)
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    B = np.zeros((30, 2))
+    B[:, 1] = a @ np.ones(30)
+    res = cg_batched(op, jnp.asarray(B), rtol=1e-8)
+    assert int(res.info["n_iter_columns"][0]) == 0
+    assert bool(res.converged[0])
+    np.testing.assert_allclose(np.asarray(res.x[:, 1]), np.ones(30),
+                               rtol=1e-7)
+
+
+def test_shape_errors():
+    from pykrylov_tpu.ops.base import ShapeError
+    a = _spd(n=20, cond=10, seed=9)
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    with pytest.raises(ShapeError):
+        cg_batched(op, jnp.ones((19, 2)))
+    rect = linop_from_ndarray(jnp.ones((10, 20)))
+    with pytest.raises(ShapeError):
+        cg_batched(rect, jnp.ones((20, 2)))
+
+
+def test_solve_columns_generic_driver():
+    a = _spd(n=50, cond=100, seed=10)
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    rng = np.random.default_rng(11)
+    B = rng.standard_normal((50, 3))
+    results = solve_columns(minres, op, jnp.asarray(B), rtol=1e-8)
+    assert len(results) == 3
+    for j, r in enumerate(results):
+        single = minres(op, jnp.asarray(B[:, j]), rtol=1e-8)
+        assert int(r.n_iter) == int(single.n_iter)
+        np.testing.assert_allclose(np.asarray(r.x), np.asarray(single.x))
