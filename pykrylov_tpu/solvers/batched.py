@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from .common import apply_op, as_operator, default_maxiter
 from .result import SolveResult
 
-__all__ = ["cg_batched", "solve_columns", "ISTOP_MSG"]
+__all__ = ["cg_batched", "lsqr_batched", "solve_columns",
+           "ISTOP_MSG"]
 
 ISTOP_MSG = {
     0: "residual small enough (relative/absolute tolerance reached)",
@@ -194,3 +195,243 @@ def solve_columns(solver, A, B, **kwargs):
         raise ValueError("solve_columns expects an (n, K) block, got %s"
                          % (B.shape,))
     return [solver(A, B[:, j], **kwargs) for j in range(B.shape[1])]
+
+
+# ---------------------------------------------------------------------------
+# Batched LSQR
+# ---------------------------------------------------------------------------
+
+def _gk_init_block(A, B, M, N):
+    """Column-batched Golub-Kahan init — :func:`lls_common.gk_init` on an
+    (m, K) block (weighted norms and guarded normalizations per column;
+    reference ``lls/lsqr.py:188-210``)."""
+    dtype = B.dtype
+    Mu = B
+    u = _apply_block(M, Mu) if M is not None else Mu
+    beta = jnp.sqrt(jnp.maximum(_col_dot(u, Mu).astype(dtype), 0))
+    sb = jnp.where(beta == 0, 1, beta)
+    u = jnp.where(beta > 0, u / sb, u)
+    Mu = jnp.where(beta > 0, Mu / sb, Mu)
+    Nv = _apply_block_T(A, u)
+    v = _apply_block(N, Nv) if N is not None else Nv
+    alpha = jnp.sqrt(jnp.maximum(_col_dot(v, Nv).astype(dtype), 0))
+    alpha = jnp.where(beta > 0, alpha, 0)
+    sa = jnp.where(alpha == 0, 1, alpha)
+    v = jnp.where(alpha > 0, v / sa, v)
+    Nv = jnp.where(alpha > 0, Nv / sa, Nv)
+    return u, Mu, v, Nv, alpha, beta
+
+
+def _gk_step_block(A, M, N, v, Mu, Nv, alpha):
+    """Column-batched bidiagonalization step — mirrors
+    :func:`lls_common.gk_step` (guards incl. the beta == 0 freeze of
+    v/Nv/alpha; reference ``lls/lsqr.py:252-272``)."""
+    dtype = v.dtype
+    Mu2 = _apply_block(A, v) - alpha * Mu
+    u2 = _apply_block(M, Mu2) if M is not None else Mu2
+    beta = jnp.sqrt(jnp.maximum(_col_dot(u2, Mu2).astype(dtype), 0))
+    ok_b = beta > 0
+    sb = jnp.where(ok_b, beta, 1)
+    u2 = jnp.where(ok_b, u2 / sb, u2)
+    Mu2 = jnp.where(ok_b, Mu2 / sb, Mu2)
+    Nv2 = _apply_block_T(A, u2) - beta * Nv
+    v2 = _apply_block(N, Nv2) if N is not None else Nv2
+    alpha2 = jnp.sqrt(jnp.maximum(_col_dot(v2, Nv2).astype(dtype), 0))
+    ok_a = ok_b & (alpha2 > 0)
+    sa = jnp.where(ok_a, alpha2, 1)
+    v2 = jnp.where(ok_a, v2 / sa, v2)
+    Nv2 = jnp.where(ok_a, Nv2 / sa, Nv2)
+    v2 = jnp.where(ok_b, v2, v)
+    Nv2 = jnp.where(ok_b, Nv2, Nv)
+    alpha2 = jnp.where(ok_b, jnp.where(alpha2 > 0, alpha2, 0), alpha)
+    return u2, Mu2, v2, Nv2, alpha2, beta
+
+
+def _apply_block_T(op, X):
+    from .common import apply_op_T
+    return jax.vmap(lambda c: apply_op_T(op, c), in_axes=1, out_axes=1)(X)
+
+
+@partial(jax.jit, static_argnames=("itnlim", "window", "store_history"))
+def _lsqr_batched(A, B, M, N, damp, atol, btol, conlim, etol, itnlim,
+                  window, store_history):
+    n = A.nargin
+    dtype = B.dtype
+    K = B.shape[1]
+    zK = jnp.zeros(K, dtype)
+    dampsq = damp * damp
+    ctol = jnp.where(conlim > 0, 1.0 / jnp.where(conlim == 0, 1, conlim),
+                     0.0).astype(dtype)
+
+    u, Mu, v, Nv, alpha, beta = _gk_init_block(A, B, M, N)
+    arnorm0 = alpha * beta
+    bnorm = beta
+    done0 = arnorm0 == 0          # exact solution x = 0 (istop 0)
+
+    hist = (jnp.full((itnlim + 1, K), jnp.nan, dtype).at[0].set(beta)
+            if store_history else None)
+
+    state0 = dict(
+        x=jnp.zeros((n, K), dtype), w=v, u=u, Mu=Mu, v=v, Nv=Nv,
+        alpha=alpha, beta=beta, rhobar=alpha, phibar=beta,
+        cs2=-jnp.ones(K, dtype), sn2=zK, z=zK,
+        xxnorm=zK, ddnorm=zK, res2=zK,
+        anorm=zK, acond=zK, xnorm=zK,
+        rnorm=beta, r1norm=beta, r2norm=beta, arnorm=arnorm0,
+        x_nrg2=zK, d_err=jnp.zeros((window, K), dtype),
+        istop=jnp.zeros(K, jnp.int32), iters=jnp.zeros(K, jnp.int32),
+        itn=jnp.zeros((), jnp.int32), done=done0, hist=hist)
+
+    def cond(s):
+        return jnp.any(~s["done"]) & (s["itn"] < itnlim)
+
+    def body(s):
+        act = ~s["done"]
+        itn = s["itn"] + 1
+        u, Mu, v, Nv, alpha, beta = _gk_step_block(
+            A, M, N, s["v"], s["Mu"], s["Nv"], s["alpha"])
+        anorm = jnp.sqrt(s["anorm"]**2 + s["alpha"]**2 + beta**2 + dampsq)
+
+        rhobar1 = jnp.hypot(s["rhobar"], damp)
+        cs1 = s["rhobar"] / rhobar1
+        sn1 = damp / rhobar1
+        psi = sn1 * s["phibar"]
+        phibar = cs1 * s["phibar"]
+
+        rho = jnp.hypot(rhobar1, beta)
+        cs = rhobar1 / rho
+        sn = beta / rho
+        theta = sn * alpha
+        rhobar = -cs * alpha
+        phi = cs * phibar
+        phibar = sn * phibar
+        tau = sn * phi
+
+        t1 = phi / rho
+        t2 = -theta / rho
+        dk = s["w"] / rho
+        x = s["x"] + t1 * s["w"]
+        w = t2 * s["w"] + v
+        ddnorm = s["ddnorm"] + _col_dot(dk, dk).astype(dtype)
+
+        x_nrg2 = s["x_nrg2"] + phi * phi
+        d_err = s["d_err"].at[itn % window].set(
+            jnp.where(act, phi, s["d_err"][itn % window]))
+        trnc = jnp.linalg.norm(d_err, axis=0)
+        istop = jnp.where((itn > window) & (trnc < etol * jnp.sqrt(x_nrg2)),
+                          8, s["istop"])
+
+        delta = s["sn2"] * rho
+        gambar = -s["cs2"] * rho
+        rhs = phi - delta * s["z"]
+        zbar = rhs / jnp.where(gambar == 0, 1, gambar)
+        xnorm = jnp.sqrt(s["xxnorm"] + zbar**2)
+        gamma = jnp.hypot(gambar, theta)
+        cs2 = gambar / gamma
+        sn2 = theta / gamma
+        z = rhs / jnp.where(gamma == 0, 1, gamma)
+        xxnorm = s["xxnorm"] + z * z
+
+        acond = anorm * jnp.sqrt(ddnorm)
+        res1 = phibar**2
+        res2 = s["res2"] + psi**2
+        rnorm = jnp.sqrt(res1 + res2)
+        arnorm = alpha * jnp.abs(tau)
+        r1sq = rnorm**2 - dampsq * xxnorm
+        r1norm = jnp.sign(r1sq) * jnp.sqrt(jnp.abs(r1sq))
+        r2norm = rnorm
+
+        inf = jnp.asarray(jnp.inf, dtype)
+        test1 = rnorm / jnp.where(bnorm == 0, 1, bnorm)
+        test2 = jnp.where((anorm == 0) | (rnorm == 0), inf,
+                          arnorm / (anorm * rnorm))
+        test3 = jnp.where(acond == 0, inf, 1.0 / acond)
+        t1t = test1 / (1 + anorm * xnorm / jnp.where(bnorm == 0, 1, bnorm))
+        rtol = btol + atol * anorm * xnorm / jnp.where(bnorm == 0, 1, bnorm)
+
+        istop = jnp.where(itn >= itnlim, 7, istop)
+        istop = jnp.where(1 + test3 <= 1, 6, istop)
+        istop = jnp.where(1 + test2 <= 1, 5, istop)
+        istop = jnp.where(1 + t1t <= 1, 4, istop)
+        istop = jnp.where(test3 <= ctol, 3, istop)
+        istop = jnp.where(test2 <= atol, 2, istop)
+        istop = jnp.where(test1 <= rtol, 1, istop)
+        istop = istop.astype(jnp.int32)
+
+        # freeze: done columns carry every field bit-unchanged
+        def mc(new, old):
+            return jnp.where(act, new, old)
+
+        def mv(new, old):
+            return jnp.where(act[None, :], new, old)
+
+        h2 = s["hist"]
+        if h2 is not None:
+            h2 = h2.at[itn].set(jnp.where(act, r2norm, jnp.nan))
+        return dict(
+            x=mv(x, s["x"]), w=mv(w, s["w"]), u=mv(u, s["u"]),
+            Mu=mv(Mu, s["Mu"]), v=mv(v, s["v"]), Nv=mv(Nv, s["Nv"]),
+            alpha=mc(alpha, s["alpha"]), beta=mc(beta, s["beta"]),
+            rhobar=mc(rhobar, s["rhobar"]), phibar=mc(phibar, s["phibar"]),
+            cs2=mc(cs2, s["cs2"]), sn2=mc(sn2, s["sn2"]), z=mc(z, s["z"]),
+            xxnorm=mc(xxnorm, s["xxnorm"]), ddnorm=mc(ddnorm, s["ddnorm"]),
+            res2=mc(res2, s["res2"]), anorm=mc(anorm, s["anorm"]),
+            acond=mc(acond, s["acond"]), xnorm=mc(xnorm, s["xnorm"]),
+            rnorm=mc(rnorm, s["rnorm"]), r1norm=mc(r1norm, s["r1norm"]),
+            r2norm=mc(r2norm, s["r2norm"]), arnorm=mc(arnorm, s["arnorm"]),
+            x_nrg2=mc(x_nrg2, s["x_nrg2"]), d_err=d_err,
+            istop=jnp.where(act, istop, s["istop"]),
+            iters=s["iters"] + act.astype(jnp.int32),
+            itn=itn, done=s["done"] | (act & (istop > 0)), hist=h2)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    istop = s["istop"]
+    optimal = jnp.isin(istop, jnp.asarray((0, 1, 2, 4, 5, 8)))
+    info = {"r1norm": s["r1norm"], "r2norm": s["r2norm"],
+            "Anorm": s["anorm"], "Acond": s["acond"],
+            "Arnorm": s["arnorm"], "xnorm": s["xnorm"], "bnorm": bnorm,
+            "optimal": optimal, "n_iter_columns": s["iters"]}
+    return SolveResult(
+        x=s["x"], converged=optimal, istop=istop,
+        n_iter=s["itn"], n_matvec=2 * s["itn"],
+        resid_norm=s["r2norm"], resid_norm0=beta,
+        resid_history=s["hist"], info=info)
+
+
+def lsqr_batched(A, B, *, damp=0.0, M=None, N=None, atol=1.0e-9,
+                 btol=1.0e-9, conlim=1.0e8, etol=1.0e-6, window=5,
+                 itnlim=None, store_history=False):
+    """Solve ``min ||A x_k - b_k||`` for an (m, K) block of right-hand
+    sides in ONE fused while-loop.
+
+    The multi-RHS companion of :func:`~pykrylov_tpu.solvers.lsqr`
+    (reference recurrence ``/root/reference/pykrylov/lls/lsqr.py:243-392``):
+    each column drives its own Golub-Kahan bidiagonalization, damp/beta
+    rotations, istop battery and direct-error window under a per-column
+    freeze mask, while A and A' apply to whole blocks — one pair of
+    block products per iteration for all K systems.  Stopped columns
+    carry their state bit-unchanged until every column stops.
+
+    Parameters mirror :func:`lsqr` (no ``wantvar``/``show``).  Returns
+    :class:`SolveResult` with per-column fields: ``x`` (n, K),
+    ``converged``/``istop``/``resid_norm`` (K,) arrays,
+    ``info["n_iter_columns"]`` the per-column counts; ``n_matvec``
+    counts BLOCK products.
+    """
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    N = as_operator(N) if N is not None else None
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    if B.ndim != 2 or B.shape[0] != A.shape[0]:
+        from ..ops.base import ShapeError
+        raise ShapeError("lsqr_batched: operator %r with rhs block %s"
+                         % (A, B.shape))
+    dtype = jnp.result_type(B.dtype, A.dtype)
+    B = B.astype(dtype)
+    if itnlim is None:
+        itnlim = 3 * A.nargin
+    return _lsqr_batched(A, B, M, N, float(damp), float(atol), float(btol),
+                         float(conlim), float(etol), int(itnlim),
+                         int(window), bool(store_history))

@@ -138,3 +138,93 @@ def test_solve_columns_generic_driver():
         single = minres(op, jnp.asarray(B[:, j]), rtol=1e-8)
         assert int(r.n_iter) == int(single.n_iter)
         np.testing.assert_allclose(np.asarray(r.x), np.asarray(single.x))
+
+
+# ---------------------------------------------------------------------------
+# lsqr_batched
+# ---------------------------------------------------------------------------
+
+def _rect(m=150, n=60, cond=1e2, seed=0):
+    rng = np.random.default_rng(seed)
+    U, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = np.logspace(0, np.log10(cond), n)
+    return (U * s) @ V.T
+
+
+def test_lsqr_columns_match_single():
+    from pykrylov_tpu.solvers import lsqr, lsqr_batched
+    a = _rect()
+    op = linop_from_ndarray(jnp.asarray(a))
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((150, 4))
+    B[:, 2] = a @ np.ones(60)        # consistent column
+    # etol=0: the default direct-error stop would end runs at ~1e-5
+    # accuracy and mask the atol-driven comparison
+    res = lsqr_batched(op, jnp.asarray(B), atol=1e-10, btol=1e-10,
+                       etol=0.0)
+    assert res.x.shape == (60, 4)
+    for j in range(4):
+        single = lsqr(op, jnp.asarray(B[:, j]), atol=1e-10, btol=1e-10,
+                      etol=0.0)
+        assert abs(int(res.info["n_iter_columns"][j])
+                   - int(single.n_iter)) <= 5, j
+        assert int(res.istop[j]) == int(single.istop), j
+        assert bool(res.converged[j]) == bool(single.converged)
+        x_ref = np.linalg.lstsq(a, B[:, j], rcond=None)[0]
+        nrm = np.linalg.norm(x_ref)
+        assert np.linalg.norm(np.asarray(res.x[:, j]) - x_ref) < 1e-6 * nrm
+    assert int(res.n_iter) == int(res.info["n_iter_columns"].max())
+
+
+def test_lsqr_batched_damped():
+    from pykrylov_tpu.solvers import lsqr, lsqr_batched
+    a = _rect(m=100, n=40, cond=50, seed=2)
+    op = linop_from_ndarray(jnp.asarray(a))
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((100, 3))
+    damp = 0.7
+    res = lsqr_batched(op, jnp.asarray(B), damp=damp, atol=1e-10,
+                       btol=1e-10, etol=0.0)
+    # oracle: Tikhonov normal equations
+    H = a.T @ a + damp**2 * np.eye(40)
+    for j in range(3):
+        x_ref = np.linalg.solve(H, a.T @ B[:, j])
+        nrm = np.linalg.norm(x_ref)
+        assert np.linalg.norm(np.asarray(res.x[:, j]) - x_ref) < 1e-7 * nrm
+        single = lsqr(op, jnp.asarray(B[:, j]), damp=damp, atol=1e-10,
+                      btol=1e-10, etol=0.0)
+        assert abs(int(res.info["n_iter_columns"][j])
+                   - int(single.n_iter)) <= 5
+
+
+def test_lsqr_batched_zero_column_is_istop0():
+    from pykrylov_tpu.solvers import lsqr_batched
+    a = _rect(m=80, n=30, cond=10, seed=4)
+    op = linop_from_ndarray(jnp.asarray(a))
+    B = np.zeros((80, 2))
+    B[:, 1] = np.random.default_rng(5).standard_normal(80)
+    res = lsqr_batched(op, jnp.asarray(B), atol=1e-10, btol=1e-10)
+    assert int(res.istop[0]) == 0 and bool(res.converged[0])
+    assert int(res.info["n_iter_columns"][0]) == 0
+    np.testing.assert_array_equal(np.asarray(res.x[:, 0]), np.zeros(30))
+
+
+def test_lsqr_batched_preconditioned_sqd():
+    # M/N inner preconditioners (the SQD configuration) batch too
+    from pykrylov_tpu.solvers import lsqr, lsqr_batched
+    a = _rect(m=90, n=35, cond=30, seed=6)
+    op = linop_from_ndarray(jnp.asarray(a))
+    M = DiagonalOperator(jnp.asarray(np.full(90, 0.5)))
+    N = DiagonalOperator(jnp.asarray(np.full(35, 2.0)))
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((90, 2))
+    res = lsqr_batched(op, jnp.asarray(B), M=M, N=N, atol=1e-9, btol=1e-9)
+    for j in range(2):
+        single = lsqr(op, jnp.asarray(B[:, j]), M=M, N=N, atol=1e-9,
+                      btol=1e-9)
+        assert abs(int(res.info["n_iter_columns"][j])
+                   - int(single.n_iter)) <= 3
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(single.x),
+                                   rtol=1e-5, atol=1e-9)
