@@ -228,3 +228,50 @@ def test_lsqr_batched_preconditioned_sqd():
         np.testing.assert_allclose(np.asarray(res.x[:, j]),
                                    np.asarray(single.x),
                                    rtol=1e-5, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# batched solvers over sharded operators (vmap composes with shard_map)
+# ---------------------------------------------------------------------------
+
+def test_cg_batched_over_sharded_halo_operator():
+    from pykrylov_tpu.parallel import make_mesh, HaloDiaOperator
+    from pykrylov_tpu.gallery.poisson import poisson3d_coo
+    from pykrylov_tpu.sparse import formats as F
+    mesh = make_mesh(8)
+    vals, rows, cols, shape = poisson3d_coo(12, dtype=np.float32)
+    dia = F.dia_from_coo(F.COO(vals, rows.astype(np.int32),
+                               cols.astype(np.int32), shape), device=False)
+    op = HaloDiaOperator(dia, mesh)
+    a = np.zeros(shape)
+    np.add.at(a, (rows, cols), vals)
+    B = np.random.default_rng(0).standard_normal(
+        (shape[0], 3)).astype(np.float32)
+    res = cg_batched(op, jnp.asarray(B), rtol=1e-5)
+    assert bool(res.converged.all())
+    for j in range(3):
+        x = np.asarray(res.x[:, j], np.float64)
+        assert (np.linalg.norm(a @ x - B[:, j])
+                < 1e-4 * np.linalg.norm(B[:, j]) + 1e-3)
+
+
+def test_lsqr_batched_over_gather_schedule_operator():
+    from pykrylov_tpu.parallel import make_mesh, GatherEllOperator
+    from pykrylov_tpu.sparse import formats as F
+    from pykrylov_tpu.solvers import lsqr_batched
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    m = 264
+    a = np.zeros((m, m), np.float32)
+    idx = rng.integers(0, m, (2000, 2))
+    a[idx[:, 0], idx[:, 1]] = rng.standard_normal(len(idx)).astype(np.float32)
+    a += m * np.eye(m, dtype=np.float32)
+    rr, cc = np.nonzero(a)
+    op = GatherEllOperator(F.coo_from_arrays(a[rr, cc], rr, cc, (m, m),
+                                             device=False), mesh)
+    B = rng.standard_normal((m, 2)).astype(np.float32)
+    res = lsqr_batched(op, jnp.asarray(B), atol=1e-6, btol=1e-6)
+    for j in range(2):
+        x = np.asarray(res.x[:, j], np.float64)
+        assert (np.linalg.norm(a @ x - B[:, j])
+                < 1e-5 * np.linalg.norm(B[:, j]))
