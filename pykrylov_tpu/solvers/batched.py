@@ -34,17 +34,22 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import apply_op, as_operator, default_maxiter
+from .common import (apply_op, as_operator, default_maxiter, promote_rhs,
+                     threshold_of)
 from .result import SolveResult
 
 __all__ = ["cg_batched", "lsqr_batched", "solve_columns",
-           "ISTOP_MSG"]
+           "ISTOP_MSG", "ISTOP_MSG_LSQR"]
 
+# cg_batched istop codes (per column); lsqr_batched columns follow the
+# LSQR table re-exported below
 ISTOP_MSG = {
     0: "residual small enough (relative/absolute tolerance reached)",
     1: "iteration budget exhausted before convergence",
     2: "operator appears indefinite: nonpositive curvature encountered",
 }
+
+from .lsqr import ISTOP_MSG as ISTOP_MSG_LSQR  # noqa: E402
 
 
 def _apply_block(op, X):
@@ -58,6 +63,22 @@ def _apply_block(op, X):
 def _col_dot(A, B):
     """Per-column conjugated real inner products ``Re(a_k' b_k)``."""
     return jnp.sum(jnp.conj(A) * B, axis=0).real
+
+
+def _check_x0(x0, B, name):
+    """Validate an initial-guess block: exactly (n, K), or (n,) when the
+    rhs arrived as a single column — a size-matching wrong layout (e.g.
+    (K, n) row-major guesses) must raise, not silently reshape."""
+    if x0 is None:
+        return None
+    x0 = jnp.asarray(x0)
+    if x0.shape == B.shape:
+        return x0
+    if x0.ndim == 1 and B.shape[1] == 1 and x0.shape[0] == B.shape[0]:
+        return x0[:, None]
+    from ..ops.base import ShapeError
+    raise ShapeError("%s: x0 of shape %s does not match the rhs block %s"
+                     % (name, x0.shape, B.shape))
 
 
 @partial(jax.jit, static_argnames=("maxiter", "check_curvature",
@@ -77,8 +98,7 @@ def _cg_batched(A, B, X0, M, rtol, atol, maxiter, check_curvature,
     Y = _apply_block(M, R) if M is not None else R
     ry = _col_dot(R, Y)
     resid0 = jnp.sqrt(jnp.maximum(ry, 0))
-    thresh = jnp.maximum(jnp.asarray(atol, resid0.dtype),
-                         jnp.asarray(rtol, resid0.dtype) * resid0)
+    thresh = threshold_of(resid0, rtol, atol)
     hist = (jnp.full((maxiter + 1, K), jnp.nan, resid0.dtype)
             .at[0].set(resid0) if store_history else None)
 
@@ -109,7 +129,9 @@ def _cg_batched(A, B, X0, M, rtol, atol, maxiter, check_curvature,
         beta = jnp.where(act, ry2 / jnp.where(ry == 0, 1, ry), 0)
         P2 = jnp.where(act, Y2 + beta * P, P)
         resid2 = jnp.where(act, jnp.sqrt(jnp.maximum(ry2, 0)), resid)
-        done = act & (resid2 <= thresh)
+        # a non-finite column freezes like single cg's loop exit (its
+        # cond resid > thresh is False for NaN); it reports istop 1
+        done = act & ((resid2 <= thresh) | ~jnp.isfinite(resid2))
         h2 = hist if hist is None else hist.at[k + 1].set(
             jnp.where(active, resid2, jnp.nan))
         return (X2, R2, jnp.where(act, Y2, Y), P2,
@@ -169,12 +191,10 @@ def cg_batched(A, B, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
         from ..ops.base import ShapeError
         raise ShapeError("cg_batched: operator %r with rhs block %s"
                          % (A, B.shape))
-    dtype = jnp.result_type(B.dtype, A.dtype,
-                            *([M.dtype] if M is not None else []))
-    B = B.astype(dtype)
+    B = promote_rhs(B, A, M)
     if maxiter is None:
         maxiter = default_maxiter(B.shape[0], 1, matvec_max)
-    X0 = None if x0 is None else jnp.asarray(x0).reshape(B.shape)
+    X0 = _check_x0(x0, B, "cg_batched")
     return _cg_batched(A, B, X0, M, float(rtol), float(atol), int(maxiter),
                        bool(check_curvature), bool(store_history))
 
@@ -428,8 +448,7 @@ def lsqr_batched(A, B, *, damp=0.0, M=None, N=None, atol=1.0e-9,
         from ..ops.base import ShapeError
         raise ShapeError("lsqr_batched: operator %r with rhs block %s"
                          % (A, B.shape))
-    dtype = jnp.result_type(B.dtype, A.dtype)
-    B = B.astype(dtype)
+    B = promote_rhs(B, A, M, N)
     if itnlim is None:
         itnlim = 3 * A.nargin
     return _lsqr_batched(A, B, M, N, float(damp), float(atol), float(btol),

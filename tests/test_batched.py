@@ -275,3 +275,30 @@ def test_lsqr_batched_over_gather_schedule_operator():
         x = np.asarray(res.x[:, j], np.float64)
         assert (np.linalg.norm(a @ x - B[:, j])
                 < 1e-5 * np.linalg.norm(B[:, j]))
+
+
+def test_lsqr_batched_promotes_preconditioner_dtype():
+    # CONFIRMED review repro: a float64 preconditioner on a float32
+    # system must promote the carry (single lsqr does via promote_rhs);
+    # previously this raised a while_loop carry dtype TypeError
+    from pykrylov_tpu.solvers import lsqr_batched
+    a = _rect(m=80, n=30, cond=10, seed=12).astype(np.float32)
+    op = linop_from_ndarray(jnp.asarray(a))
+    M = DiagonalOperator(jnp.asarray(np.ones(80, np.float64)))
+    B = np.random.default_rng(13).standard_normal((80, 2)).astype(np.float32)
+    res = lsqr_batched(op, jnp.asarray(B), M=M, atol=1e-8, btol=1e-8)
+    assert res.x.dtype == jnp.float64
+    assert bool(res.converged.all())
+
+
+def test_batched_x0_layout_mistake_raises():
+    from pykrylov_tpu.ops.base import ShapeError
+    a = _spd(n=30, cond=10, seed=14)
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    B = np.random.default_rng(15).standard_normal((30, 3))
+    with pytest.raises(ShapeError):
+        # (K, n) row-major guesses: size matches, layout wrong — must
+        # raise instead of silently reshaping
+        cg_batched(op, jnp.asarray(B), x0=jnp.ones((3, 30)))
+    res = cg_batched(op, jnp.asarray(B), x0=jnp.zeros((30, 3)))
+    assert bool(res.converged.all())
