@@ -19,22 +19,28 @@ echo "=== leg 2: probe_idx8 (BELL int8-idx A/B; flip default if >= parity) ==="
 timeout 580 python tools/probes/probe_idx8.py
 
 echo "=== leg 3: verify drive (library surface on the chip) ==="
+# mirrors __graft_entry__.entry(): Jacobi-ACCELERATED verified CG whose
+# stopping/verification run on the UNPRECONDITIONED residual at rtol 1e-6
+# (the unpreconditioned f32 recurrence needs >> 2n iterations on this
+# kappa~1e7 system; the round-1 bare-replacement leg hit the default cap)
 timeout 400 python - <<'PYEOF'
 import numpy as np, jax.numpy as jnp
 import pykrylov_tpu as pk
 from pykrylov_tpu.io.datasets import load_bundled
+from pykrylov_tpu.sparse import jacobi_preconditioner
 vals, rows, cols, shape = load_bundled("1138bus")
 op = pk.sparse.sparse_operator(
     (vals.astype(np.float32), rows, cols, shape), symmetric=True)
+M = jacobi_preconditioner("1138bus")
 a = np.zeros(shape); np.add.at(a, (rows, cols), vals)
 b64 = a @ np.ones(shape[0])
-res = pk.solvers.cg(op, jnp.asarray(b64, jnp.float32),
-                    replace_every=50, rtol=1e-6)
+res = pk.solvers.cg(op, jnp.asarray(b64, jnp.float32), M=M,
+                    rtol=1e-6, atol=0.0, maxiter=20000, replace_every=1000)
 x = np.asarray(res.x, np.float64) + np.asarray(res.info["x_lo"], np.float64)
 rel = np.linalg.norm(a @ x - b64) / np.linalg.norm(b64)
 print("ff-CG 1138bus: converged=%s iters=%d true relres=%.2e"
       % (bool(res.converged), int(res.n_iter), rel))
-assert rel < 2e-6
+assert bool(res.converged) and rel < 2e-6
 PYEOF
 
 echo "=== leg 4: batched-vs-sequential CG speedup (block amortization) ==="

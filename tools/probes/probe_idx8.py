@@ -8,7 +8,10 @@ dispatch overhead is ~30 ms/call).  If int8 measures no worse than
 packed, flip the bell_operator default.
 """
 
+import os
+import sys
 import time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import numpy as np
 import jax
 import jax.numpy as jnp
