@@ -167,6 +167,21 @@ def bench_bell():
                                 demo[2], demo[3], fmt="auto")
     auto_is_bell = hasattr(auto_op, "bytes_per_nnz")
 
+    # Explicit rooflines (VERDICT r2 #1): the classic CSR accounting
+    # (8 B/nnz: 4 B value + 4 B col index) at peak HBM bandwidth, the
+    # format's OWN stream (bytes_per_nnz as packed) at peak, and the same
+    # at the measured Pallas HBM->VMEM streaming floor on this v5e
+    # (~685 GB/s regardless of BlockSpec vs manual rings or ring depth —
+    # tools/probes/probe_stream_floor.py; the platform cap a zero-compute
+    # kernel hits, so the tightest honest bound for any Pallas SpMV).
+    stream_floor = 685.0 if on_tpu else peak
+    roofline = {
+        "csr8B_at_peak_Gnnz_s": round(peak / 8.0, 1),
+        "own_stream_at_peak_Gnnz_s": round(peak / op.bytes_per_nnz, 1),
+        "own_stream_at_pallas_floor_Gnnz_s": round(
+            stream_floor / op.bytes_per_nnz, 1),
+        "pallas_stream_floor_gbps": stream_floor,
+    }
     return {
         "matrix": "jpwh_991 x %d tiles" % tiles,
         "m": n, "nnz": nnz,
@@ -175,7 +190,14 @@ def bench_bell():
         "stream_gbps": round(gbps, 1),
         "util_vs_peak": round(gbps / peak, 4),
         "bytes_per_nnz": round(op.bytes_per_nnz, 2),
+        "fill": round(op.fill, 4),
         "vs_csr8B": round(nnz_per_s / (peak * 1e9 / 8), 4),
+        "roofline": roofline,
+        "vs_own_roofline": round(
+            nnz_per_s / (roofline["own_stream_at_peak_Gnnz_s"] * 1e9), 4),
+        "vs_pallas_floor": round(
+            nnz_per_s
+            / (roofline["own_stream_at_pallas_floor_Gnnz_s"] * 1e9), 4),
         "xla_ell_ms_per_mv": round(ell_ms, 2),
         "speedup_vs_xla_ell": round(ell_ms / (best / iters * 1e3), 1),
         "auto_selects_bell": bool(auto_is_bell),
@@ -248,19 +270,36 @@ def main():
     # Context metric: the streaming bandwidth plain XLA achieves on this
     # device for a dependent elementwise chain (2 streams).  The nominal
     # datasheet roofline is not always attainable; this pins down how much
-    # of the gap is the chip/harness vs the kernel.
+    # of the gap is the chip/harness vs the kernel.  The working set must
+    # sit WELL past VMEM (v5e: 128 MiB): a single 55 MB carry measured
+    # 1233 GB/s — above the 819 GB/s HBM peak — because XLA kept the loop
+    # carry on-chip.  A (4, m) carry (~222 MB f32 at the TPU size) cannot
+    # be parked in VMEM, so every iteration genuinely reads and writes HBM.
+    xiters = 100 if on_tpu else 5
+    xrep = max(1, (160 * 2**20) // (m * np.dtype(dtype).itemsize) + 1) \
+        if on_tpu else 2
+
     @jax.jit
     def xla_chain(x):
-        return jax.lax.fori_loop(0, iters, lambda _, x: x * 0.999, x)
-    float(xla_chain(x0)[0])
+        return jax.lax.fori_loop(0, xiters, lambda _, x: x * 0.999, x)
+    float(xla_chain(jnp.ones((xrep, m), dtype))[0, 0])
     best_x = np.inf
     for rep in range(3):
-        xr = jnp.full(m, 1.0 + 0.1 * rep, dtype=dtype)
-        float(xr[0])
+        xr = jnp.full((xrep, m), 1.0 + 0.1 * rep, dtype=dtype)
+        float(xr[0, 0])
         t0 = time.perf_counter()
-        float(xla_chain(xr)[0])
+        float(xla_chain(xr)[0, 0])
         best_x = min(best_x, time.perf_counter() - t0)
-    achievable = iters * 2 * m * np.dtype(dtype).itemsize / best_x / 1e9
+    xla_loop_gbps = (xiters * 2 * xrep * m * np.dtype(dtype).itemsize
+                     / best_x / 1e9)
+    # "Achievable" = the best streaming rate actually demonstrated on this
+    # chip: the measured Pallas HBM->VMEM copy floor (~685 GB/s on v5e,
+    # tools/probes/probe_stream_floor.py) — the XLA elementwise loop above
+    # runs BELOW it (~458 GB/s measured), so it alone would understate
+    # what a kernel can reach.
+    dev_kind = str(getattr(jax.devices()[0], "device_kind", ""))
+    pallas_floor = 685.0 if "v5 lite" in dev_kind else None
+    achievable = max(xla_loop_gbps, pallas_floor or 0.0)
     # the BELL section must never take down the headline metric: a
     # failure (Mosaic change, pack regression) is reported inline
     try:
@@ -278,7 +317,8 @@ def main():
             "nnz_unit": "Gnnz/s",
             "device": str(jax.devices()[0]),
             "peak_gbps": peak_bandwidth_gbps(),
-            "xla_achievable_gbps": round(achievable, 2),
+            "xla_loop_gbps": round(xla_loop_gbps, 2),
+            "achievable_gbps": round(achievable, 2),
             "vs_achievable": round(gbps / achievable, 4),
             "bell_general_spmv": bell,
         },
