@@ -206,9 +206,139 @@ def rectangular_gather_accounting():
     }
 
 
+def projected_weak_efficiency():
+    """Convert the measured per-iteration communication volumes into a
+    PROJECTED weak-scaling efficiency curve (VERDICT r2 #4a): the
+    virtual-mesh wall clock times the oversubscribed host, not the mesh,
+    so the ≥75% BASELINE target needs a model with stated inputs
+    instead.
+
+    Model (all inputs in the emitted dict):
+      * compute: per-device CG iteration on the HEADLINE bench problem
+        (3-D Poisson, n=240 per device, 7 diagonals) is HBM-bound; time
+        = bytes/BW with the MEASURED DIA kernel bandwidth (bench.py:
+        665 GB/s on this v5e).  Iteration traffic = matvec stream
+        ((ndiag+2)·m·4 B) + ~10 vector passes (axpys/dots of r,p,x).
+      * halo exchange: 2 neighbor ppermutes of w = n_grid^2 entries
+        (row-block 1-D partition; measured in weak_scaling rows as
+        halo_bytes_per_dev_per_mv), each costing bytes/link_bw + hop
+        latency, riding ICI inside a slice and DCN across hosts.
+      * dot products: 2 scalar psums per iteration, latency-bound:
+        2·ceil(log2 D) hops on the torus (tree schedule), plus one DCN
+        latency per level crossing hosts.
+    ICI/DCN parameters are v5e-class public numbers, stated explicitly
+    so the model can be re-fit from a real-slice run (the structure —
+    surface/volume halo + latency-bound scalar psums — is what the
+    measured volumes validate).
+    """
+    # stated model inputs
+    BW_HBM_EFF = 665e9        # measured DIA SpMV stream on this v5e (B/s)
+    ICI_LINK_BW = 40e9        # sustained per-neighbor ICI, one direction
+    ICI_HOP_LAT = 1.5e-6      # per-hop collective latency (s)
+    DCN_BW = 25e9             # per-host data-center network (B/s)
+    DCN_LAT = 10e-6           # cross-host collective latency (s)
+    NDIAG = 7
+    n_grid = 240              # per-device load of the headline bench
+    m_local = n_grid ** 3
+    VEC_PASSES = 10           # r/p/x axpys + 2 dots read traffic per iter
+
+    t_comp = (NDIAG + 2 + VEC_PASSES) * m_local * 4 / BW_HBM_EFF
+    halo_bytes = n_grid * n_grid * 4   # one direction, one neighbor
+
+    def t_iter(devices, hosts):
+        if devices == 1:
+            return t_comp
+        import math
+        # halo: 2 neighbor exchanges; hosts > 1 puts 2 boundary
+        # exchanges per host on DCN, the rest on ICI
+        t_halo_ici = 2 * (halo_bytes / ICI_LINK_BW + ICI_HOP_LAT)
+        t_halo = t_halo_ici
+        if hosts > 1:
+            t_halo = max(t_halo,
+                         2 * (halo_bytes / DCN_BW + DCN_LAT))
+        # 2 scalar psums, tree over the slice + one DCN level
+        hops = math.ceil(math.log2(devices))
+        t_dots = 2 * (hops * ICI_HOP_LAT
+                      + (DCN_LAT * math.ceil(math.log2(hosts))
+                         if hosts > 1 else 0.0))
+        return t_comp + t_halo + t_dots
+
+    rows = []
+    for devices, hosts in [(1, 1), (4, 1), (8, 1), (16, 1), (64, 1),
+                           (256, 1), (16, 2), (32, 4), (64, 8),
+                           (256, 32)]:
+        t = t_iter(devices, hosts)
+        rows.append({
+            "devices": devices, "hosts": hosts,
+            "time_per_iter_ms": round(t * 1e3, 4),
+            "projected_weak_efficiency": round(t_comp / t, 4),
+        })
+    return {
+        "model_inputs": {
+            "hbm_eff_gbps": BW_HBM_EFF / 1e9,
+            "ici_link_gbps": ICI_LINK_BW / 1e9,
+            "ici_hop_latency_us": ICI_HOP_LAT * 1e6,
+            "dcn_gbps": DCN_BW / 1e9,
+            "dcn_latency_us": DCN_LAT * 1e6,
+            "per_device_unknowns": m_local,
+            "ndiag": NDIAG, "vector_passes_per_iter": VEC_PASSES,
+            "halo_bytes_per_direction": halo_bytes,
+        },
+        "note": ("projection from measured single-chip bandwidth + "
+                 "measured comm volumes; halo traffic is surface/volume "
+                 "-small (0.23 MB vs 1.05 GB per iteration), so the "
+                 ">=75% BASELINE weak-scaling target is met with large "
+                 "margin at every modeled size — the risk is latency-"
+                 "bound scalar psums at very small per-device loads, "
+                 "not bandwidth"),
+        "curve": rows,
+        "meets_75pct_target_at_2plus_hosts": all(
+            r["projected_weak_efficiency"] >= 0.75 for r in rows
+            if r["hosts"] >= 2),
+    }
+
+
+def real_mesh_degenerate_leg():
+    """PYKRYLOV_REAL_MESH escape hatch exercised on hardware (VERDICT r2
+    #8): a 1-device mesh on the real chip through the exact code path a
+    slice run would take — ``initialize_multihost`` bootstrap, mesh
+    construction, sharded operator, halo-CG solve."""
+    from pykrylov_tpu.parallel import (make_mesh, sharded_poisson3d,
+                                       replicate)
+    from pykrylov_tpu.parallel.mesh import initialize_multihost
+    from pykrylov_tpu.ops import DiagonalOperator
+    from pykrylov_tpu.solvers import cg
+
+    boot = initialize_multihost()
+    d = len(jax.devices())
+    mesh = make_mesh(d)
+    n_grid = 64
+    op, b, e, pad = sharded_poisson3d(n_grid, mesh, halo=True,
+                                      dtype=np.float32)
+    m = n_grid ** 3 + pad
+    M = DiagonalOperator(replicate(
+        jnp.full(m, 1.0 / 6.0, dtype=jnp.float32), mesh))
+    res = cg(op, b, M=M, rtol=1e-6, maxiter=2 * m)
+    jax.block_until_ready(res.x)
+    t0 = time.perf_counter()
+    res = cg(op, b, M=M, rtol=1e-6, maxiter=2 * m)
+    jax.block_until_ready(res.x)
+    dt = time.perf_counter() - t0
+    return {
+        "initialize_multihost": repr(boot),
+        "devices": d,
+        "device_kind": str(jax.devices()[0]),
+        "grid_n": n_grid,
+        "iters": int(res.n_iter),
+        "converged": bool(res.converged),
+        "time_s": round(dt, 4),
+        "time_per_iter_ms": round(dt / max(int(res.n_iter), 1) * 1e3, 4),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r02.json")
+    ap.add_argument("--out", default="SCALING_r03.json")
     ap.add_argument("--scale", type=int, default=32,
                     help="per-device grid scale (n = scale * d^(1/3))")
     args = ap.parse_args()
@@ -228,10 +358,13 @@ def main():
                  "re-run with PYKRYLOV_REAL_MESH=1 on a slice for real "
                  "efficiency" % host_cores),
         "weak_scaling": weak_scaling_curve(args.scale),
+        "projected_weak_efficiency": projected_weak_efficiency(),
         "general_sparsity_gather_schedule": gather_schedule_accounting(),
         "tall_skinny_lsqr": tall_skinny_accounting(),
         "rectangular_gather_lsqr": rectangular_gather_accounting(),
     }
+    if _os.environ.get("PYKRYLOV_REAL_MESH"):
+        report["real_mesh"] = real_mesh_degenerate_leg()
     out = json.dumps(report, indent=1)
     print(out)
     with open(args.out, "w") as f:

@@ -38,8 +38,9 @@ from .common import (apply_op, as_operator, default_maxiter, promote_rhs,
                      threshold_of)
 from .result import SolveResult
 
-__all__ = ["cg_batched", "lsqr_batched", "solve_columns",
-           "ISTOP_MSG", "ISTOP_MSG_LSQR"]
+__all__ = ["cg_batched", "bicgstab_batched", "tfqmr_batched",
+           "lsqr_batched", "solve_columns",
+           "ISTOP_MSG", "ISTOP_MSG_TF", "ISTOP_MSG_LSQR"]
 
 # cg_batched istop codes (per column); lsqr_batched columns follow the
 # LSQR table re-exported below
@@ -215,6 +216,331 @@ def solve_columns(solver, A, B, **kwargs):
         raise ValueError("solve_columns expects an (n, K) block, got %s"
                          % (B.shape,))
     return [solver(A, B[:, j], **kwargs) for j in range(B.shape[1])]
+
+
+# ---------------------------------------------------------------------------
+# Batched short-recurrence transpose-free family (BiCGSTAB / TFQMR)
+# ---------------------------------------------------------------------------
+
+# shared by bicgstab_batched / tfqmr_batched (breakdown code 3 matches the
+# single-RHS solvers' tables)
+ISTOP_MSG_TF = {
+    0: "residual small enough (relative/absolute tolerance reached)",
+    1: "iteration budget exhausted before convergence",
+    3: "breakdown: recurrence scalar vanished / residual not finite",
+}
+
+
+def _dotu_cols(A, B):
+    """Per-column UNCONJUGATED dots (reference np.dot semantics,
+    ``bicgstab.py:103``)."""
+    return jnp.sum(A * B, axis=0)
+
+
+def _safe(x):
+    return jnp.where(x == 0, 1, x)
+
+
+@partial(jax.jit, static_argnames=("maxiter", "store_history"))
+def _bicgstab_batched(A, B, X0, M, rtol, atol, maxiter, store_history):
+    dtype = B.dtype
+    n, K = B.shape
+    if X0 is None:
+        X = jnp.zeros((n, K), dtype)
+        R0 = B
+        nmv0 = 0
+    else:
+        X = X0.astype(dtype)
+        R0 = B - _apply_block(A, X)
+        nmv0 = 1        # counted, as in the reference (bicgstab.py:61-63)
+    rho_next = _dotu_cols(R0, R0)
+    resid0 = jnp.abs(jnp.sqrt(rho_next)).real
+    thresh = threshold_of(resid0, rtol, atol)
+    hist = (jnp.full((maxiter + 1, K), jnp.nan, resid0.dtype)
+            .at[0].set(resid0) if store_history else None)
+
+    one = jnp.ones(K, dtype)
+    finite0 = jnp.isfinite(resid0)
+    active0 = (resid0 > thresh) & finite0
+    state0 = dict(
+        x=X, r=R0, p=jnp.zeros((n, K), dtype), v=jnp.zeros((n, K), dtype),
+        rho=one, rho_next=rho_next, alpha=one, omega=one,
+        resid=resid0, k=jnp.zeros((), jnp.int32),
+        nmv=jnp.full(K, nmv0, jnp.int32),
+        broken=~finite0, active=active0, hist=hist)
+
+    def cond(s):
+        return jnp.any(s["active"]) & (s["k"] < maxiter)
+
+    def body(s):
+        act = s["active"]
+        beta = (s["rho_next"] / _safe(s["rho"])) \
+            * (s["alpha"] / _safe(s["omega"]))
+        rho = s["rho_next"]
+        P = jnp.where(act, s["r"] + beta * (s["p"] - s["omega"] * s["v"]),
+                      s["p"])
+        Q = _apply_block(M, P) if M is not None else P
+        V = _apply_block(A, P if M is None else Q)
+        nmv = s["nmv"] + act.astype(jnp.int32)
+        denom = _dotu_cols(R0, V)
+        alpha = rho / _safe(denom)
+        S = s["r"] - alpha * V
+        resid_s = jnp.linalg.norm(jnp.where(act, S, 0), axis=0)
+
+        broken1 = act & ((denom == 0) | ~jnp.isfinite(denom) | (rho == 0)
+                         | ~jnp.isfinite(resid_s))
+        go = act & ~broken1
+        early = go & (resid_s <= thresh)
+        # ``bicgstab.py:107-114``: accept the half-step and stop
+        second = go & ~early
+
+        Z = _apply_block(M, S) if M is not None else S
+        T = _apply_block(A, Z)
+        nmv = nmv + second.astype(jnp.int32)
+        tt = _dotu_cols(T, T)
+        omega = _dotu_cols(T, S) / _safe(tt)
+        rho_n2 = -omega * _dotu_cols(R0, T)
+        Rn = S - omega * T
+        Xn = s["x"] + omega * Z + alpha * Q
+        resid_f = jnp.linalg.norm(jnp.where(second, Rn, 0), axis=0)
+        broken2 = second & ((tt == 0) | ~jnp.isfinite(resid_f))
+        keep = second & ~jnp.isfinite(resid_f)
+
+        # per-column merge: frozen -> unchanged; early -> half-step;
+        # second -> full step (non-finite restores the previous iterate)
+        x2 = jnp.where(early, s["x"] + alpha * Q,
+                       jnp.where(second & ~keep, Xn, s["x"]))
+        r2 = jnp.where(early, S, jnp.where(second, Rn, s["r"]))
+        resid2 = jnp.where(early, resid_s,
+                           jnp.where(second & ~keep, resid_f, s["resid"]))
+        done = early | (second & ((resid2 <= thresh) | broken2)) | broken1
+        h2 = s["hist"]
+        if h2 is not None:
+            h2 = h2.at[s["k"] + 1].set(jnp.where(act, resid2, jnp.nan))
+        return dict(
+            x=x2, r=r2, p=jnp.where(act, P, s["p"]),
+            v=jnp.where(act, V, s["v"]),
+            rho=jnp.where(go, rho, s["rho"]),
+            rho_next=jnp.where(second, rho_n2, s["rho_next"]),
+            alpha=jnp.where(go, alpha, s["alpha"]),
+            omega=jnp.where(second, omega, s["omega"]),
+            resid=resid2, k=s["k"] + 1, nmv=nmv,
+            broken=s["broken"] | broken1 | broken2 | keep,
+            active=act & ~done, hist=h2)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    converged = s["resid"] <= thresh
+    istop = jnp.where(converged, 0, jnp.where(s["broken"], 3, 1))
+    info = {"n_matvec_columns": s["nmv"], "active_at_exit": s["active"]}
+    return SolveResult(
+        x=s["x"], converged=converged, istop=istop.astype(jnp.int32),
+        n_iter=s["k"], n_matvec=jnp.max(s["nmv"]),
+        resid_norm=s["resid"], resid_norm0=resid0,
+        resid_history=s["hist"], info=info)
+
+
+def bicgstab_batched(A, B, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
+                     maxiter=None, matvec_max=None, store_history=False):
+    """Solve unsymmetric ``A X = B`` for an (n, K) block of right-hand
+    sides in ONE fused while-loop.
+
+    Each column follows the reference Bi-CGSTAB recurrence
+    (``/root/reference/pykrylov/bicgstab/bicgstab.py:43-151``) under a
+    per-column freeze mask, including the mid-iteration half-step exit
+    (``bicgstab.py:107-114``) and the breakdown guards of the
+    single-RHS :func:`~pykrylov_tpu.solvers.bicgstab` — while both A
+    products per iteration apply to the whole direction block,
+    streaming the operator once for all K systems.
+
+    ``maxiter`` caps BLOCK iterations (default ``matvec_max`` / 2 with
+    the reference's 2n matvec budget); per-column matvec counts follow
+    the reference accounting (+1 first product, +1 only when the
+    column's second half-step ran) in ``info["n_matvec_columns"]``;
+    ``n_matvec`` reports their maximum.
+
+    Returns :class:`SolveResult` with per-column ``x`` (n, K),
+    ``converged``/``istop``/``resid_norm``/``resid_norm0`` as (K,)
+    arrays (istop codes in :data:`ISTOP_MSG_TF`), and, when requested,
+    a (maxiter+1, K) ``resid_history`` with NaN after each column's own
+    stop.
+    """
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    if B.ndim != 2 or B.shape[0] != A.shape[1] or A.shape[0] != A.shape[1]:
+        from ..ops.base import ShapeError
+        raise ShapeError("bicgstab_batched: operator %r with rhs block %s"
+                         % (A, B.shape))
+    B = promote_rhs(B, A, M)
+    if maxiter is None:
+        maxiter = default_maxiter(B.shape[0], 2, matvec_max)
+    X0 = _check_x0(x0, B, "bicgstab_batched")
+    return _bicgstab_batched(A, B, X0, M, float(rtol), float(atol),
+                             int(maxiter), bool(store_history))
+
+
+@partial(jax.jit, static_argnames=("maxiter", "store_history"))
+def _tfqmr_batched(A, B, X0, M, rtol, atol, maxiter, store_history):
+    dtype = B.dtype
+    n, K = B.shape
+    if X0 is None:
+        X = jnp.zeros((n, K), dtype)
+        R0 = B
+    else:
+        X = X0.astype(dtype)
+        R0 = B - _apply_block(A, X)  # not counted (tfqmr.py:59-60)
+    rho = _dotu_cols(R0, R0)
+    rdtype = jnp.zeros((), dtype).real.dtype
+    resid0 = jnp.abs(jnp.sqrt(rho)).real.astype(rdtype)
+    thresh = threshold_of(resid0, rtol, atol)
+    hist = (jnp.full((maxiter + 1, K), jnp.nan, resid0.dtype)
+            .at[0].set(resid0) if store_history else None)
+
+    finite0 = jnp.isfinite(resid0)
+    started = (resid0 > thresh) & finite0
+    Z = _apply_block(M, R0) if M is not None else R0
+    U = jnp.where(started, _apply_block(A, Z), jnp.zeros((n, K), dtype))
+    zK = jnp.zeros(K, dtype)
+    rzK = jnp.zeros(K, rdtype)
+    state0 = dict(
+        x=X, w=R0, y=R0, z=Z, u=U, v=U, d=jnp.zeros((n, K), dtype),
+        theta=rzK, eta=zK, rho=rho, resid=resid0, m=rzK,
+        k=jnp.zeros((), jnp.int32),
+        nmv=started.astype(jnp.int32),
+        broken=~finite0, active=started, hist=hist)
+
+    def half(theta_prev, eta_prev, w, d, x, alpha, u, z, resid):
+        """One quasi-minimization half-step (tfqmr.py:93-123),
+        column-vectorized."""
+        w2 = w - alpha * u
+        scale = jnp.where(theta_prev == 0, jnp.zeros_like(eta_prev),
+                          (theta_prev * theta_prev / alpha) * eta_prev)
+        d2 = z + scale * d
+        theta2 = (jnp.linalg.norm(w2, axis=0) / _safe(resid)) \
+            .astype(rzK.dtype)
+        c = 1.0 / jnp.sqrt(1.0 + theta2 * theta2)
+        resid2 = (resid * theta2 * c).astype(rzK.dtype)
+        eta2 = (c * c) * alpha
+        x2 = x + eta2 * d2
+        return w2, d2, x2, theta2, eta2, resid2
+
+    def cond(s):
+        return jnp.any(s["active"]) & (s["k"] < maxiter)
+
+    def body(s):
+        act = s["active"]
+        k = s["k"] + 1
+        sigma = _dotu_cols(R0, s["v"])
+        alpha = s["rho"] / _safe(sigma)
+        broken0 = act & ((sigma == 0) | ~jnp.isfinite(sigma)
+                         | (s["rho"] == 0) | ~jnp.isfinite(s["resid"]))
+        go = act & ~broken0
+
+        # first half-step
+        w1, d1, x1, th1, et1, rs1 = half(
+            s["theta"], s["eta"], s["w"], s["d"], s["x"], alpha,
+            s["u"], s["z"], s["resid"])
+        m1 = 2.0 * k.astype(rzK.dtype) - 1.0
+        bad1 = go & ~jnp.isfinite(rs1)
+        stop1 = go & ((rs1 * jnp.sqrt(m1 + 1) < thresh) | bad1)
+        second = go & ~stop1
+
+        # second half-step (one block product with A)
+        m2 = m1 + 1.0
+        Y2 = s["y"] - alpha * s["v"]
+        Z2 = _apply_block(M, Y2) if M is not None else Y2
+        U2 = _apply_block(A, Z2)
+        nmv = s["nmv"] + second.astype(jnp.int32)
+        w2, d2, x2, th2, et2, rs2 = half(
+            th1, et1, w1, d1, x1, alpha, U2, Z2, rs1)
+        bad2 = second & ~jnp.isfinite(rs2)
+        stop2 = second & ((rs2 * jnp.sqrt(m2 + 1) < thresh) | bad2)
+        refresh = second & ~stop2
+
+        # direction refresh (tfqmr.py:128-151; one more block product)
+        rho_n = _dotu_cols(R0, w2)
+        beta = rho_n / _safe(s["rho"])
+        Y3 = w2 + beta * Y2
+        Z3 = _apply_block(M, Y3) if M is not None else Y3
+        U3 = _apply_block(A, Z3)
+        nmv = nmv + refresh.astype(jnp.int32)
+        V3 = beta * (beta * s["v"] + U2) + U3
+
+        # merge per column (non-finite restores the previous iterate)
+        x_n = jnp.where(stop1 & ~bad1, x1,
+                        jnp.where(second & ~bad2, x2, s["x"]))
+        r_n = jnp.where(stop1 & ~bad1, rs1,
+                        jnp.where(second & ~bad2, rs2, s["resid"]))
+        m_n = jnp.where(stop1, m1, jnp.where(second, m2, s["m"]))
+        done = stop1 | stop2 | broken0 | (refresh & bad2)
+        h2 = s["hist"]
+        if h2 is not None:
+            h2 = h2.at[k].set(jnp.where(act, r_n, jnp.nan))
+        sel = lambda msk, new, old: jnp.where(msk, new, old)  # noqa: E731
+        return dict(
+            x=x_n,
+            w=sel(go, jnp.where(second[None, :], w2, w1), s["w"]),
+            y=sel(refresh, Y3, sel(second, Y2, s["y"])),
+            z=sel(refresh, Z3, sel(second, Z2, s["z"])),
+            u=sel(refresh, U3, sel(second, U2, s["u"])),
+            v=sel(refresh, V3, s["v"]),
+            d=sel(go, jnp.where(second[None, :], d2, d1), s["d"]),
+            theta=sel(go, jnp.where(second, th2, th1), s["theta"]),
+            eta=sel(go, jnp.where(second, et2, et1), s["eta"]),
+            rho=sel(refresh, rho_n, s["rho"]),
+            resid=r_n, m=m_n, k=k, nmv=nmv,
+            broken=s["broken"] | broken0 | bad1 | bad2,
+            active=act & ~done, hist=h2)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    converged = s["resid"] * jnp.sqrt(s["m"] + 1) < thresh
+    istop = jnp.where(converged, 0, jnp.where(s["broken"], 3, 1))
+    info = {"quasi_residual": s["resid"],
+            "n_matvec_columns": s["nmv"], "active_at_exit": s["active"]}
+    return SolveResult(
+        x=s["x"], converged=converged, istop=istop.astype(jnp.int32),
+        n_iter=s["k"], n_matvec=jnp.max(s["nmv"]),
+        resid_norm=s["resid"], resid_norm0=resid0,
+        resid_history=s["hist"], info=info)
+
+
+def tfqmr_batched(A, B, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
+                  maxiter=None, matvec_max=None, store_history=False):
+    """Solve unsymmetric ``A X = B`` for an (n, K) block of right-hand
+    sides by transpose-free QMR in ONE fused while-loop.
+
+    Each column follows the reference TFQMR recurrence — two
+    quasi-minimization half-steps per iteration, quasi-residual update
+    ``resid *= theta*c`` and the ``sqrt(m+1)`` safety factor
+    (``/root/reference/pykrylov/tfqmr/tfqmr.py:39-159``) — under a
+    per-column freeze mask, while the two A products per iteration
+    apply to whole blocks.  The reference's uncounted-guess-matvec
+    quirk is preserved (``tfqmr.py:59-60``).
+
+    ``resid_norm`` columns are QUASI-residual norms (they upper-bound
+    the true residuals via ``||r|| <= resid * sqrt(m+1)``).  Per-column
+    matvec counts (reference accounting: +1 pre-loop, +1 second half,
+    +1 refresh) land in ``info["n_matvec_columns"]``; ``n_matvec``
+    reports their maximum.  See :func:`bicgstab_batched` for the shape
+    and istop conventions.
+    """
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    if B.ndim != 2 or B.shape[0] != A.shape[1] or A.shape[0] != A.shape[1]:
+        from ..ops.base import ShapeError
+        raise ShapeError("tfqmr_batched: operator %r with rhs block %s"
+                         % (A, B.shape))
+    B = promote_rhs(B, A, M)
+    if maxiter is None:
+        maxiter = max(1, default_maxiter(B.shape[0], 2, matvec_max) + 1)
+    X0 = _check_x0(x0, B, "tfqmr_batched")
+    return _tfqmr_batched(A, B, X0, M, float(rtol), float(atol),
+                          int(maxiter), bool(store_history))
 
 
 # ---------------------------------------------------------------------------

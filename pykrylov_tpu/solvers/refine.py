@@ -97,9 +97,11 @@ def _verifier(ff_mv):
 
 
 @jax.jit
-def _accumulate(xh, xl, d):
-    from ..utils.ff import ff_add
-    return ff_add(xh, xl, d)
+def _accumulate(xh, xl, d, dl=None):
+    from ..utils.ff import ff_add, ff_add_ff
+    if dl is None:
+        return ff_add(xh, xl, d)
+    return ff_add_ff(xh, xl, d, dl)
 
 
 def _solver_params(solver):
@@ -124,7 +126,8 @@ def _leg_cap_kwarg(solver):
 
 def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
                   leg_rtol=1.0e-2, max_legs=40, stall_factor=0.9,
-                  leg_maxiter=None, **solver_kwargs):
+                  leg_maxiter=None, leg_replace_every="auto",
+                  **solver_kwargs):
     """Solve ``A x = b`` to a VERIFIED tolerance by iterative refinement
     with ``solver`` as the inner correction solver.
 
@@ -172,13 +175,16 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
     Refinement restarts lose Krylov momentum: once the verified
     residual concentrates in the operator's worst-conditioned subspace,
     a fresh leg needs the asymptotic (superlinear-delayed) iteration
-    count to make progress — on 1138bus/Jacobi an f64 leg needs ~600
-    iterations for 1000x, which an f32 MINRES leg cannot survive
-    without drifting.  On such systems (kappa ~ 1e7) the verified floor
-    is ~1e-4 relative (20x below the unverified f32 stopping point) and
-    the wrapper reports it honestly with istop 3.  SPD systems should
-    prefer ``cg`` legs (or fused ff-CG via ``cg(replace_every=...)``),
-    whose double-f32 in-loop carries survive long legs.
+    count to make progress — on 1138bus/Jacobi that is 600-1200
+    iterations per 100-1000x leg.  Plain f32 MINRES legs drift
+    destructively long before that (round 2's measured ~1e-4 floor);
+    the default ff-MINRES legs (``leg_replace_every="auto"``) carry
+    the whole recurrence as double-f32 pairs and stay drift-free
+    through momentum-length legs, reaching VERIFIED rtol 1e-6 on
+    kappa~1e7 systems, SPD and (realistically-)indefinite alike —
+    give legs room (``leg_maxiter`` >= ~n) on such systems.  SPD
+    systems can also use ``cg`` legs or fused ff-CG
+    (``cg(replace_every=...)``).
 
     Returns
     -------
@@ -216,6 +222,7 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
 
     leg_resids = [float(resid)]
     inner_istops, inner_iters, inner_conv = [], [], []
+    inner_nmv = []
     istop = 1
     n_iter = 0
     kwargs = dict(solver_kwargs)
@@ -233,6 +240,24 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
         # atol=1e-8 default would stop small-norm legs immediately and
         # misreport a reachable outer target as a precision floor
         kwargs.setdefault("atol", 0.0)
+    if leg_replace_every is not None and \
+            _accepts_kwarg(solver, "replace_every"):
+        # ff MINRES legs by default: minres(replace_every=) carries its
+        # whole Lanczos/Givens recurrence as double-f32 pairs and
+        # verifies its own leg target WITHOUT restarting, so legs no
+        # longer drift — this is what moved the verified MINRES floor
+        # on 1138bus/Jacobi from ~1e-4 to 1e-6 (measured; the leg's
+        # x_lo is folded into the accumulator).  "auto" deliberately
+        # skips cg: ff-CG's replace_every RESTARTS its direction at
+        # each in-loop verification, which inside a refinement leg
+        # burns the leg's iteration budget on redundant restarts
+        # (measured: refined ff-CG legs stall at 5e-4 on 1138bus where
+        # plain legs converge — the OUTER loop already verifies).
+        if leg_replace_every == "auto":
+            leg_replace_every = \
+                50 if getattr(solver, "__name__", "") == "minres" else None
+        if leg_replace_every is not None:
+            kwargs.setdefault("replace_every", int(leg_replace_every))
 
     # Solvers with SCALED stopping tests (MINRES's test1 divides by
     # Anorm*ynorm) satisfy a fixed leg_rtol long before reducing the
@@ -254,8 +279,10 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
         n_iter += int(res.n_iter)
         inner_istops.append(int(res.istop))
         inner_iters.append(int(res.n_iter))
+        inner_nmv.append(int(res.n_matvec))
         inner_conv.append(bool(res.converged))
-        xh2, xl2 = _accumulate(xh, xl, res.x)
+        xh2, xl2 = _accumulate(xh, xl, res.x,
+                               (res.info or {}).get("x_lo"))
         r2, new_resid = verify(A, b, xh2, xl2)
         n_matvec += verify_cost
         leg_resids.append(float(new_resid))
@@ -287,6 +314,7 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
         "n_legs": len(inner_istops),
         "inner_istop": jnp.asarray(inner_istops or [0], jnp.int32),
         "inner_n_iter": jnp.asarray(inner_iters or [0], jnp.int32),
+        "inner_n_matvec": jnp.asarray(inner_nmv or [0], jnp.int32),
         "inner_converged": jnp.asarray(inner_conv or [False]),
         "true_resid_norm": resid,
     }

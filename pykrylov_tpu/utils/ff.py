@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["two_sum", "two_prod", "ff_add", "ff_add_ff", "ff_renorm",
-           "ff_scale"]
+           "ff_scale", "ff_div", "ff_mul", "ff_sqrt", "ff_hypot",
+           "ff_sum", "ff_vdot"]
 
 # Dekker split factors 2^ceil(p/2)+1: binary32 (p=24) and binary64 (p=53).
 _SPLIT32 = 4097.0
@@ -75,6 +76,77 @@ def ff_scale(a, vh, vl):
     first-order lo terms."""
     p, e = two_prod(a, vh)
     return ff_renorm(p, e + a * vl)
+
+
+def ff_div(h, l, d, dl=None):
+    """Pair (h, l) divided by ``d`` (plain, or a pair when ``dl`` is
+    given): quotient hi part plus the first-order Newton correction
+    ``(h - q*d + l - q*dl) / d`` with the ``q*d`` product taken
+    error-free (``h - p`` is exact by Sterbenz since ``p = fl(q*d) ≈ h``)."""
+    q = h / d
+    p, pe = two_prod(q, d)
+    corr = (h - p) - pe + l
+    if dl is not None:
+        corr = corr - q * dl
+    return ff_renorm(q, corr / d)
+
+
+def ff_mul(ah, al, bh, bl):
+    """Pair (ah, al) times pair (bh, bl) to first order."""
+    p, pe = two_prod(ah, bh)
+    return ff_renorm(p, pe + ah * bl + al * bh)
+
+
+def ff_sqrt(h, l):
+    """Square root of a pair via one Newton correction:
+    ``s + (h - s^2 + l) / (2s)`` with ``s^2`` taken error-free."""
+    s = jnp.sqrt(h)
+    p, pe = two_prod(s, s)
+    return ff_renorm(s, ((h - p) - pe + l) / (2.0 * s))
+
+
+def ff_hypot(ah, al, bh, bl):
+    """sqrt(a^2 + b^2) of two pairs (no overflow guard — callers here
+    square quantities far inside the f32 range)."""
+    sh, sl = ff_add_ff(*ff_mul(ah, al, ah, al), *ff_mul(bh, bl, bh, bl))
+    return ff_sqrt(sh, sl)
+
+
+def ff_sum(p):
+    """Compensated sum of a real vector as an (hi, lo) pair.
+
+    Vectorized pairwise TwoSum tree: log2(n) VPU sweeps, each level's
+    rounding errors accumulated into a plain running correction (their
+    own rounding is second order).  Equivalent accuracy to Ogita-Rump
+    Sum2 (~2-fold working precision) at O(n) vector work with no serial
+    scan — usable inside solver loops on TPU."""
+    import numpy as _np
+    n = int(p.shape[0])
+    if n == 0:
+        z = jnp.zeros((), p.dtype)
+        return z, z
+    m = 1 if n <= 1 else 2 ** int(_np.ceil(_np.log2(n)))
+    if m != n:
+        p = jnp.concatenate([p, jnp.zeros(m - n, p.dtype)])
+    err = jnp.zeros((), p.dtype)
+    while m > 1:
+        s, e = two_sum(p[0::2], p[1::2])
+        err = err + jnp.sum(e)
+        p = s
+        m //= 2
+    return two_sum(p[0], err)
+
+
+def ff_vdot(ah, al, bh, bl):
+    """Compensated real dot product of two (hi, lo) vector pairs,
+    returned as an (hi, lo) scalar pair.  The dominant hi*hi products
+    ride an error-free TwoProd + pairwise-TwoSum tree; the product
+    errors and first-order cross terms are folded through a plain sum
+    (eps-level terms, so their rounding is second order)."""
+    p, pe = two_prod(ah, bh)
+    sh, sl = ff_sum(p)
+    corr = jnp.sum(pe + ah * bl + al * bh)
+    return ff_add(sh, sl, corr)
 
 
 def ff_dot2(x, y):
