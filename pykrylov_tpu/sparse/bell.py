@@ -88,11 +88,11 @@ class BELL(NamedTuple):
                (8,128) VMEM tile per 8 values).
     ``blocks``: int32 scatter map, lane-major; dummy slots point at
                ``nblk`` so no row of the scatter one-hot matches.
-               window=2: (nsteps, 1, GS), one block id per sublane row.
-               window=1: (nsteps, 1, GS//4), one id per 4-row group
-               stored in the kernel's [even tile halves | odd halves]
-               fold order (block depths are 4-aligned so groups never
-               straddle blocks).
+               (nsteps, 1, GS//4): one id per 4-row group stored in the
+               kernel's [even tile halves | odd halves] fold order
+               (block depths are 4-aligned in BOTH window modes so
+               groups never straddle blocks — the grouped scatter's
+               4x-smaller matmul beats the ~7% alignment slots).
     ``band_lo``: (nsteps,) int32 — first band of each step's x window.
     ``sp_row/sp_col/sp_val``: COO remainder — entries whose (row, window)
                depth exceeded the byte-optimal cap (see
@@ -530,6 +530,9 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
             e_base, e_woff, e_cap, depth_per_block = _plan_blocks_py(
                 rs, cs, bs, bounds, nblocks, spill_cost)
         depth_per_block = np.maximum(depth_per_block, 1)
+        # 4-align so the grouped scatter applies to band-pair windows
+        # too (window caps stay exact; only block TOTALS pad)
+        depth_per_block = -(-depth_per_block // 4) * 4
 
     # --- per-entry depth ordinal within (row, window) -----------------
     # Entries whose ordinal reaches the window's capped depth spill to
@@ -656,28 +659,24 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     idx8[e_step, e_q, e_lane] = e_idx
     bands[e_step, 0, e_q] = (base_k - band_lo[e_step]).astype(np.int32)
 
-    if window == 1:
-        # grouped scatter map: one block id per 4-sublane-row group
-        # (depths are 4-aligned so groups never straddle blocks).  The
-        # kernel reduces each (8,128) tile's two 4-row halves
-        # separately and concatenates [even halves | odd halves], so
-        # the map is stored in that split order.
-        gsg = GS // 4
-        blocksN = np.full((nsteps, gsg), nblk, dtype=np.int32)
-        ngrp = dpb // 4
-        tot = int(ngrp.sum())
-        if tot:
-            gstep = np.repeat(step_of_block, ngrp)
-            gpos0 = np.repeat(row_in_step_of_block // 4, ngrp)
-            within = np.arange(tot) - np.repeat(np.cumsum(ngrp) - ngrp,
-                                                ngrp)
-            blocksN[gstep, gpos0 + within] = np.repeat(
-                np.arange(nblocks_p) % nblk, ngrp).astype(np.int32)
-        blocks = np.concatenate([blocksN[:, 0::2], blocksN[:, 1::2]],
-                                axis=1)[:, None, :]
-    else:
-        blocks = np.full((nsteps, 1, GS), nblk, dtype=np.int32)
-        blocks[e_step, 0, e_q] = (blks_k % nblk).astype(np.int32)
+    # grouped scatter map (both window modes): one block id per
+    # 4-sublane-row group (depths are 4-aligned so groups never straddle
+    # blocks).  The kernel reduces each (8,128) tile's two 4-row halves
+    # separately and concatenates [even halves | odd halves], so the map
+    # is stored in that split order.
+    gsg = GS // 4
+    blocksN = np.full((nsteps, gsg), nblk, dtype=np.int32)
+    ngrp = dpb // 4
+    tot = int(ngrp.sum())
+    if tot:
+        gstep = np.repeat(step_of_block, ngrp)
+        gpos0 = np.repeat(row_in_step_of_block // 4, ngrp)
+        within = np.arange(tot) - np.repeat(np.cumsum(ngrp) - ngrp,
+                                            ngrp)
+        blocksN[gstep, gpos0 + within] = np.repeat(
+            np.arange(nblocks_p) % nblk, ngrp).astype(np.int32)
+    blocks = np.concatenate([blocksN[:, 0::2], blocksN[:, 1::2]],
+                            axis=1)[:, None, :]
 
     if idx_fmt == "int8":
         lanes_packed = idx8  # stored directly (uint8, zero-extended load)
@@ -785,11 +784,8 @@ def bell_to_dense(b: BELL):
     nsteps, GS, L = data.shape
     for st in range(nsteps):
         for q in range(GS):
-            if b.window == 1:
-                g4 = q // 4   # storage order: [even halves | odd halves]
-                blko = blocks[st, g4 // 2 + (g4 % 2) * (GS // 8)]
-            else:
-                blko = blocks[st, q]
+            g4 = q // 4       # storage order: [even halves | odd halves]
+            blko = blocks[st, g4 // 2 + (g4 % 2) * (GS // 8)]
             if blko >= b.nblk:
                 continue
             blkrow = (st * b.nblk + blko) * LANES
@@ -1002,23 +998,18 @@ def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window,
     prod = dat * vals                                      # (GS, 128)
 
     # Scatter sublane rows to y blocks (fuses the depth reduction).
-    if window == 1:
-        # block depths are 4-aligned: fold each (8,128) tile's two
-        # 4-row halves on the VPU (same total adds as one 8-fold, each
-        # half tile-local), then scatter the 4x-smaller partial-sum
-        # matrix; blocks_ref stores the map in the matching
-        # [even halves | odd halves] order
-        s8 = prod.reshape(GS // 8, 8, LANES)
-        ps = jnp.concatenate([s8[:, :4, :].sum(axis=1),
-                              s8[:, 4:, :].sum(axis=1)],
-                             axis=0)                       # (GS/4, 128)
-        ohY = (jax.lax.broadcasted_iota(jnp.int32, (nblk, GS // 4), 0)
-               == blocks_ref[0])                           # (nblk, GS/4)
-        y_ref[:] = _dot_onehot(ohY, ps, passes)            # (nblk, 128)
-    else:
-        ohY = (jax.lax.broadcasted_iota(jnp.int32, (nblk, GS), 0)
-               == blocks_ref[0])                           # (nblk, GS)
-        y_ref[:] = _dot_onehot(ohY, prod, passes)          # (nblk, 128)
+    # Block depths are 4-aligned (both window modes): fold each (8,128)
+    # tile's two 4-row halves on the VPU (same total adds as one 8-fold,
+    # each half tile-local), then scatter the 4x-smaller partial-sum
+    # matrix; blocks_ref stores the map in the matching
+    # [even halves | odd halves] order.
+    s8 = prod.reshape(GS // 8, 8, LANES)
+    ps = jnp.concatenate([s8[:, :4, :].sum(axis=1),
+                          s8[:, 4:, :].sum(axis=1)],
+                         axis=0)                           # (GS/4, 128)
+    ohY = (jax.lax.broadcasted_iota(jnp.int32, (nblk, GS // 4), 0)
+           == blocks_ref[0])                               # (nblk, GS/4)
+    y_ref[:] = _dot_onehot(ohY, ps, passes)                # (nblk, 128)
 
 
 def _default_stage(window):
@@ -1037,7 +1028,7 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
     if stage is None:
         stage = _default_stage(window)
     nsteps, GS, L = data.shape
-    gsc = GS // 4 if window == 1 else GS   # scatter-map row count
+    gsc = GS // 4                          # grouped scatter-map rows
     # mixed-precision storage: bf16 values with an f32 x keep the value
     # stream at 2 B/slot while every accumulation runs in f32 (the
     # matvec is EXACT in the stored matrix; only the product/reduction
@@ -1197,10 +1188,14 @@ def _strip_spill(b: BELL) -> BELL:
 
 
 # Measured per-slot kernel cost on v5e (ps/slot at 1M rows,
-# tools/probes/probe_bell_chain.py): single-band windows stream more
-# slots but run a much cheaper per-slot path (one gather, grouped
-# scatter); band pairs pack tighter but pay two gathers + select.
-_SLOT_COST_PS = {1: 10.7, 2: 17.4}
+# tools/probes/probe_w2_grouped.py, 2026-08-19): single-band windows
+# stream more slots but run a cheaper per-slot path (one gather); band
+# pairs pack ~15% tighter but pay two gathers + select.  Both use the
+# grouped (GS/4) scatter now.  The kernel is COMPUTE-bound at these
+# costs (the 5 B/slot HBM stream alone would be ~8.6 ps/slot incl. ring
+# overhead): idx packing, value dtype and staging-precision changes all
+# measured time-neutral — see tools/probes/probe_ablate_r3*.py.
+_SLOT_COST_PS = {1: 12.5, 2: 16.1}
 
 
 def _pack_window_auto(coo, nb_max, spill_cost, levels, device=True,
