@@ -180,6 +180,47 @@ def _add_mv(left_fn, right_fn):
     return mv
 
 
+def _block_apply(op, fn, X):
+    """Apply one of an operator's 1-D rules to an (n, K) block: native
+    block rule when the operator has one, trace-time vmap otherwise."""
+    mm = op._mm_for(fn)
+    if mm is not None:
+        return _apply_fn(mm, op._params, X)
+    return jax.vmap(lambda c: _apply_fn(fn, op._params, c),
+                    in_axes=1, out_axes=1)(X)
+
+
+def _scale_mm(inner):
+    def mm(params, X):
+        op, alpha = params
+        return alpha * _block_apply(op, inner, X)
+    return mm
+
+
+def _compose_mm(left_fn, right_fn, swap=False):
+    def mm(params, X):
+        a, b = (params[1], params[0]) if swap else params
+        return _block_apply(a, left_fn, _block_apply(b, right_fn, X))
+    return mm
+
+
+def _add_mm(left_fn, right_fn):
+    def mm(params, X):
+        a, b = params
+        return _block_apply(a, left_fn, X) + _block_apply(b, right_fn, X)
+    return mm
+
+
+def _pow_mm(which, k):
+    def mm(params, X):
+        (op,) = params
+        fn = getattr(op, which)
+        for _ in range(k):
+            X = _block_apply(op, fn, X)
+        return X
+    return mm
+
+
 def _pow_mv(k):
     def mv(params, x):
         (op,) = params
@@ -225,7 +266,8 @@ class LinearOperator(BaseLinearOperator):
 
     def __init__(self, nargin, nargout, matvec, matvec_transp=None,
                  matvec_adj=None, params=None, symmetric=False, hermitian=False,
-                 dtype=None, name=None, _takes_params=None):
+                 dtype=None, name=None, _takes_params=None,
+                 matmat=None, matmat_transp=None):
         super().__init__(nargin, nargout, symmetric=symmetric,
                          hermitian=hermitian, dtype=dtype, name=name)
         if _takes_params is None:
@@ -236,8 +278,22 @@ class LinearOperator(BaseLinearOperator):
             matvec = (lambda p, x: mv0(x))
             matvec_transp = (lambda p, x: rmv0(x)) if rmv0 is not None else None
             matvec_adj = (lambda p, x: hmv0(x)) if hmv0 is not None else None
+            if matmat is not None:
+                mm0 = matmat
+                matmat = (lambda p, X: mm0(X))
+            if matmat_transp is not None:
+                rmm0 = matmat_transp
+                matmat_transp = (lambda p, X: rmm0(X))
         self._params = params
         mv, rmv, hmv = matvec, matvec_transp, matvec_adj
+        # Optional native block products A @ X / A.T @ X on (n, K)
+        # column blocks (the TPU "SpMM" path: kernels stream A once per
+        # block instead of once per column — solvers/batched.py and the
+        # 2-D matvec dispatch use them when present, vmap otherwise).
+        if self.symmetric and matmat_transp is None:
+            matmat_transp = matmat
+        self._mm = matmat
+        self._rmm = matmat_transp
 
         is_complex = np.issubdtype(self.dtype, np.complexfloating)
         # Fill in transpose/adjoint rules from symmetry and conjugation,
@@ -274,7 +330,7 @@ class LinearOperator(BaseLinearOperator):
     def _aux(self):
         return (type(self), self.nargin, self.nargout, self._mv, self._rmv,
                 self._hmv, self.symmetric, self.hermitian, str(self.dtype),
-                self.name)
+                self.name, self._mm, self._rmm)
 
     # -- core application --------------------------------------------------
     def apply_with(self, fn, x):
@@ -288,15 +344,29 @@ class LinearOperator(BaseLinearOperator):
                 "operator %s cannot be applied to array of shape %s"
                 % (repr(self), (shp,)))
 
+    def _mm_for(self, fn):
+        """The native block-product rule matching a 1-D apply rule (or
+        None).  The adjoint reuses the transpose block rule when they
+        coincide (real dtypes)."""
+        if fn is self._mv:
+            return self._mm
+        if fn is self._rmv or (fn is self._hmv and self._hmv is self._rmv):
+            return self._rmm
+        return None
+
     def _apply(self, fn, x, in_dim, out_dim):
         x = _as_jnp(x)
         self._check_shape(x, in_dim)
         self._nMatvec += 1
         if x.ndim == 1:
             y = _apply_fn(fn, self._params, x)
-        else:  # matrix: apply columnwise (trace-time vmap over columns)
-            y = jax.vmap(lambda col: _apply_fn(fn, self._params, col),
-                         in_axes=1, out_axes=1)(x)
+        else:  # matrix: native block product if present, else vmap
+            mm = self._mm_for(fn)
+            if mm is not None:
+                y = _apply_fn(mm, self._params, x)
+            else:
+                y = jax.vmap(lambda col: _apply_fn(fn, self._params, col),
+                             in_axes=1, out_axes=1)(x)
         if jnp.shape(y)[0] != out_dim:
             raise ShapeError(
                 "operator %s produced array of leading dim %d, expected %d"
@@ -337,6 +407,7 @@ class LinearOperator(BaseLinearOperator):
             self.nargout, self.nargin,
             matvec=self._rmv, matvec_transp=self._mv,
             matvec_adj=_conj_mv(self._mv) if self._rmv is not None else None,
+            matmat=self._rmm, matmat_transp=self._mm,
             params=self._params, _takes_params=True,
             symmetric=self.symmetric, hermitian=self.hermitian,
             dtype=self.dtype,
@@ -402,6 +473,9 @@ class LinearOperator(BaseLinearOperator):
             matvec_transp=_scale_mv(self._rmv) if self._rmv is not None else None,
             matvec_adj=(lambda p, x: jnp.conj(p[1]) * p[0].apply_with(p[0]._hmv, x))
                        if self._hmv is not None else None,
+            matmat=_scale_mm(self._mv),
+            matmat_transp=_scale_mm(self._rmv)
+                          if self._rmv is not None else None,
             params=(self, a), _takes_params=True,
             symmetric=self.symmetric,
             hermitian=self.hermitian and not np.issubdtype(rdt, np.complexfloating),
@@ -419,6 +493,9 @@ class LinearOperator(BaseLinearOperator):
                           if (self._rmv is not None and other._rmv is not None) else None,
             matvec_adj=(lambda p, x: p[1].apply_with(p[1]._hmv, p[0].apply_with(p[0]._hmv, x)))
                        if (self._hmv is not None and other._hmv is not None) else None,
+            matmat=_compose_mm(self._mv, other._mv),
+            matmat_transp=_compose_mm(other._rmv, self._rmv, swap=True)
+                          if (self._rmv is not None and other._rmv is not None) else None,
             params=(self, other), _takes_params=True,
             symmetric=False, hermitian=False, dtype=rdt)
 
@@ -457,6 +534,9 @@ class LinearOperator(BaseLinearOperator):
                           if (self._rmv is not None and other._rmv is not None) else None,
             matvec_adj=_add_mv(self._hmv, other._hmv)
                        if (self._hmv is not None and other._hmv is not None) else None,
+            matmat=_add_mm(self._mv, other._mv),
+            matmat_transp=_add_mm(self._rmv, other._rmv)
+                          if (self._rmv is not None and other._rmv is not None) else None,
             params=(self, other), _takes_params=True,
             symmetric=self.symmetric and other.symmetric,
             hermitian=self.hermitian and other.hermitian,
@@ -495,6 +575,9 @@ class LinearOperator(BaseLinearOperator):
             matvec=_pow_mv(k),
             matvec_transp=_pow_rmv(k) if self._rmv is not None else None,
             matvec_adj=_pow_hmv(k) if self._hmv is not None else None,
+            matmat=_pow_mm("_mv", k),
+            matmat_transp=_pow_mm("_rmv", k)
+                          if self._rmv is not None else None,
             params=(self,), _takes_params=True,
             symmetric=self.symmetric, hermitian=self.hermitian,
             dtype=self.dtype)
@@ -509,12 +592,14 @@ def _lo_flatten(op):
 
 
 def _lo_unflatten(aux, children):
-    (cls, nargin, nargout, mv, rmv, hmv, symmetric, hermitian, dtype, name) = aux
+    (cls, nargin, nargout, mv, rmv, hmv, symmetric, hermitian, dtype, name,
+     mm, rmm) = aux
     obj = LinearOperator.__new__(LinearOperator)
     BaseLinearOperator.__init__(obj, nargin, nargout, symmetric=symmetric,
                                 hermitian=hermitian, dtype=dtype, name=name)
     obj._params = children[0]
     obj._mv, obj._rmv, obj._hmv = mv, rmv, hmv
+    obj._mm, obj._rmm = mm, rmm
     obj._transpose_of = obj._adjoint_of = obj._conjugate_of = None
     return obj
 
