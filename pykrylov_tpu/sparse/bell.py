@@ -55,8 +55,9 @@ from jax.experimental.pallas import tpu as pltpu
 from . import formats as F
 
 __all__ = ["BELL", "SpanError", "bell_from_coo", "bell_fill",
-           "bell_stream_bytes", "bell_matvec_pallas", "bell_to_dense",
-           "bell_operator", "reorder_rcm", "LANES"]
+           "bell_stream_bytes", "bell_matvec_pallas",
+           "bell_matmat_pallas", "bell_to_dense", "bell_operator",
+           "reorder_rcm", "LANES"]
 
 LANES = 128     # matrix rows per block (lane dimension)
 NB_MAX = 1024   # window budget: 1024 bands = 512 KB of x in VMEM
@@ -631,6 +632,10 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     np.minimum.at(band_lo_raw, e_step, base_k)
     np.maximum.at(band_hi, e_step, base_k)
     band_lo_raw = np.minimum(band_lo_raw, band_hi)
+    # 8-align the window starts: Mosaic dynamic HBM slices of operands
+    # wider than one lane tile (the SpMM kernel's (nbands, K*128) x
+    # block) must be provably 8-divisible in the sliced dimension
+    band_lo_raw = (band_lo_raw // 8) * 8
     span = int((band_hi - band_lo_raw).max()) + window if nnz else window
     # budget check on the TRUE span; nb itself rounds up to the 8-aligned
     # DMA shape (a non-multiple-of-8 nb_max must not reject fitting spans)
@@ -1110,6 +1115,205 @@ def bell_matvec_pallas(b: BELL, x, interpret: bool = False, passes=3,
                              int(b.window))
 
 
+_MM_AHEAD = 2     # SpMM ring depth: per-step compute is ~K x the
+#                   matvec's, so 2-ahead hides DMA latency at far less
+#                   VMEM (the 16 MB scoped budget is tight at K=8)
+_MM_KCHUNK = 4    # stage at most 4 RHS columns at a time: a full
+#                   (GS, K*128) staging transient blows scoped VMEM
+_MM_KMAX = 8      # max RHS columns per kernel call (scoped-VMEM limit
+#                   at bench sizes); wider blocks chunk at XLA level
+
+
+def _bell_mm_kernel(nb, nblk, GS, nsteps, K, passes, window,
+                    band_lo_ref, data_hbm, lanes_hbm, bands_ref,
+                    blocks_ref, x_hbm, y_ref, win, sems, dbuf, dsems,
+                    lbuf, lsems):
+    """Block-product (SpMM) kernel: same slot stream as the matvec, K
+    right-hand sides ride the lane dimension (x window (nb, K*128),
+    staging dots over <=_MM_KCHUNK-column chunks, K lane gathers, one
+    scatter dot set).  The matrix stream, index unpack and one-hot
+    builds amortize over K — the whole point: vmapping the matvec
+    kernel re-streams A per column (~1000x slower, ROADMAP 'Batched
+    solvers')."""
+    st = pl.program_id(0)
+    L = LANES
+    GQ = GS // 4
+    nslots = _MM_AHEAD + 1
+
+    def win_dma(step):
+        # band_lo_ref holds band_lo // 8 ("oct" units): the *8 makes the
+        # slice start SYNTACTICALLY divisible by the (8, 128) tiling —
+        # Mosaic rejects dynamic HBM slices of multi-lane-tile operands
+        # ((nbands, K*128)) whose start it cannot prove 8-divisible.
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(band_lo_ref[step] * 8, nb), :],
+            win.at[step % nslots], sems.at[step % nslots])
+
+    def dat_dma(step):
+        return pltpu.make_async_copy(
+            data_hbm.at[step], dbuf.at[step % nslots],
+            dsems.at[step % nslots])
+
+    def lan_dma(step):
+        return pltpu.make_async_copy(
+            lanes_hbm.at[step], lbuf.at[step % nslots],
+            lsems.at[step % nslots])
+
+    @pl.when(st == 0)
+    def _():
+        for kk in range(min(_MM_AHEAD, nsteps)):
+            win_dma(kk).start()
+            dat_dma(kk).start()
+            lan_dma(kk).start()
+    win_dma(st).wait()
+    dat_dma(st).wait()
+    lan_dma(st).wait()
+
+    @pl.when(st + _MM_AHEAD < nsteps)
+    def _():
+        win_dma(st + _MM_AHEAD).start()
+        dat_dma(st + _MM_AHEAD).start()
+        lan_dma(st + _MM_AHEAD).start()
+
+    w = win[st % nslots]                               # (nb, K*128)
+    dat = dbuf[st % nslots]                            # (GS, 128)
+    p = lbuf[st % nslots]
+
+    if p.dtype == jnp.uint8:
+        idx = p.astype(jnp.int32)
+    else:
+        idx = jnp.concatenate(
+            [(p >> (8 * j)) & 255 for j in range(4)], axis=0)
+
+    iot = jax.lax.broadcasted_iota(jnp.int32, (nb, GS), 0)
+    base = bands_ref[0]                                # (1, GS)
+    oh0 = iot == base
+    oh1 = None if window == 1 else (iot == base + 1)
+    datc = None
+    parts = []
+    for klo in range(0, K, _MM_KCHUNK):
+        khi = min(K, klo + _MM_KCHUNK)
+        wc = w[:, klo * L:khi * L]
+        xsel0 = _dot_onehot(oh0, wc, passes,
+                            transposed=True)           # (GS, kc*128)
+        if oh1 is not None:
+            xsel1 = _dot_onehot(oh1, wc, passes, transposed=True)
+        if datc is None:
+            datc = dat if dat.dtype == xsel0.dtype else \
+                dat.astype(xsel0.dtype)
+        for k in range(khi - klo):
+            x0k = xsel0[:, k * L:(k + 1) * L]
+            if window == 1:
+                vals = jnp.take_along_axis(x0k, idx, axis=1)
+            else:
+                x1k = xsel1[:, k * L:(k + 1) * L]
+                low = jnp.take_along_axis(x0k, idx & 127, axis=1)
+                high = jnp.take_along_axis(x1k, idx & 127, axis=1)
+                vals = jnp.where(idx < 128, low, high)
+            prod = datc * vals
+            s8 = prod.reshape(GS // 8, 8, L)
+            parts.append(jnp.concatenate(
+                [s8[:, :4, :].sum(axis=1), s8[:, 4:, :].sum(axis=1)],
+                axis=0))
+    ps = jnp.concatenate(parts, axis=1)                # (GS/4, K*128)
+    ohY = (jax.lax.broadcasted_iota(jnp.int32, (nblk, GQ), 0)
+           == blocks_ref[0])
+    y_ref[:] = _dot_onehot(ohY, ps, passes)            # (nblk, K*128)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "nblk", "K",
+                                             "interpret", "passes",
+                                             "window"))
+def _bell_matmat_call(data, lanes, bands, blocks, band_lo, Xb,
+                      sp_row, sp_col, sp_val, X, nb, nblk, K, interpret,
+                      passes=3, window=2):
+    """Fused SpMM: ``Xb`` is the band-major RHS block
+    (nbands, K*LANES) with ``Xb[b, k*128+l] = X[b*128+l, k]``; ``X`` is
+    the original (n_pad, K) block (used only for the COO remainder).
+    Returns (rows_pad, K)."""
+    nsteps, GS, L = data.shape
+    ct = jnp.promote_types(data.dtype, Xb.dtype)
+    if Xb.dtype != ct:
+        Xb = Xb.astype(ct)
+    if not interpret:
+        Xb = pltpu.with_memory_space_constraint(Xb, pltpu.HBM)
+        data = pltpu.with_memory_space_constraint(data, pltpu.HBM)
+        lanes = pltpu.with_memory_space_constraint(lanes, pltpu.HBM)
+
+    nring = _MM_AHEAD + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, GS), lambda s, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, GS // 4), lambda s, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((nblk, K * L), lambda s, *_: (s, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nring, nb, K * L), ct),
+            pltpu.SemaphoreType.DMA((nring,)),
+            pltpu.VMEM((nring, GS, L), data.dtype),
+            pltpu.SemaphoreType.DMA((nring,)),
+            pltpu.VMEM((nring,) + lanes.shape[1:], lanes.dtype),
+            pltpu.SemaphoreType.DMA((nring,)),
+        ],
+    )
+    kernel = functools.partial(_bell_mm_kernel, nb, nblk, GS, nsteps, K,
+                               passes, window)
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nsteps * nblk, K * L), ct),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nsteps * GS * L * K * (2 * nb + nblk),
+            bytes_accessed=(5 * data.size * data.dtype.itemsize // 4
+                            + X.size * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(band_lo // 8, data, lanes, bands, blocks, Xb)
+    # (srows, K*128) -> (K, m) -> (m, K).  Only MAJOR-dim transposes
+    # (the 128-lane minor dim stays in place): a minor-dim transpose
+    # measured 3.2 ms on 4 MB (5 GB/s — tile-shuffle pathology,
+    # tools/probes/probe_layout_k.py) where these run at ~900 GB/s.
+    # The barrier keeps the transpose from fusing into the pallas
+    # call's output allocation (XLA otherwise parks the full multi-MB
+    # result in VMEM and blows the scoped budget).
+    y = jax.lax.optimization_barrier(y)
+    Y = y.reshape(nsteps * nblk, K, L).transpose(1, 0, 2).reshape(
+        K, nsteps * nblk * L).T
+    if sp_val.shape[0]:
+        Y = Y.at[sp_row, :].add(sp_val[:, None].astype(ct)
+                                * X[sp_col, :].astype(ct))
+    return Y
+
+
+def _to_band_major(X):
+    """(n_pad, K) -> (n_pad/128, K*128) with Xb[b, k*128+l] =
+    X[b*128+l, k], via MAJOR-dim transposes only (see
+    _bell_matmat_call's layout note)."""
+    npad, K = X.shape
+    return X.T.reshape(K, npad // LANES, LANES).transpose(
+        1, 0, 2).reshape(npad // LANES, K * LANES)
+
+
+def bell_matmat_pallas(b: BELL, X, interpret: bool = False, passes=3):
+    """``Y = A @ X`` for an (padded_cols, K) RHS block; returns
+    (padded_rows, K) — slice to ``shape[0]``."""
+    npad, K = X.shape
+    Xb = _to_band_major(X)
+    return _bell_matmat_call(b.data, b.lanes, b.bands, b.blocks,
+                             b.band_lo, Xb, b.sp_row, b.sp_col, b.sp_val,
+                             X, b.nb, b.nblk, int(K), bool(interpret),
+                             None if passes is None else int(passes),
+                             int(b.window))
+
+
 def reorder_rcm(coo: F.COO):
     """Reverse Cuthill–McKee permutation (host-side, via scipy) minimizing
     bandwidth so BELL windows stay small.
@@ -1164,6 +1368,47 @@ def _bell_mv_factory(slot, cfg, rows_out, interpret):
             out = y if out is None else out + y
         return out
     return mv
+
+
+@functools.lru_cache(maxsize=None)
+def _bell_mm_factory(slot, cfg, rows_out, interpret):
+    """Native block-product (SpMM) rule: per level, one fused kernel
+    call that streams the slots once for all K columns."""
+    def mm(params, X):
+        levels = params[slot]
+        ct = jnp.promote_types(levels[0].data.dtype, X.dtype)
+        X = X if X.dtype == ct else X.astype(ct)
+        K = X.shape[1]
+        if K > _MM_KMAX:   # scoped-VMEM bound: chunk wide blocks
+            return jnp.concatenate(
+                [mm(params, X[:, lo:lo + _MM_KMAX])
+                 for lo in range(0, K, _MM_KMAX)], axis=1)
+        out = None
+        for (nb, nblk, cols_in, window), c in zip(cfg, levels):
+            if X.shape[0] == cols_in:
+                Xp = X
+            else:
+                Xp = jnp.zeros((cols_in, K), ct).at[:X.shape[0], :].set(X)
+            Xb = _to_band_major(Xp)
+            Y = _bell_matmat_call(c.data, c.lanes, c.bands, c.blocks,
+                                  c.band_lo, Xb, c.sp_row, c.sp_col,
+                                  c.sp_val, Xp, nb, nblk, int(K),
+                                  interpret, window=window)
+            Y = Y if Y.shape[0] == rows_out else Y[:rows_out]
+            out = Y if out is None else out + Y
+        return out
+    return mm
+
+
+@functools.lru_cache(maxsize=None)
+def _bell_mm_perm_factory(slot, cfg, rows_out, interpret):
+    inner = _bell_mm_factory(slot, cfg, rows_out, interpret)
+
+    def mm(params, X):
+        p, ip = params[2], params[3]
+        Y = inner(params, jnp.take(X, p, axis=0))
+        return jnp.take(Y, ip, axis=0)
+    return mm
 
 
 @functools.lru_cache(maxsize=None)
@@ -1411,13 +1656,16 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
                      for b in lv)
 
     factory = _bell_mv_factory if perm is None else _bell_mv_perm_factory
+    mmfac = _bell_mm_factory if perm is None else _bell_mm_perm_factory
     mv = factory(0, _cfg(fwd), m, interpret)
+    mm = mmfac(0, _cfg(fwd), m, interpret)
     if symmetric:
-        rmv = mv
+        rmv, rmm = mv, mm
     elif bwd is None:
-        rmv = None
+        rmv = rmm = None
     else:
         rmv = factory(1, _cfg(bwd), n, interpret)
+        rmm = mmfac(1, _cfg(bwd), n, interpret)
 
     params = (fwd, bwd)
     if perm is not None:
@@ -1428,6 +1676,7 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
 
     dtype = np.dtype(fwd[0].data.dtype)
     op = LinearOperator(n, m, matvec=mv, matvec_transp=rmv,
+                        matmat=mm, matmat_transp=rmm,
                         params=params, _takes_params=True,
                         symmetric=symmetric,
                         hermitian=symmetric and not np.issubdtype(

@@ -327,6 +327,122 @@ def _dia_matvec_call(d3, x, offsets, block, interpret, ring=None):
     return y.reshape(m)
 
 
+def _dia_mm_kernel_ring(offsets, brows, hrows, ndiag, nblk, K,
+                        data_ref, x_hbm, y_ref, ring, sems):
+    """Block-product (SpMM) variant of the ring kernel: the diagonal
+    block is loaded ONCE per step and multiplied against all K columns
+    (x_hbm is (K, rows, LANES)); only the x/y streams scale with K.
+    vmapping the matvec kernel instead re-streams the diagonals per
+    column and defeats the DMA ring (measured ~1000x slower, ROADMAP
+    'Batched solvers')."""
+    i = pl.program_id(0)
+
+    def dma(j):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(j * brows, brows), :],
+            ring.at[j % _RING], sems.at[j % _RING])
+
+    @pl.when(i == 0)
+    def _():
+        dma(jnp.int32(0)).start()
+        if nblk > 1:
+            dma(jnp.int32(1)).start()
+        if nblk > 2:
+            dma(jnp.int32(2)).start()
+        dma(jnp.int32(0)).wait()
+        if nblk > 1:
+            dma(jnp.int32(1)).wait()
+
+    @pl.when((i >= 1) & (i + 1 <= nblk - 1))
+    def _():
+        dma(i + 1).wait()
+
+    @pl.when((i >= 1) & (i + 2 <= nblk - 1))
+    def _():
+        dma(i + 2).start()
+
+    for k in range(K):  # static unroll: diagonals stay resident
+        xl = ring[(i - 1) % _RING][k, brows - hrows:, :]
+        xl = jnp.where(i == 0, jnp.zeros_like(xl), xl)
+        xr = ring[(i + 1) % _RING][k, :hrows, :]
+        xr = jnp.where(i == nblk - 1, jnp.zeros_like(xr), xr)
+        xw = jnp.concatenate([xl, ring[i % _RING][k], xr], axis=0)
+        _dia_accumulate(offsets, brows, hrows, ndiag, data_ref, xw,
+                        y_ref.at[k])
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block",
+                                             "interpret"))
+def _dia_matmat_call(d3, X, offsets, block, interpret):
+    """Fused DIA SpMM: ``X`` is (m, K); returns (m, K)."""
+    ndiag, rows, _ = d3.shape
+    m = rows * LANES
+    nblk = m // block
+    brows = block // LANES
+    K = X.shape[1]
+    # The x ring, the output double-buffer AND the per-k accumulate
+    # temporaries (one rolled window per distinct lane shift) scale
+    # with K: shrink the grid block (d3's layout is block-independent)
+    # until the scoped VMEM estimate fits the 16 MB budget.
+    def _vmem_est(br):
+        return (_RING * K * br          # x ring
+                + 2 * ndiag * br        # diagonal double-buffer
+                + 2 * K * br            # output double-buffer
+                + K * br * (1 + min(ndiag, 8))   # rolled windows/temps
+                ) * LANES * 4
+
+    while _vmem_est(brows) > (12 << 20) and brows % 2 == 0:
+        try:
+            _halo_rows_exact(offsets, brows // 2)
+        except ValueError:
+            break
+        brows //= 2
+        nblk *= 2
+    ct = jnp.promote_types(d3.dtype, X.dtype)
+    if X.dtype != ct:
+        X = X.astype(ct)
+    xk = X.T.reshape(K, rows, LANES)
+    if not interpret:
+        xk = pltpu.with_memory_space_constraint(xk, pltpu.HBM)
+        d3 = pltpu.with_memory_space_constraint(d3, pltpu.HBM)
+    hrows = _halo_rows_exact(offsets, brows)
+    kernel = functools.partial(_dia_mm_kernel_ring, offsets, brows,
+                               hrows, ndiag, nblk, int(K))
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K, rows, LANES), ct),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((ndiag, brows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((K, brows, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_RING, K, brows, LANES), ct),
+            pltpu.SemaphoreType.DMA((_RING,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * m * K,
+            bytes_accessed=(ndiag + 2 * K) * m * d3.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(d3, xk)
+    # barrier: without it XLA assigns the multi-MB pallas result a VMEM
+    # layout to fuse the transpose and blows the scoped budget
+    y = jax.lax.optimization_barrier(y)
+    return y.reshape(K, m).T
+
+
+def dia_matmat_packed(d3, offsets, X, block: int = DEFAULT_BLOCK,
+                      interpret: bool = False):
+    """``Y = A @ X`` for an (m, K) RHS block from a packed diagonal
+    array — streams the diagonals once for all K columns."""
+    _check_dia(d3.shape[1] * LANES, offsets, int(block))
+    return _dia_matmat_call(d3, X, offsets, int(block), bool(interpret))
+
+
 def _check_dia(m, offsets, block):
     if block % LANES:
         raise ValueError("block must be a multiple of %d" % LANES)
@@ -410,6 +526,13 @@ def _packed_mv_factory(slot, offsets, block, interpret):
     return mv
 
 
+@functools.lru_cache(maxsize=None)
+def _packed_mm_factory(slot, offsets, block, interpret):
+    def mm(params, X):
+        return _dia_matmat_call(params[slot], X, offsets, block, interpret)
+    return mm
+
+
 def pallas_dia_operator(dia: F.DIA, symmetric=False,
                         block=None, interpret=None):
     """Build a :class:`~pykrylov_tpu.ops.LinearOperator` whose matvec is the
@@ -440,11 +563,16 @@ def pallas_dia_operator(dia: F.DIA, symmetric=False,
     mp = dia_p.shape[0]
 
     mv = _packed_mv_factory(0, offsets, block, interpret)
-    rmv = mv if symmetric else _packed_mv_factory(1, bwd[1], block,
-                                                  interpret)
+    mm = _packed_mm_factory(0, offsets, block, interpret)
+    if symmetric:
+        rmv, rmm = mv, mm
+    else:
+        rmv = _packed_mv_factory(1, bwd[1], block, interpret)
+        rmm = _packed_mm_factory(1, bwd[1], block, interpret)
 
     dtype = dia.data.dtype
     op = LinearOperator(mp, mp, matvec=mv, matvec_transp=rmv,
+                        matmat=mm, matmat_transp=rmm,
                         params=(d3, None if symmetric else bwd[0]),
                         _takes_params=True, symmetric=symmetric,
                         hermitian=symmetric and not np.issubdtype(
