@@ -38,8 +38,8 @@ from .common import (apply_op, as_operator, default_maxiter, promote_rhs,
                      threshold_of)
 from .result import SolveResult
 
-__all__ = ["cg_batched", "bicgstab_batched", "tfqmr_batched",
-           "lsqr_batched", "solve_columns",
+__all__ = ["cg_batched", "bicgstab_batched", "cgs_batched",
+           "tfqmr_batched", "lsqr_batched", "solve_columns",
            "ISTOP_MSG", "ISTOP_MSG_TF", "ISTOP_MSG_LSQR"]
 
 # cg_batched istop codes (per column); lsqr_batched columns follow the
@@ -393,6 +393,118 @@ def bicgstab_batched(A, B, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
     X0 = _check_x0(x0, B, "bicgstab_batched")
     return _bicgstab_batched(A, B, X0, M, float(rtol), float(atol),
                              int(maxiter), bool(store_history))
+
+
+@partial(jax.jit, static_argnames=("maxiter", "matvec_max",
+                                   "store_history"))
+def _cgs_batched(A, B, X0, M, rtol, atol, maxiter, matvec_max,
+                 store_history):
+    dtype = B.dtype
+    n, K = B.shape
+    if X0 is None:
+        X = jnp.zeros((n, K), dtype)
+        R0 = B
+    else:
+        X = X0.astype(dtype)
+        R0 = B - _apply_block(A, X)  # not counted (cgs.py:59-60)
+    rho = _dotu_cols(R0, R0)
+    resid0 = jnp.abs(jnp.sqrt(rho)).real
+    thresh = threshold_of(resid0, rtol, atol)
+    hist = (jnp.full((maxiter + 1, K), jnp.nan, resid0.dtype)
+            .at[0].set(resid0) if store_history else None)
+
+    finite0 = jnp.isfinite(resid0)
+    active0 = (resid0 > thresh) & finite0
+    state0 = dict(
+        x=X, r=R0, u=R0, p=R0, rho=rho, resid=resid0,
+        k=jnp.zeros((), jnp.int32), nmv=jnp.zeros(K, jnp.int32),
+        broken=~finite0, active=active0, hist=hist)
+
+    def cond(s):
+        return jnp.any(s["active"]) & (s["k"] < maxiter)
+
+    def body(s):
+        act = s["active"]
+        Y = _apply_block(M, s["p"]) if M is not None else s["p"]
+        V = _apply_block(A, Y)
+        sigma = _dotu_cols(R0, V)
+        alpha = s["rho"] / _safe(sigma)
+        Q = s["u"] - alpha * V
+        Z = _apply_block(M, s["u"] + Q) if M is not None else s["u"] + Q
+        X2 = s["x"] + alpha * Z
+        AZ = _apply_block(A, Z)
+        nmv = s["nmv"] + 2 * act.astype(jnp.int32)
+        R = s["r"] - alpha * AZ
+        resid = jnp.linalg.norm(R, axis=0)
+        rho_n = _dotu_cols(R0, R)
+        broken = act & ((sigma == 0) | ~jnp.isfinite(sigma)
+                        | ~jnp.isfinite(resid) | (rho_n == 0))
+        done = act & ((resid <= thresh) | (nmv >= matvec_max) | broken)
+        beta = rho_n / _safe(s["rho"])
+        U = R + beta * Q
+        P = U + beta * (Q + beta * s["p"])
+        keep = ~jnp.isfinite(resid)  # restore the best iterate
+        X2 = jnp.where(keep, s["x"], X2)
+        resid_out = jnp.where(keep, s["resid"], resid)
+        sel = lambda new, old: jnp.where(act, new, old)  # noqa: E731
+        h2 = s["hist"]
+        if h2 is not None:
+            h2 = h2.at[s["k"] + 1].set(jnp.where(act, resid_out, jnp.nan))
+        return dict(
+            x=sel(X2, s["x"]), r=sel(R, s["r"]), u=sel(U, s["u"]),
+            p=sel(P, s["p"]), rho=sel(rho_n, s["rho"]),
+            resid=sel(resid_out, s["resid"]), k=s["k"] + 1,
+            nmv=nmv, broken=s["broken"] | broken,
+            active=act & ~done, hist=h2)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    converged = s["resid"] <= thresh
+    istop = jnp.where(converged, 0, jnp.where(s["broken"], 3, 1))
+    info = {"n_matvec_columns": s["nmv"], "active_at_exit": s["active"]}
+    return SolveResult(
+        x=s["x"], converged=converged, istop=istop.astype(jnp.int32),
+        n_iter=s["k"], n_matvec=jnp.max(s["nmv"]),
+        resid_norm=s["resid"], resid_norm0=resid0,
+        resid_history=s["hist"], info=info)
+
+
+def cgs_batched(A, B, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
+                maxiter=None, matvec_max=None, store_history=False):
+    """Solve unsymmetric ``A X = B`` for an (n, K) block of right-hand
+    sides by CGS in ONE fused while-loop.
+
+    Each column follows the reference CGS recurrence
+    (``/root/reference/pykrylov/cgs/cgs.py:40-123``) under a per-column
+    freeze mask — both A products per iteration apply to the whole
+    direction block, streaming the operator once for all K systems —
+    with the single-RHS solver's breakdown guards and its
+    matvec-count-parity quirk (the guess's ``r0`` matvec is NOT
+    counted, ``cgs.py:59-60``).  Completes the reference bmark trio
+    (``examples/bmark.py:45-51``) in fused multi-RHS form alongside
+    :func:`bicgstab_batched` and :func:`tfqmr_batched`; the f32
+    trajectory-chaos caveat of :func:`bicgstab_batched` applies.
+
+    Returns :class:`SolveResult` with per-column ``x`` (n, K) and (K,)
+    diagnostics (istop codes 0/1/3 as the single-RHS CGS).
+    """
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    if B.ndim != 2 or B.shape[0] != A.shape[1] or A.shape[0] != A.shape[1]:
+        from ..ops.base import ShapeError
+        raise ShapeError("cgs_batched: operator %r with rhs block %s"
+                         % (A, B.shape))
+    B = promote_rhs(B, A, M)
+    if matvec_max is None:
+        matvec_max = 2 * B.shape[0]
+    if maxiter is None:
+        maxiter = max(1, int(matvec_max) // 2)
+    X0 = _check_x0(x0, B, "cgs_batched")
+    return _cgs_batched(A, B, X0, M, float(rtol), float(atol),
+                        int(maxiter), int(matvec_max),
+                        bool(store_history))
 
 
 @partial(jax.jit, static_argnames=("maxiter", "store_history"))

@@ -7,8 +7,6 @@ from .formats import (COO, CSR, ELL, DIA,
                       to_dense)
 from .linop import (SparseOperator, sparse_operator, operator_from_coo,
                     jacobi_preconditioner, diag_of_coo)
-from .bsr import (BSR, bsr_from_coo, bsr_matvec, bsr_matvec_pallas,
-                  bsr_operator, block_fill)
 
 __all__ = [
     "COO", "CSR", "ELL", "DIA",
@@ -17,6 +15,4 @@ __all__ = [
     "coo_matvec", "csr_matvec", "ell_matvec", "dia_matvec", "to_dense",
     "SparseOperator", "sparse_operator", "operator_from_coo",
     "jacobi_preconditioner", "diag_of_coo",
-    "BSR", "bsr_from_coo", "bsr_matvec", "bsr_matvec_pallas",
-    "bsr_operator", "block_fill",
 ]

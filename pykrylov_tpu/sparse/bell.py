@@ -752,7 +752,15 @@ def bell_with_values_dtype(b: BELL, dtype) -> BELL:
     """Round a BELL container's stored values to ``dtype`` (host- or
     device-side) without re-planning — e.g. bf16 storage (3 B/slot
     stream; the kernel computes at the promoted dtype, see
-    ``_bell_matvec_call``)."""
+    ``_bell_matvec_call``).
+
+    MEMORY-FOOTPRINT-ONLY knob for the matvec, by measurement: the
+    kernel is compute-bound — time/slot = max(stream ~8.6 ps, compute
+    ~12.5 ps on v5e) — so halving the value stream changes wall time by
+    exactly 1.00x (BENCH r2/r3 bf16 legs; per-op breakdown and the
+    rejected compute-reduction attempts in ROADMAP.md 'BELL general
+    SpMV').  It still cuts HBM residency ~40% (larger systems fit) and
+    the matvec stays exact in the stored (bf16-rounded) matrix."""
     dtype = jnp.dtype(dtype) if not isinstance(b.data, np.ndarray) \
         else np.dtype(dtype)
     if b.data.dtype == dtype:
@@ -872,17 +880,20 @@ def _select_int8(ohs, w, transposed=False):
     return tuple(y[i * gs:(i + 1) * gs] for i in range(len(ohs)))
 
 
-def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window,
+def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window, nring,
                  band_lo_ref, data_hbm, lanes_hbm, bands_ref, blocks_ref,
                  x_hbm, y_ref, win, sems, dbuf, dsems, lbuf, lsems):
     st = pl.program_id(0)
     L = LANES
     GQ = GS // 4
 
-    # WIN_AHEAD+1 ring slots for a WIN_AHEAD prefetch distance: with only
-    # WIN_AHEAD slots, step st's start for st+WIN_AHEAD would overwrite
-    # the very slot st is about to read (distance-0 write/read race).
-    nslots = WIN_AHEAD + 1
+    # nring slots give an (nring-1)-deep prefetch distance: with only
+    # nring-1 slots, step st's start for st+nring-1 would overwrite the
+    # very slot st is about to read (distance-0 write/read race).
+    # nring adapts to GS (deep-block packings would blow scoped VMEM at
+    # the default depth — see _bell_matvec_call).
+    nslots = nring
+    AHEAD = nring - 1
 
     def win_dma(step):
         return pltpu.make_async_copy(
@@ -908,7 +919,7 @@ def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window,
     # every step on HBM DMA latency.
     @pl.when(st == 0)
     def _():
-        for kk in range(min(WIN_AHEAD, nsteps)):
+        for kk in range(min(AHEAD, nsteps)):
             win_dma(kk).start()
             dat_dma(kk).start()
             lan_dma(kk).start()
@@ -916,11 +927,11 @@ def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window,
     dat_dma(st).wait()
     lan_dma(st).wait()
 
-    @pl.when(st + WIN_AHEAD < nsteps)
+    @pl.when(st + AHEAD < nsteps)
     def _():
-        win_dma(st + WIN_AHEAD).start()
-        dat_dma(st + WIN_AHEAD).start()
-        lan_dma(st + WIN_AHEAD).start()
+        win_dma(st + AHEAD).start()
+        dat_dma(st + AHEAD).start()
+        lan_dma(st + AHEAD).start()
 
     w = win[st % nslots]                                   # (nb, 128)
     dat = dbuf[st % nslots]                                # (GS, 128)
@@ -1049,7 +1060,15 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
         data = pltpu.with_memory_space_constraint(data, pltpu.HBM)
         lanes = pltpu.with_memory_space_constraint(lanes, pltpu.HBM)
 
-    nring = WIN_AHEAD + 1
+    # Adaptive ring depth: deep-block packings (dense bands, GS >= 4k)
+    # would blow the 16 MB scoped-VMEM budget at the default depth; the
+    # per-slot ring cost is the three buffers below plus ~4 MB of
+    # staging/product transients.
+    ring_bytes = (nb * L * np.dtype(ct).itemsize
+                  + GS * L * np.dtype(data.dtype).itemsize
+                  + int(np.prod(lanes.shape[1:]))
+                  * np.dtype(lanes.dtype).itemsize)
+    nring = int(max(2, min(WIN_AHEAD + 1, (10 << 20) // max(1, ring_bytes))))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,           # band_lo
         grid=(nsteps,),
@@ -1075,7 +1094,7 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
         ],
     )
     kernel = functools.partial(_bell_kernel, nb, nblk, GS, nsteps, passes,
-                               stage, window)
+                               stage, window, nring)
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nsteps * nblk, L), ct),

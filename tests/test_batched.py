@@ -318,15 +318,16 @@ def _jpwh_op():
     return op, a64
 
 
-@pytest.mark.parametrize("name", ["bicgstab", "tfqmr"])
+@pytest.mark.parametrize("name", ["bicgstab", "cgs", "tfqmr"])
 def test_transpose_free_batched_matches_single_on_jpwh(name):
     # VERDICT r2 #5 done-bar: per-column matvec counts within 1-2 of
     # single-RHS calls on jpwh_991 (the reference bmark trio protocol:
     # rtol 1e-8, guess = 1 + arange(n), matvec_max = 2n).
-    from pykrylov_tpu.solvers import (bicgstab, tfqmr, bicgstab_batched,
+    from pykrylov_tpu.solvers import (bicgstab, cgs, tfqmr,
+                                      bicgstab_batched, cgs_batched,
                                       tfqmr_batched)
-    single = {"bicgstab": bicgstab, "tfqmr": tfqmr}[name]
-    batched = {"bicgstab": bicgstab_batched,
+    single = {"bicgstab": bicgstab, "cgs": cgs, "tfqmr": tfqmr}[name]
+    batched = {"bicgstab": bicgstab_batched, "cgs": cgs_batched,
                "tfqmr": tfqmr_batched}[name]
     op, a64 = _jpwh_op()
     n = a64.shape[0]
@@ -351,15 +352,16 @@ def test_transpose_free_batched_matches_single_on_jpwh(name):
     assert int(res.n_matvec) == int(res.info["n_matvec_columns"].max())
 
 
-@pytest.mark.parametrize("name", ["bicgstab", "tfqmr"])
+@pytest.mark.parametrize("name", ["bicgstab", "cgs", "tfqmr"])
 def test_transpose_free_batched_preconditioned(name):
     # diagonal-preconditioned bmark protocol; mixed convergence speeds
     # exercise the freeze masks
     from pykrylov_tpu.ops import DiagonalOperator
-    from pykrylov_tpu.solvers import (bicgstab, tfqmr, bicgstab_batched,
+    from pykrylov_tpu.solvers import (bicgstab, cgs, tfqmr,
+                                      bicgstab_batched, cgs_batched,
                                       tfqmr_batched)
-    single = {"bicgstab": bicgstab, "tfqmr": tfqmr}[name]
-    batched = {"bicgstab": bicgstab_batched,
+    single = {"bicgstab": bicgstab, "cgs": cgs, "tfqmr": tfqmr}[name]
+    batched = {"bicgstab": bicgstab_batched, "cgs": cgs_batched,
                "tfqmr": tfqmr_batched}[name]
     op, a64 = _jpwh_op()
     n = a64.shape[0]

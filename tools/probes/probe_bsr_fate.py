@@ -23,7 +23,7 @@ ITERS = 300
 
 # dense band: every row has the full [c-192, c+192] window -> (8,128)
 # blocks on the band are ~fully dense (BSR's ideal case)
-m = 262144
+m = 65536
 half = 192
 rows_l, cols_l, vals_l = [], [], []
 rng = np.random.default_rng(0)
