@@ -28,8 +28,7 @@ from pykrylov_tpu.solvers import (bicgstab_batched, cgs_batched,
 
 
 def main(K=4):
-    vals, rows, cols, shape = load_bundled("jpwh_991")
-    n = shape[0]
+    n = load_bundled("jpwh_991")[3][0]
     A = sparse_operator("jpwh_991", dtype=np.float32)
     M = jacobi_preconditioner("jpwh_991")
 

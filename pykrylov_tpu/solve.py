@@ -63,8 +63,18 @@ def solve(A, b, method=None, verified=False, **opts):
     ``||A'(b - A x)||``; CRAIG/CRAIG-MR solve the SQD system, for which
     no refinement wrapper exists — they get the post-solve certificate
     via ``verify_final=True``.
+
+    A 2-D ``b`` of shape (n, K) dispatches to the fused multi-RHS
+    family (``cg_batched`` for symmetric square, ``bicgstab_batched``
+    for general square, ``lsqr_batched`` for rectangular; explicit
+    ``method=`` picks its ``*_batched`` twin when one exists) — the
+    sparse operators' SpMM kernels then stream A once per iteration for
+    all K systems.  ``verified`` is unsupported for blocks.
     """
     A = as_operator(A)
+    b_arr = jnp.asarray(b)
+    if b_arr.ndim == 2:
+        return _solve_block(A, b_arr, method, verified, opts)
     if method is not None:
         if method not in _METHODS:
             raise ValueError("unknown method %r (have %s)"
@@ -119,6 +129,45 @@ def solve(A, b, method=None, verified=False, **opts):
         # option (x0, rtol, atol, matvec_max, store_history, M) carries over.
         return _S.tfqmr(A, b, **opts)
     return res
+
+
+_BATCHED = {"cg": "cg_batched", "bicgstab": "bicgstab_batched",
+            "cgs": "cgs_batched", "tfqmr": "tfqmr_batched",
+            "lsqr": "lsqr_batched"}
+
+
+def _solve_block(A, B, method, verified, opts):
+    """Multi-RHS dispatch: the fused batched family when the method has
+    one, the generic per-column driver otherwise."""
+    if verified:
+        raise ValueError("verified=True is unsupported for (n, K) "
+                         "right-hand-side blocks; solve columns "
+                         "individually for verified stops")
+    if method is not None:
+        if method not in _METHODS:
+            raise ValueError("unknown method %r (have %s)"
+                             % (method, ", ".join(_METHODS)))
+        if method in _BATCHED:
+            return getattr(_S, _BATCHED[method])(A, B, **opts)
+        # per-column driver, restacked into one block-shaped result so
+        # the front door's contract is uniform (per-column results ride
+        # in info["columns"])
+        cols = _S.solve_columns(getattr(_S, method), A, B, **opts)
+        return _S.SolveResult(
+            x=jnp.stack([r.x for r in cols], axis=1),
+            converged=jnp.stack([r.converged for r in cols]),
+            istop=jnp.stack([r.istop for r in cols]),
+            n_iter=max(int(r.n_iter) for r in cols),
+            n_matvec=max(int(r.n_matvec) for r in cols),
+            resid_norm=jnp.stack([r.resid_norm for r in cols]),
+            resid_norm0=jnp.stack([r.resid_norm0 for r in cols]),
+            resid_history=None, info={"columns": cols})
+    m, n = A.shape
+    if m != n:
+        return _S.lsqr_batched(A, B, **opts)
+    if A.symmetric or A.hermitian:
+        return _S.cg_batched(A, B, **opts)
+    return _S.bicgstab_batched(A, B, **opts)
 
 
 def _minres_fallback(A, b, cg_res, opts):

@@ -1,5 +1,5 @@
-"""Multi-right-hand-side solves: block-batched CG + a generic column
-driver.
+"""Multi-right-hand-side solves: fused block-batched CG / Bi-CGSTAB /
+CGS / TFQMR / LSQR + a generic column driver.
 
 The reference solves one RHS per call (its solvers hold a single
 ``self.x``; ``generic/generic.py:79-87``).  On TPU that leaves the
@@ -437,15 +437,20 @@ def _cgs_batched(A, B, X0, M, rtol, atol, maxiter, matvec_max,
         R = s["r"] - alpha * AZ
         resid = jnp.linalg.norm(R, axis=0)
         rho_n = _dotu_cols(R0, R)
-        broken = act & ((sigma == 0) | ~jnp.isfinite(sigma)
-                        | ~jnp.isfinite(resid) | (rho_n == 0))
+        # single-RHS parity: a dead STEP (sigma breakdown / non-finite
+        # residual) restores the pre-step iterate (the single solver's
+        # alpha=inf poisons resid and its keep-guard fires); a
+        # rho_next==0 breakdown is detected AFTER a good update and the
+        # update is kept, exactly as in _cgs
+        badstep = act & ((sigma == 0) | ~jnp.isfinite(sigma)
+                         | ~jnp.isfinite(resid))
+        broken = badstep | (act & (rho_n == 0))
         done = act & ((resid <= thresh) | (nmv >= matvec_max) | broken)
         beta = rho_n / _safe(s["rho"])
         U = R + beta * Q
         P = U + beta * (Q + beta * s["p"])
-        keep = ~jnp.isfinite(resid)  # restore the best iterate
-        X2 = jnp.where(keep, s["x"], X2)
-        resid_out = jnp.where(keep, s["resid"], resid)
+        X2 = jnp.where(badstep, s["x"], X2)
+        resid_out = jnp.where(badstep, s["resid"], resid)
         sel = lambda new, old: jnp.where(act, new, old)  # noqa: E731
         h2 = s["hist"]
         if h2 is not None:

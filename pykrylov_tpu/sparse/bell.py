@@ -646,7 +646,14 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
             % (span, nb_max))
     nb = max(8, -(-span // 8) * 8)
     ncb = max(ncb, nb)
+    # the right-edge clamp must PRESERVE the 8-alignment the SpMM
+    # kernel's oct-unit window start depends on: pad the x bands so the
+    # clamp target (ncb - nb) is itself a multiple of 8 (<= 7 extra
+    # zero bands; a non-aligned clamp silently shifted the SpMM window
+    # left and returned wrong products on right-edge steps)
+    ncb = nb + -(-(ncb - nb) // 8) * 8
     band_lo = np.minimum(band_lo_raw, ncb - nb).astype(np.int32)
+    assert not band_lo.size or not (band_lo % 8).any()
 
     # --- emit arrays ---------------------------------------------------
     data = np.zeros((nsteps, GS, LANES), dtype=vals.dtype)
@@ -1134,16 +1141,36 @@ def bell_matvec_pallas(b: BELL, x, interpret: bool = False, passes=3,
                              int(b.window))
 
 
-_MM_AHEAD = 2     # SpMM ring depth: per-step compute is ~K x the
-#                   matvec's, so 2-ahead hides DMA latency at far less
-#                   VMEM (the 16 MB scoped budget is tight at K=8)
-_MM_KCHUNK = 4    # stage at most 4 RHS columns at a time: a full
-#                   (GS, K*128) staging transient blows scoped VMEM
+_MM_AHEAD = 3     # SpMM max ring depth (adaptive below it): per-step
+#                   compute is ~K x the matvec's; measured-best on the
+#                   bench matrix at K=8 (probe_spmm_tune)
+_MM_KCHUNK = 1    # stage one RHS column at a time: minimal staging
+#                   transients measured 17% faster than 4-wide chunks
+#                   at K=8 (probe_spmm_tune) AND keep scoped VMEM in
+#                   budget
 _MM_KMAX = 8      # max RHS columns per kernel call (scoped-VMEM limit
 #                   at bench sizes); wider blocks chunk at XLA level
 
 
-def _bell_mm_kernel(nb, nblk, GS, nsteps, K, passes, window,
+def _mm_ring_bytes(nb, GS, K, ct_size, dat_size, lanes_bytes):
+    """Per-ring-slot VMEM bytes of the SpMM kernel's three streams."""
+    return (nb * LANES * K * ct_size + GS * LANES * dat_size
+            + lanes_bytes)
+
+
+def _mm_kmax(nb, GS, lanes_shape, lanes_size):
+    """Largest per-kernel-call K the 16 MB scoped-VMEM budget admits
+    for this packing (2-slot rings + ~5 MB staging/product transients
+    reserved); XLA-level chunking covers wider blocks."""
+    lanes_bytes = int(np.prod(lanes_shape)) * lanes_size
+    for k in range(_MM_KMAX, 1, -1):
+        if 2 * _mm_ring_bytes(nb, GS, k, 4, 4, lanes_bytes) \
+                + k * GS * LANES + 4 * GS * LANES <= (10 << 20):
+            return k
+    return 1
+
+
+def _bell_mm_kernel(nb, nblk, GS, nsteps, K, passes, window, nring,
                     band_lo_ref, data_hbm, lanes_hbm, bands_ref,
                     blocks_ref, x_hbm, y_ref, win, sems, dbuf, dsems,
                     lbuf, lsems):
@@ -1157,7 +1184,8 @@ def _bell_mm_kernel(nb, nblk, GS, nsteps, K, passes, window,
     st = pl.program_id(0)
     L = LANES
     GQ = GS // 4
-    nslots = _MM_AHEAD + 1
+    nslots = nring
+    _MM_AHEAD = nring - 1
 
     def win_dma(step):
         # band_lo_ref holds band_lo // 8 ("oct" units): the *8 makes the
@@ -1259,7 +1287,13 @@ def _bell_matmat_call(data, lanes, bands, blocks, band_lo, Xb,
         data = pltpu.with_memory_space_constraint(data, pltpu.HBM)
         lanes = pltpu.with_memory_space_constraint(lanes, pltpu.HBM)
 
-    nring = _MM_AHEAD + 1
+    # adaptive ring depth (same budget logic as the matvec): wide
+    # windows / deep blocks at K>1 blow scoped VMEM at a fixed depth
+    lanes_bytes = (int(np.prod(lanes.shape[1:]))
+                   * np.dtype(lanes.dtype).itemsize)
+    rb = _mm_ring_bytes(nb, GS, K, np.dtype(ct).itemsize,
+                        np.dtype(data.dtype).itemsize, lanes_bytes)
+    nring = int(max(2, min(_MM_AHEAD + 1, (9 << 20) // max(1, rb))))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
@@ -1284,7 +1318,7 @@ def _bell_matmat_call(data, lanes, bands, blocks, band_lo, Xb,
         ],
     )
     kernel = functools.partial(_bell_mm_kernel, nb, nblk, GS, nsteps, K,
-                               passes, window)
+                               passes, window, nring)
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nsteps * nblk, K * L), ct),
@@ -1398,10 +1432,25 @@ def _bell_mm_factory(slot, cfg, rows_out, interpret):
         ct = jnp.promote_types(levels[0].data.dtype, X.dtype)
         X = X if X.dtype == ct else X.astype(ct)
         K = X.shape[1]
-        if K > _MM_KMAX:   # scoped-VMEM bound: chunk wide blocks
-            return jnp.concatenate(
-                [mm(params, X[:, lo:lo + _MM_KMAX])
-                 for lo in range(0, K, _MM_KMAX)], axis=1)
+        # scoped-VMEM bound (per packing): chunk wide blocks at the
+        # XLA level; wide-window packings admit fewer columns per call
+        kmax = min(
+            _mm_kmax(nb_, c.data.shape[1], tuple(c.lanes.shape[1:]),
+                     np.dtype(c.lanes.dtype).itemsize)
+            for (nb_, _, _, _), c in zip(cfg, levels))
+        if K > kmax:
+            outs = []
+            for lo in range(0, K, kmax):
+                Xc = X[:, lo:lo + kmax]
+                if outs:
+                    # serialize the chunks: the barrier makes chunk
+                    # i+1's input depend on chunk i's output, else XLA
+                    # schedules the independent pallas calls
+                    # concurrently and doubles the scoped-VMEM footprint
+                    outs[-1], Xc = jax.lax.optimization_barrier(
+                        (outs[-1], Xc))
+                outs.append(mm(params, Xc))
+            return jnp.concatenate(outs, axis=1)
         out = None
         for (nb, nblk, cols_in, window), c in zip(cfg, levels):
             if X.shape[0] == cols_in:

@@ -164,3 +164,44 @@ class TestVerified:
         # optimality residual is under atol * ||A|| * ||rt||
         assert (float(res.info["true_normar"])
                 <= 1e-5 * float(res.info["anorm"]) * float(res.resid_norm))
+
+
+def test_solve_block_dispatch():
+    # (n, K) rhs routes to the fused batched family (round 3)
+    import numpy as np
+    import jax.numpy as jnp
+    from pykrylov_tpu import solve
+    from pykrylov_tpu.ops.base import linop_from_ndarray
+
+    rng = np.random.default_rng(21)
+    n, K = 48, 3
+    q = rng.standard_normal((n, n))
+    spd = (q @ q.T + n * np.eye(n)).astype(np.float64)
+    Xs = rng.standard_normal((n, K))
+    A = linop_from_ndarray(jnp.asarray(spd), symmetric=True)
+    res = solve(A, jnp.asarray(spd @ Xs), rtol=1e-10)
+    assert res.x.shape == (n, K) and bool(res.converged.all())
+    assert np.abs(np.asarray(res.x) - Xs).max() < 1e-6
+
+    gen = (rng.standard_normal((n, n)) + n * np.eye(n))
+    Ag = linop_from_ndarray(jnp.asarray(gen))
+    res = solve(Ag, jnp.asarray(gen @ Xs), rtol=1e-10)
+    assert res.x.shape == (n, K) and bool(res.converged.all())
+
+    # explicit method with a batched twin, and one without (column
+    # driver fallback)
+    res = solve(Ag, jnp.asarray(gen @ Xs), method="tfqmr", rtol=1e-8)
+    assert res.x.shape == (n, K)
+    res = solve(A, jnp.asarray(spd @ Xs), method="minres", rtol=1e-8)
+    assert res.x.shape == (n, K)
+
+    # rectangular block -> lsqr_batched
+    m2 = 60
+    rect = rng.standard_normal((m2, n))
+    Ar = linop_from_ndarray(jnp.asarray(rect))
+    res = solve(Ar, jnp.asarray(rect @ Xs), atol=1e-10, btol=1e-10)
+    assert res.x.shape == (n, K)
+
+    import pytest
+    with pytest.raises(ValueError):
+        solve(A, jnp.asarray(spd @ Xs), verified=True)

@@ -63,6 +63,50 @@ def test_bell_operator_block_product_and_transpose():
     np.testing.assert_allclose(YT, d.T @ XT, rtol=1e-4, atol=1e-4)
 
 
+def test_bell_matmat_right_edge_clamp_alignment():
+    # Regression (round-3 review): a step whose window is clamped at
+    # the right column edge used to get a NON-8-aligned band_lo; the
+    # SpMM kernel transports band_lo//8 in oct units, so the window
+    # silently shifted left and A@X was wrong on the edge blocks while
+    # the matvec stayed exact.  n = 128*18 with last-step bands 16-17
+    # reproduces: clamp target was min(16, 18-8)=10.
+    rng = np.random.default_rng(13)
+    m, n = 128 * 20, 128 * 18
+    nnz = 3000
+    r = rng.integers(0, m, nnz)
+    c = np.clip((r * n) // m + rng.integers(-100, 100, nnz), 0, n - 1)
+    # force entries in the very last bands for the tail rows
+    tail = r >= m - 256
+    c[tail] = n - 1 - (r[tail] % 200)
+    v = rng.standard_normal(nnz).astype(np.float32)
+    d = np.zeros((m, n), np.float32)
+    np.add.at(d, (r, c), v)
+    b = bell_from_coo(F.coo_from_arrays(v, r, c, (m, n), device=False),
+                      window=1, nblk=8)
+    assert not (np.asarray(b.band_lo) % 8).any()
+    X = rng.standard_normal((b.padded_shape[1], 3)).astype(np.float32)
+    Y = np.asarray(bell_matmat_pallas(b, jnp.asarray(X), interpret=True))
+    Yd = d @ X[:n]
+    np.testing.assert_allclose(Y[:m], Yd, rtol=1e-4, atol=1e-4)
+
+
+def test_cgs_batched_sigma_breakdown_restores_iterate():
+    # single-RHS parity: an exact sigma==0 step must restore the
+    # pre-step iterate instead of committing a rho/_safe(0) garbage
+    # update (round-3 review finding)
+    from pykrylov_tpu.solvers.batched import cgs_batched
+    # r0' A r0 == 0 at the first step: antisymmetric-ish construction
+    a = np.array([[0.0, 1.0], [-1.0, 0.0]], np.float32)
+    op = linop_from_ndarray(jnp.asarray(a))
+    B = jnp.asarray(np.array([[1.0, 1.0], [0.0, 2.0]], np.float32))
+    res = cgs_batched(op, B, rtol=1e-10)
+    # column 0: r0 = [1, 0], A r0 = [0,-1], sigma = 0 -> breakdown with
+    # x kept at the initial iterate (zeros)
+    assert int(res.istop[0]) == 3
+    assert float(jnp.abs(res.x[:, 0]).max()) == 0.0
+    assert np.isfinite(float(res.resid_norm[0]))
+
+
 def test_bell_operator_block_product_reordered():
     rng = np.random.default_rng(6)
     m = 400
