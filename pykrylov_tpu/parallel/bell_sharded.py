@@ -159,6 +159,52 @@ def _bell_gather_mv_factory(axis, n_dev, round_lens, cfg, L, mesh,
 
 
 @functools.lru_cache(maxsize=None)
+def _bell_gather_mm_factory(axis, n_dev, round_lens, cfg, L, mesh,
+                            interpret):
+    """Block-product twin of the scheduled-gather matvec: the ppermute
+    rounds ship (len, K) slices and the per-device local product is the
+    fused BELL SpMM (slots streamed once for all K columns)."""
+    from ..sparse.bell import _bell_matmat_call, _to_band_major
+    nb, nblk, ncb, rows_pad = cfg
+    perms = [tuple((j, (j - k) % n_dev) for j in range(n_dev))
+             for k in range(1, n_dev)]
+    empty_i = jnp.zeros(0, dtype=jnp.int32)
+
+    def local_mm(dat, lan, bnd, blo, bl, X_blk, *send_blks):
+        bufs = [X_blk]
+        for k, Lk in enumerate(round_lens):
+            if Lk == 0:
+                continue
+            out = jax.lax.ppermute(X_blk[send_blks[k][0], :], axis,
+                                   perm=list(perms[k]))
+            bufs.append(out)
+        Xfull = jnp.concatenate(bufs) if len(bufs) > 1 else bufs[0]
+        K = X_blk.shape[1]
+        Xp = jnp.zeros((ncb * LANES, K), Xfull.dtype).at[
+            :Xfull.shape[0], :].set(Xfull)
+        empty_v = jnp.zeros(0, dtype=dat.dtype)
+        Y = _bell_matmat_call(dat[0], lan[0], bnd[0], blo[0], bl[0],
+                              _to_band_major(Xp), empty_i, empty_i,
+                              empty_v, Xp, nb, nblk, int(K), interpret,
+                              window=1)
+        return Y[:L]
+
+    nsend = len(round_lens)
+    mapped = shard_map(
+        local_mm, mesh=mesh,
+        in_specs=(P(axis, None, None, None),) * 4 + (P(axis, None),)
+        + (P(axis, None),) + (P(axis, None),) * nsend,
+        out_specs=P(axis, None),
+        check_vma=False)
+
+    def mm(params, X):
+        (dat, lan, bnd, blo, bl), send = params[0], params[1]
+        return mapped(dat, lan, bnd, blo, bl, X, *send)
+
+    return mm
+
+
+@functools.lru_cache(maxsize=None)
 def _bell_gather_mvT_factory(axis, n_dev, round_lens, cfg_t, Lrow, Lx,
                              mesh, interpret):
     """Transpose product: per-device BELL kernel over the TRANSPOSED
@@ -206,6 +252,52 @@ def _bell_gather_mvT_factory(axis, n_dev, round_lens, cfg_t, Lrow, Lx,
         return mapped(dat, lan, bnd, blo, bl, x, *send)
 
     return mv_t
+
+
+@functools.lru_cache(maxsize=None)
+def _bell_gather_mmT_factory(axis, n_dev, round_lens, cfg_t, Lrow, Lx,
+                             mesh, interpret):
+    """Transpose block product: per-device BELL SpMM over the
+    transposed local block, reversed exchange of (len, K) segments."""
+    from ..sparse.bell import _bell_matmat_call, _to_band_major
+    nb_t, nblk_t, ncb_t, rows_pad_t = cfg_t
+    rev_perms = [tuple((j, (j + k) % n_dev) for j in range(n_dev))
+                 for k in range(1, n_dev)]
+    empty_i = jnp.zeros(0, dtype=jnp.int32)
+
+    def local_mm_t(dat, lan, bnd, blo, bl, X_blk, *send_blks):
+        K = X_blk.shape[1]
+        Xp = jnp.zeros((ncb_t * LANES, K), X_blk.dtype).at[
+            :Lrow, :].set(X_blk)
+        empty_v = jnp.zeros(0, dtype=dat.dtype)
+        Y_priv = _bell_matmat_call(dat[0], lan[0], bnd[0], blo[0], bl[0],
+                                   _to_band_major(Xp), empty_i, empty_i,
+                                   empty_v, Xp, nb_t, nblk_t, int(K),
+                                   interpret, window=1)
+        Y = Y_priv[:Lx, :]
+        off = Lx
+        for k, Lk in enumerate(round_lens):
+            if Lk == 0:
+                continue
+            seg = jax.lax.ppermute(Y_priv[off:off + Lk, :], axis,
+                                   perm=list(rev_perms[k]))
+            off += Lk
+            Y = Y.at[send_blks[k][0], :].add(seg)
+        return Y
+
+    nsend = len(round_lens)
+    mapped = shard_map(
+        local_mm_t, mesh=mesh,
+        in_specs=(P(axis, None, None, None),) * 4 + (P(axis, None),)
+        + (P(axis, None),) + (P(axis, None),) * nsend,
+        out_specs=P(axis, None),
+        check_vma=False)
+
+    def mm_t(params, X):
+        (dat, lan, bnd, blo, bl), send = params[2], params[1]
+        return mapped(dat, lan, bnd, blo, bl, X, *send)
+
+    return mm_t
 
 
 class GatherBellOperator(LinearOperator):
@@ -267,8 +359,10 @@ class GatherBellOperator(LinearOperator):
 
         mv = _bell_gather_mv_factory(axis, d, round_lens, cfg, Lrow,
                                      mesh, bool(interpret))
+        mm = _bell_gather_mm_factory(axis, d, round_lens, cfg, Lrow,
+                                     mesh, bool(interpret))
         if symmetric:
-            rmv, dev_t = mv, None
+            rmv, rmm, dev_t = mv, mm, None
         elif with_transpose:
             arrs_t, cfg_t = _pack_local_blocks(data, cols_local, d, Lrow,
                                                width, nblk,
@@ -277,11 +371,15 @@ class GatherBellOperator(LinearOperator):
             rmv = _bell_gather_mvT_factory(axis, d, round_lens, cfg_t,
                                            Lrow, Lx, mesh,
                                            bool(interpret))
+            rmm = _bell_gather_mmT_factory(axis, d, round_lens, cfg_t,
+                                           Lrow, Lx, mesh,
+                                           bool(interpret))
         else:
-            rmv, dev_t = None, None
+            rmv, rmm, dev_t = None, None, None
 
         is_complex = np.issubdtype(data.dtype, np.complexfloating)
         super().__init__(np_, mp, matvec=mv, matvec_transp=rmv,
+                         matmat=mm, matmat_transp=rmm,
                          params=(dev, send_s, dev_t),
                          _takes_params=True, symmetric=symmetric,
                          hermitian=symmetric and not is_complex,

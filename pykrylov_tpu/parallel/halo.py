@@ -56,6 +56,53 @@ def _halo_mv_factory(offsets, axis, n_dev, mesh):
 
 
 @functools.lru_cache(maxsize=None)
+def _halo_mm_factory(offsets, axis, n_dev, mesh):
+    """Block-product twin: the halo exchange ships (w, K) slices and the
+    shifted axpys broadcast over the K columns — one shard_map streams
+    the local diagonal blocks once for all K systems (matmat protocol,
+    solvers/batched._apply_block)."""
+    local_mm = _halo_matmat_factory(offsets, axis, n_dev)
+    mapped = shard_map(local_mm, mesh=mesh,
+                       in_specs=(P(None, axis), P(axis, None)),
+                       out_specs=P(axis, None))
+
+    def mm(params, X):
+        return mapped(params, X)
+
+    return mm
+
+
+@functools.lru_cache(maxsize=None)
+def _halo_matmat_factory(offsets, axis, n_dev):
+    """Per-shard block product: halo exchange + local shifted axpys on
+    an (L, K) block."""
+    w = max((abs(o) for o in offsets), default=0)
+    fwd_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def local_mm(data_blk, X_blk):
+        L = X_blk.shape[0]
+        idx = jax.lax.axis_index(axis)
+        if w > 0:
+            left = jax.lax.ppermute(X_blk[-w:, :], axis, perm=fwd_perm)
+            right = jax.lax.ppermute(X_blk[:w, :], axis, perm=bwd_perm)
+            left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+            right = jnp.where(idx == n_dev - 1, jnp.zeros_like(right),
+                              right)
+            Xp = jnp.concatenate([left, X_blk, right], axis=0)
+        else:
+            Xp = X_blk
+        Y = jnp.zeros(X_blk.shape,
+                      dtype=jnp.result_type(data_blk.dtype, X_blk.dtype))
+        for k, off in enumerate(offsets):
+            Y = Y + data_blk[k][:, None] * jax.lax.dynamic_slice_in_dim(
+                Xp, w + off, L, axis=0)
+        return Y
+
+    return local_mm
+
+
+@functools.lru_cache(maxsize=None)
 def _halo_matvec_factory(offsets, axis, n_dev):
     """Build the per-shard matvec: halo exchange + local shifted axpys.
 
@@ -128,11 +175,12 @@ class HaloDiaOperator(LinearOperator):
         data = jax.device_put(jnp.asarray(data), sh)
 
         mv = _halo_mv_factory(tuple(dia.offsets), axis, n_dev, mesh)
+        mm = _halo_mm_factory(tuple(dia.offsets), axis, n_dev, mesh)
 
         is_complex = np.issubdtype(dia.data.dtype, np.complexfloating)
         # Structural symmetry of the *values* is the caller's contract
         # (gallery stencils are symmetric); offsets symmetry checked above.
-        super().__init__(mp, mp, matvec=mv, params=data,
+        super().__init__(mp, mp, matvec=mv, matmat=mm, params=data,
                          _takes_params=True, symmetric=True,
                          hermitian=not is_complex,
                          dtype=dia.data.dtype, **kwargs)

@@ -56,6 +56,15 @@ def _dense_tall_factory(axis, mesh):
                     in_specs=(P(axis, None), P()), out_specs=P(axis))
     adj = shard_map(local_adj, mesh=mesh,
                     in_specs=(P(axis, None), P(axis)), out_specs=P())
+    # block products: same local matmuls on (n, K)/(L, K) blocks — the
+    # row-block A_i streams once for all K columns, one psum for the
+    # whole adjoint block (matmat protocol)
+    fwd2 = shard_map(local_fwd, mesh=mesh,
+                     in_specs=(P(axis, None), P(None, None)),
+                     out_specs=P(axis, None))
+    adj2 = shard_map(local_adj, mesh=mesh,
+                     in_specs=(P(axis, None), P(axis, None)),
+                     out_specs=P(None, None))
 
     def mv(params, x):
         return fwd(params[0], x)
@@ -63,7 +72,13 @@ def _dense_tall_factory(axis, mesh):
     def mv_t(params, u):
         return adj(params[0], u)
 
-    return mv, mv_t
+    def mm(params, X):
+        return fwd2(params[0], X)
+
+    def mm_t(params, U):
+        return adj2(params[0], U)
+
+    return mv, mv_t, mm, mm_t
 
 
 @functools.lru_cache(maxsize=None)
@@ -76,12 +91,30 @@ def _ell_tall_factory(axis, mesh, n):
         part = jnp.zeros(n, prods.dtype).at[cols_blk].add(prods)
         return jax.lax.psum(part, axis)
 
+    def local_fwd2(data_blk, cols_blk, X):
+        # (Lm, w) gather against (n, K): one fused gather per block
+        return jnp.einsum("rw,rwk->rk", data_blk, X[cols_blk])
+
+    def local_adj2(data_blk, cols_blk, U_blk):
+        prods = data_blk[:, :, None] * U_blk[:, None, :]  # (Lm, w, K)
+        part = jnp.zeros((n, U_blk.shape[1]), prods.dtype).at[
+            cols_blk].add(prods)
+        return jax.lax.psum(part, axis)
+
     fwd = shard_map(local_fwd, mesh=mesh,
                     in_specs=(P(axis, None), P(axis, None), P()),
                     out_specs=P(axis))
     adj = shard_map(local_adj, mesh=mesh,
                     in_specs=(P(axis, None), P(axis, None), P(axis)),
                     out_specs=P())
+    fwd2 = shard_map(local_fwd2, mesh=mesh,
+                     in_specs=(P(axis, None), P(axis, None),
+                               P(None, None)),
+                     out_specs=P(axis, None))
+    adj2 = shard_map(local_adj2, mesh=mesh,
+                     in_specs=(P(axis, None), P(axis, None),
+                               P(axis, None)),
+                     out_specs=P(None, None))
 
     def mv(params, x):
         return fwd(params[0], params[1], x)
@@ -89,7 +122,13 @@ def _ell_tall_factory(axis, mesh, n):
     def mv_t(params, u):
         return adj(params[0], params[1], u)
 
-    return mv, mv_t
+    def mm(params, X):
+        return fwd2(params[0], params[1], X)
+
+    def mm_t(params, U):
+        return adj2(params[0], params[1], U)
+
+    return mv, mv_t, mm, mm_t
 
 
 class TallSkinnyOperator(LinearOperator):
@@ -126,7 +165,7 @@ class TallSkinnyOperator(LinearOperator):
             sh = NamedSharding(mesh, P(axis, None))
             params = (jax.device_put(jnp.asarray(data), sh),
                       jax.device_put(jnp.asarray(cols), sh))
-            mv, mv_t = _ell_tall_factory(axis, mesh, int(n))
+            mv, mv_t, mm, mm_t = _ell_tall_factory(axis, mesh, int(n))
             dtype = data.dtype
         else:
             a = np.asarray(source)
@@ -139,10 +178,11 @@ class TallSkinnyOperator(LinearOperator):
             ap[:m] = a
             sh = NamedSharding(mesh, P(axis, None))
             params = (jax.device_put(jnp.asarray(ap), sh),)
-            mv, mv_t = _dense_tall_factory(axis, mesh)
+            mv, mv_t, mm, mm_t = _dense_tall_factory(axis, mesh)
             dtype = a.dtype
 
         super().__init__(n, mp, matvec=mv, matvec_transp=mv_t,
+                         matmat=mm, matmat_transp=mm_t,
                          params=params, _takes_params=True,
                          symmetric=False,
                          dtype=np.dtype(dtype), **kwargs)

@@ -204,3 +204,35 @@ def test_rectangular_bell_products_and_lsmr(mesh):
     # can only reach f32 matvec accuracy
     np.testing.assert_allclose(np.asarray(res.x)[:n], x_ref, rtol=2e-3,
                                atol=5e-5)
+
+
+def test_gather_bell_block_product_matches_columns():
+    # matmat protocol on the scheduled-gather BELL operator (round 3):
+    # forward and transpose block products == per-column matvecs
+    import numpy as np
+    import jax.numpy as jnp
+    from pykrylov_tpu.parallel import make_mesh
+    from pykrylov_tpu.parallel.bell_sharded import GatherBellOperator
+    from pykrylov_tpu.sparse import formats as F
+
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(9)
+    m = n = 600
+    nnz = 4000
+    r = rng.integers(0, m, nnz)
+    c = np.clip(r + rng.integers(-80, 80, nnz), 0, n - 1)
+    v = rng.standard_normal(nnz).astype(np.float32)
+    coo = F.coo_from_arrays(v, r, c, (m, n), device=False)
+    op = GatherBellOperator(coo, mesh, with_transpose=True)
+    assert op._mm is not None and op._rmm is not None
+    K = 3
+    X = rng.standard_normal((op.nargin, K)).astype(np.float32)
+    Y = np.asarray(op @ jnp.asarray(X))
+    colsv = np.stack([np.asarray(op @ jnp.asarray(X[:, j]))
+                      for j in range(K)], axis=1)
+    np.testing.assert_allclose(Y, colsv, rtol=2e-5, atol=2e-5)
+    U = rng.standard_normal((op.nargout, K)).astype(np.float32)
+    YT = np.asarray(op.T @ jnp.asarray(U))
+    colsT = np.stack([np.asarray(op.T @ jnp.asarray(U[:, j]))
+                      for j in range(K)], axis=1)
+    np.testing.assert_allclose(YT, colsT, rtol=2e-5, atol=2e-5)
