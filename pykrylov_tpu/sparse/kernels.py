@@ -181,6 +181,7 @@ def _halo_rows_exact(offsets, brows):
 
 
 _RING = 4  # x ring slots: blocks i-1, i, i+1 resident + 1 in flight
+_MM_VMEM_BUDGET = 12 << 20  # SpMM scoped-VMEM estimate cap (16 MB hard)
 
 
 def _dia_kernel_ring(offsets, brows, hrows, ndiag, nblk,
@@ -391,7 +392,7 @@ def _dia_matmat_call(d3, X, offsets, block, interpret):
                 + K * br * (1 + min(ndiag, 8))   # rolled windows/temps
                 ) * LANES * 4
 
-    while _vmem_est(brows) > (12 << 20) and brows % 2 == 0:
+    while _vmem_est(brows) > _MM_VMEM_BUDGET and brows % 2 == 0:
         try:
             _halo_rows_exact(offsets, brows // 2)
         except ValueError:
