@@ -36,12 +36,13 @@ from .pipelined import cg_pipelined
 from .diff import make_differentiable, cg_solve, bicgstab_solve, lsqr_solve
 from .refine import refined_solve, refined_lls
 from .batched import (cg_batched, bicgstab_batched, cgs_batched,
-                      tfqmr_batched, lsqr_batched, solve_columns)
+                      tfqmr_batched, minres_batched, lsqr_batched,
+                      solve_columns)
 
 __all__ = ["SolveResult", "cg", "minres", "symmlq", "bicgstab", "cgs",
            "tfqmr", "lsqr", "lsmr", "craig", "craigmr", "cg_pipelined",
            "make_differentiable", "cg_solve", "bicgstab_solve",
            "lsqr_solve", "refined_solve", "refined_lls", "cg_batched",
            "lsqr_batched", "bicgstab_batched", "cgs_batched",
-           "tfqmr_batched",
+           "tfqmr_batched", "minres_batched",
            "solve_columns"]

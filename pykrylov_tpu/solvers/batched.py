@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -39,8 +40,9 @@ from .common import (apply_op, as_operator, default_maxiter, promote_rhs,
 from .result import SolveResult
 
 __all__ = ["cg_batched", "bicgstab_batched", "cgs_batched",
-           "tfqmr_batched", "lsqr_batched", "solve_columns",
-           "ISTOP_MSG", "ISTOP_MSG_TF", "ISTOP_MSG_LSQR"]
+           "tfqmr_batched", "minres_batched", "lsqr_batched",
+           "solve_columns", "ISTOP_MSG", "ISTOP_MSG_TF",
+           "ISTOP_MSG_LSQR", "ISTOP_MSG_MINRES"]
 
 # cg_batched istop codes (per column); lsqr_batched columns follow the
 # LSQR table re-exported below
@@ -672,6 +674,217 @@ def tfqmr_batched(A, B, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
     X0 = _check_x0(x0, B, "tfqmr_batched")
     return _tfqmr_batched(A, B, X0, M, float(rtol), float(atol),
                           int(maxiter), bool(store_history))
+
+
+# ---------------------------------------------------------------------------
+# Batched MINRES
+# ---------------------------------------------------------------------------
+
+from .minres import ISTOP_MSG as ISTOP_MSG_MINRES  # noqa: E402
+
+_MINRES_CONVERGED = (1, 2, 3, 4, 10)
+
+
+@partial(jax.jit, static_argnames=("itnlim", "window", "store_history"))
+def _minres_batched(A, B, M, shift, rtol, etol, itnlim, window,
+                    store_history):
+    dtype = B.dtype
+    n, K = B.shape
+    eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
+    zK = jnp.zeros(K, dtype)
+
+    Y = _apply_block(M, B) if M is not None else B
+    beta1_sq = _col_dot(B, Y).astype(dtype)
+    indef_precon = beta1_sq < 0              # istop 9 (minres.py:168-171)
+    zero_b = beta1_sq == 0                   # istop 0 (minres.py:173-177)
+    beta1 = jnp.sqrt(jnp.maximum(beta1_sq, 0))
+    hist = (jnp.full((itnlim + 1, K), jnp.nan, dtype).at[0].set(beta1)
+            if store_history else None)
+
+    state0 = dict(
+        x=jnp.zeros((n, K), dtype), r1=B, r2=B, y=Y,
+        w=jnp.zeros((n, K), dtype), w2=jnp.zeros((n, K), dtype),
+        oldb=zK, beta=beta1, dbar=zK, epsln=zK,
+        phibar=beta1, rhs1=beta1, rhs2=zK,
+        tnorm2=zK, ynorm2=zK,
+        cs=-jnp.ones(K, dtype), sn=zK,
+        gmax=zK, gmin=zK, x_nrg2=zK,
+        d_err=jnp.zeros((window, K), dtype),
+        anorm=zK, acond=zK, ynorm=zK, arnorm=zK, rnorm=beta1,
+        istop=jnp.where(indef_precon, 9, 0).astype(jnp.int32),
+        itn=jnp.zeros((), jnp.int32),
+        done=indef_precon | zero_b,
+        iters=jnp.zeros(K, jnp.int32), hist=hist)
+
+    def cond(s):
+        return jnp.any(~s["done"]) & (s["itn"] < itnlim)
+
+    def body(s):
+        act = ~s["done"]
+        itn = s["itn"] + 1
+        # ---- Lanczos step (minres.py:236-255), column-vectorized ------
+        v = s["y"] / _safe(s["beta"])
+        y = _apply_block(A, v) - shift * v
+        y = jnp.where(itn >= 2,
+                      y - (s["beta"] / _safe(s["oldb"])) * s["r1"], y)
+        alfa = _col_dot(v, y).astype(dtype)
+        y = y - (alfa / _safe(s["beta"])) * s["r2"]
+        r1, r2 = s["r2"], y
+        y = _apply_block(M, r2) if M is not None else r2
+        oldb = s["beta"]
+        beta_sq = _col_dot(r2, y).astype(dtype)
+        indef = act & (beta_sq < 0)      # istop 6 (minres.py:251-255)
+        go = act & ~indef
+        beta = jnp.sqrt(jnp.maximum(beta_sq, 0))
+
+        tnorm2 = s["tnorm2"] + alfa**2 + oldb**2 + beta**2
+        near_const = beta / _safe(beta1) <= 10 * eps
+        istop = jnp.where(go & (itn == 1) & near_const,
+                          jnp.asarray(-1, jnp.int32), s["istop"])
+        gmax0 = jnp.where(itn == 1, jnp.abs(alfa), s["gmax"])
+        gmin0 = jnp.where(itn == 1, jnp.abs(alfa), s["gmin"])
+
+        # ---- previous rotation (minres.py:266-289) ---------------------
+        oldeps = s["epsln"]
+        delta = s["cs"] * s["dbar"] + s["sn"] * alfa
+        gbar = s["sn"] * s["dbar"] - s["cs"] * alfa
+        epsln = s["sn"] * beta
+        dbar = -s["cs"] * beta
+        root = jnp.hypot(gbar, dbar)
+        arnorm = s["phibar"] * root
+
+        gamma = jnp.maximum(jnp.hypot(gbar, beta), eps)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * s["phibar"]
+        phibar = sn * s["phibar"]
+
+        # ---- solution update (minres.py:293-297) -----------------------
+        w1, w2 = s["w2"], s["w"]
+        w = (v - oldeps * w1 - delta * w2) / gamma
+        x = s["x"] + phi * w
+
+        # ---- truncated direct-error window (minres.py:303-310) ---------
+        x_nrg2 = s["x_nrg2"] + phi * phi
+        d_err = s["d_err"].at[itn % window].set(
+            jnp.where(go, phi, s["d_err"][itn % window]))
+        trnc = jnp.linalg.norm(d_err, axis=0)
+        small_err = (itn > window) & (trnc < etol * jnp.sqrt(x_nrg2))
+        istop = jnp.where(go & (istop == 0) & small_err,
+                          jnp.asarray(10, jnp.int32), istop)
+
+        gmax = jnp.maximum(gmax0, gamma)
+        gmin = jnp.minimum(gmin0, gamma)
+        z = s["rhs1"] / gamma
+        ynorm2 = z**2 + s["ynorm2"]
+        rhs1 = s["rhs2"] - delta * z
+        rhs2 = -epsln * z
+
+        # ---- norm estimates + stopping tests (minres.py:321-361) -------
+        anorm = jnp.sqrt(tnorm2)
+        ynorm = jnp.sqrt(ynorm2)
+        epsx = anorm * ynorm * eps
+        rnorm = phibar
+        test1 = rnorm / _safe(anorm * ynorm)
+        test2 = root / _safe(anorm)
+        acond = gmax / _safe(gmin)
+
+        code = istop
+        code = jnp.where(1 + test2 <= 1, 2, code)
+        code = jnp.where(1 + test1 <= 1, 1, code)
+        code = jnp.where(itn >= itnlim, 6, code)
+        code = jnp.where(acond >= 0.1 / eps, 4, code)
+        code = jnp.where(epsx >= beta1, 3, code)
+        code = jnp.where(test2 <= rtol, 2, code)
+        code = jnp.where(test1 <= rtol, 1, code)
+        istop = jnp.where(go & (istop == 0), code.astype(jnp.int32),
+                          istop)
+        istop = jnp.where(indef, jnp.asarray(6, jnp.int32), istop)
+
+        def mc(new, old):
+            return jnp.where(go, new, old)
+
+        def mv(new, old):
+            return jnp.where(go[None, :], new, old)
+
+        h2 = s["hist"]
+        if h2 is not None:
+            h2 = h2.at[itn].set(jnp.where(go, rnorm, jnp.nan))
+        return dict(
+            x=mv(x, s["x"]), r1=mv(r1, s["r1"]), r2=mv(r2, s["r2"]),
+            y=mv(y, s["y"]), w=mv(w, s["w"]), w2=mv(w2, s["w2"]),
+            oldb=mc(oldb, s["oldb"]), beta=mc(beta, s["beta"]),
+            dbar=mc(dbar, s["dbar"]), epsln=mc(epsln, s["epsln"]),
+            phibar=mc(phibar, s["phibar"]),
+            rhs1=mc(rhs1, s["rhs1"]), rhs2=mc(rhs2, s["rhs2"]),
+            tnorm2=mc(tnorm2, s["tnorm2"]), ynorm2=mc(ynorm2, s["ynorm2"]),
+            cs=mc(cs, s["cs"]), sn=mc(sn, s["sn"]),
+            gmax=mc(gmax, s["gmax"]), gmin=mc(gmin, s["gmin"]),
+            x_nrg2=mc(x_nrg2, s["x_nrg2"]), d_err=d_err,
+            anorm=mc(anorm, s["anorm"]), acond=mc(acond, s["acond"]),
+            ynorm=mc(ynorm, s["ynorm"]), arnorm=mc(arnorm, s["arnorm"]),
+            rnorm=mc(rnorm, s["rnorm"]), istop=istop, itn=itn,
+            done=s["done"] | (istop > 0),
+            iters=s["iters"] + act.astype(jnp.int32), hist=h2)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    istop = s["istop"]
+    x_out = jnp.where(zero_b[None, :], jnp.zeros((n, K), dtype), s["x"])
+    converged = zero_b | jnp.isin(istop, jnp.asarray(_MINRES_CONVERGED))
+    info = {"Anorm": s["anorm"], "Acond": s["acond"],
+            "Arnorm": s["arnorm"], "ynorm": s["ynorm"],
+            "n_iter_columns": s["iters"], "active_at_exit": ~s["done"]}
+    return SolveResult(
+        x=x_out, converged=converged, istop=istop,
+        n_iter=s["itn"], n_matvec=s["itn"],
+        resid_norm=jnp.where(zero_b, jnp.zeros(K, dtype), s["rnorm"]),
+        resid_norm0=beta1, resid_history=s["hist"], info=info)
+
+
+def minres_batched(A, B, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
+                   window=5, itnlim=None, store_history=False):
+    """Solve symmetric (possibly indefinite) ``(A - shift I) X = B`` for
+    an (n, K) block of right-hand sides by MINRES in ONE fused
+    while-loop.
+
+    Completes the batched short-recurrence family for the symmetric
+    class: each column runs the reference Paige–Saunders recurrence —
+    Lanczos step, Givens rotation chain, w recurrence, the full istop
+    battery incl. the energy-norm direct-error window
+    (``/root/reference/pykrylov/minres/minres.py:220-361``) — under a
+    per-column freeze mask, while the matvec and the preconditioner
+    solve apply to the whole block, streaming the operator once per
+    iteration for all K systems.  Per-column indefinite-preconditioner
+    detection (istop 9 at entry, istop 6 mid-loop) freezes only the
+    affected column.
+
+    Parameters mirror :func:`~pykrylov_tpu.solvers.minres` (no
+    ``check``/``show``/``store_iterates``/``replace_every`` — for
+    verified f32 tolerances run the single-RHS solver per column or
+    :func:`~pykrylov_tpu.solvers.refined_solve`).
+
+    Returns :class:`SolveResult` with per-column fields: ``x`` (n, K);
+    ``converged``/``istop``/``resid_norm`` (K,) arrays (istop codes in
+    :data:`ISTOP_MSG_MINRES`); ``info`` carries per-column
+    Anorm/Acond/Arnorm/ynorm and ``n_iter_columns``.  ``resid_norm``
+    columns are the recurrence's ``phibar`` estimates, as in the
+    single-RHS solver.
+    """
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    if B.ndim != 2 or B.shape[0] != A.shape[1] or A.shape[0] != A.shape[1]:
+        from ..ops.base import ShapeError
+        raise ShapeError("minres_batched: operator %r with rhs block %s"
+                         % (A, B.shape))
+    B = promote_rhs(B, A, M)
+    if itnlim is None:
+        itnlim = 5 * B.shape[0]
+    return _minres_batched(A, B, M, float(shift), float(rtol),
+                           float(etol), int(itnlim), int(window),
+                           bool(store_history))
 
 
 # ---------------------------------------------------------------------------

@@ -390,3 +390,95 @@ def test_transpose_free_batched_breakdown_column():
     assert bool(res.converged[0])
     # zero rhs: resid0 = 0 <= thresh -> istop 0 with x = 0
     assert float(jnp.abs(res.x[:, 1]).max()) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# minres_batched
+# ---------------------------------------------------------------------------
+
+def _indef_sym(n=100, n_neg=30, seed=5):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    d = np.concatenate([np.linspace(1, 50, n - n_neg),
+                        -np.linspace(1, 30, n_neg)])
+    return (Q * d) @ Q.T
+
+
+def test_minres_batched_columns_match_single_indefinite():
+    from pykrylov_tpu.solvers import minres_batched
+    a = _indef_sym()
+    n = a.shape[0]
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    rng = np.random.default_rng(6)
+    B = np.stack([a @ np.ones(n), 1e3 * rng.standard_normal(n),
+                  rng.standard_normal(n)], axis=1)
+    res = minres_batched(op, jnp.asarray(B), rtol=1e-10,
+                         store_history=True)
+    assert res.x.shape == (n, 3)
+    for j in range(3):
+        sj = minres(op, jnp.asarray(B[:, j]), rtol=1e-10)
+        assert bool(res.converged[j]) == bool(sj.converged), j
+        assert int(res.istop[j]) == int(sj.istop), j
+        assert abs(int(res.info["n_iter_columns"][j])
+                   - int(sj.n_iter)) <= 3, j
+        rj = np.linalg.norm(B[:, j] - a @ np.asarray(res.x[:, j]))
+        rs = np.linalg.norm(B[:, j] - a @ np.asarray(sj.x))
+        assert rj <= 10 * max(rs, 1e-12), (j, rj, rs)
+    # block iterations = max column iterations; history NaN-masked
+    assert int(res.n_iter) == int(res.info["n_iter_columns"].max())
+    h = np.asarray(res.resid_history)
+    jmin = int(np.argmin(res.info["n_iter_columns"]))
+    kmin = int(res.info["n_iter_columns"][jmin])
+    if kmin + 1 <= int(res.n_iter):
+        assert np.isnan(h[kmin + 1, jmin])
+
+
+def test_minres_batched_preconditioned_and_shifted():
+    from pykrylov_tpu.solvers import minres_batched
+    a = _spd(n=90, cond=1e4, seed=9)
+    n = a.shape[0]
+    shift = -2.5  # (A - shift I) stays SPD
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    M = DiagonalOperator(jnp.asarray(1.0 / np.diag(a)))
+    rng = np.random.default_rng(10)
+    B = np.stack([(a - shift * np.eye(n)) @ np.ones(n),
+                  rng.standard_normal(n)], axis=1)
+    # etol=0 disables the direct-error stop: at cond 1e4 the window rule
+    # fires first (istop 10, ~1e-4 accuracy) and its stopping iteration
+    # is rounding-sensitive, which would make the x comparison moot
+    res = minres_batched(op, jnp.asarray(B), M=M, shift=shift, rtol=1e-10,
+                         etol=0.0)
+    for j in range(2):
+        sj = minres(op, jnp.asarray(B[:, j]), M=M, shift=shift,
+                    rtol=1e-10, etol=0.0)
+        assert bool(res.converged[j]) == bool(sj.converged), j
+        # block reductions round differently than single dots; at cond
+        # 1e4 over ~100 iterations the stop can shift a few iterations
+        assert abs(int(res.info["n_iter_columns"][j])
+                   - int(sj.n_iter)) <= 5, j
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(sj.x), rtol=1e-5,
+                                   atol=1e-7)
+    # forward error ~ cond * residual tolerance at cond 1e4
+    np.testing.assert_allclose(np.asarray(res.x[:, 0]), np.ones(n),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_minres_batched_zero_column_and_indef_precon():
+    from pykrylov_tpu.solvers import minres_batched
+    a = _spd(n=40, cond=10, seed=11)
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    B = np.stack([a @ np.ones(40), np.zeros(40)], axis=1)
+    res = minres_batched(op, jnp.asarray(B), rtol=1e-10)
+    assert bool(res.converged[0]) and bool(res.converged[1])
+    assert int(res.istop[1]) == 0  # beta1 = 0: exact solution x = 0
+    assert float(jnp.abs(res.x[:, 1]).max()) == 0.0
+    # indefinite preconditioner: the affected column reports istop 9 at
+    # entry while the healthy solve proceeds (minres.py:168-171)
+    Mbad = DiagonalOperator(jnp.asarray(
+        np.concatenate([np.ones(20), -np.ones(20)])))
+    # rhs supported on the negative-diagonal half: b' M b < 0 at entry
+    bneg = np.concatenate([np.zeros(20), np.ones(20)])
+    res2 = minres_batched(op, jnp.asarray(bneg[:, None]), M=Mbad)
+    assert int(res2.istop[0]) == 9
+    assert not bool(res2.converged[0])
