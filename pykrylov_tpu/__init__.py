@@ -21,6 +21,8 @@ from .ops import (
     BlockPreconditioner, BlockDiagonalPreconditioner,
     InverseLBFGSOperator, LBFGSOperator, CompactLBFGSOperator,
     StructuredLBFGSOperator, CholeskyOperator, HostFactorizationOperator,
+    pack_complex, unpack_complex, real_equivalent_dense,
+    real_equivalent_coo, real_equivalent_operator, complex_solve,
 )
 from .utils import (machine_epsilon, roots_quadratic, check_symmetric,
                     check_positive_definite)

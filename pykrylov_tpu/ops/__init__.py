@@ -38,6 +38,14 @@ from .lbfgs import (
     StructuredLBFGSOperator,
 )
 from .cholesky import CholeskyOperator, HostFactorizationOperator
+from .complex_eq import (
+    pack_complex,
+    unpack_complex,
+    real_equivalent_dense,
+    real_equivalent_coo,
+    real_equivalent_operator,
+    complex_solve,
+)
 
 __all__ = [
     "ShapeError", "BaseLinearOperator", "LinearOperator", "IdentityOperator",
@@ -53,4 +61,6 @@ __all__ = [
     "InverseLBFGSOperator", "LBFGSOperator", "CompactLBFGSOperator",
     "StructuredLBFGSOperator",
     "CholeskyOperator", "HostFactorizationOperator",
+    "pack_complex", "unpack_complex", "real_equivalent_dense",
+    "real_equivalent_coo", "real_equivalent_operator", "complex_solve",
 ]
