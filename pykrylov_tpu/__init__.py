@@ -21,6 +21,7 @@ from .ops import (
     BlockPreconditioner, BlockDiagonalPreconditioner,
     InverseLBFGSOperator, LBFGSOperator, CompactLBFGSOperator,
     StructuredLBFGSOperator, CholeskyOperator, HostFactorizationOperator,
+    lanczos_bounds, ChebyshevOperator, chebyshev_preconditioner,
     pack_complex, unpack_complex, real_equivalent_dense,
     real_equivalent_coo, real_equivalent_operator, complex_solve,
 )

@@ -38,6 +38,11 @@ from .lbfgs import (
     StructuredLBFGSOperator,
 )
 from .cholesky import CholeskyOperator, HostFactorizationOperator
+from .chebyshev import (
+    lanczos_bounds,
+    ChebyshevOperator,
+    chebyshev_preconditioner,
+)
 from .complex_eq import (
     pack_complex,
     unpack_complex,
@@ -61,6 +66,7 @@ __all__ = [
     "InverseLBFGSOperator", "LBFGSOperator", "CompactLBFGSOperator",
     "StructuredLBFGSOperator",
     "CholeskyOperator", "HostFactorizationOperator",
+    "lanczos_bounds", "ChebyshevOperator", "chebyshev_preconditioner",
     "pack_complex", "unpack_complex", "real_equivalent_dense",
     "real_equivalent_coo", "real_equivalent_operator", "complex_solve",
 ]
