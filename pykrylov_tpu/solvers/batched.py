@@ -41,7 +41,7 @@ from .result import SolveResult
 
 __all__ = ["cg_batched", "bicgstab_batched", "cgs_batched",
            "tfqmr_batched", "minres_batched", "lsqr_batched",
-           "solve_columns", "ISTOP_MSG", "ISTOP_MSG_TF",
+           "lsmr_batched", "solve_columns", "ISTOP_MSG", "ISTOP_MSG_TF",
            "ISTOP_MSG_LSQR", "ISTOP_MSG_MINRES"]
 
 # cg_batched istop codes (per column); lsqr_batched columns follow the
@@ -1089,6 +1089,214 @@ def _lsqr_batched(A, B, M, N, damp, atol, btol, conlim, etol, itnlim,
         n_iter=s["itn"], n_matvec=2 * s["itn"],
         resid_norm=s["r2norm"], resid_norm0=beta,
         resid_history=s["hist"], info=info)
+
+
+@partial(jax.jit, static_argnames=("itnlim", "window", "store_history"))
+def _lsmr_batched(A, B, M, N, damp, atol, btol, conlim, etol, itnlim,
+                  window, store_history):
+    from .lls_common import sym_ortho
+
+    n = A.nargin
+    dtype = B.dtype
+    K = B.shape[1]
+    zK = jnp.zeros(K, dtype)
+    oneK = jnp.ones(K, dtype)
+    ctol = jnp.where(conlim > 0, 1.0 / jnp.where(conlim == 0, 1, conlim),
+                     0.0).astype(dtype)
+
+    u, Mu, v, Nv, alpha, beta = _gk_init_block(A, B, M, N)
+    normb = beta
+    normar0 = alpha * beta
+    x_is_zero = normar0 == 0
+
+    hist = (jnp.full((itnlim + 1, K), jnp.nan, dtype).at[0].set(beta)
+            if store_history else None)
+
+    state0 = dict(
+        x=jnp.zeros((n, K), dtype), h=v, hbar=jnp.zeros((n, K), dtype),
+        u=u, Mu=Mu, v=v, Nv=Nv, alpha=alpha, beta=beta,
+        zetabar=alpha * beta, alphabar=alpha,
+        rho=oneK, rhobar=oneK, cbar=oneK, sbar=zK,
+        betadd=beta, betad=zK, rhodold=oneK, tautildeold=zK,
+        thetatilde=zK, zeta=zK, d=zK,
+        normA2=alpha * alpha, maxrbar=zK,
+        minrbar=jnp.full(K, jnp.inf, dtype),
+        normr=beta, normar=normar0, normA=alpha, condA=oneK, normx=zK,
+        x_nrg2=zK, d_err=jnp.zeros((window, K), dtype),
+        istop=jnp.zeros(K, jnp.int32), iters=jnp.zeros(K, jnp.int32),
+        itn=jnp.zeros((), jnp.int32), done=x_is_zero, hist=hist)
+
+    def cond(s):
+        return jnp.any(~s["done"]) & (s["itn"] < itnlim)
+
+    def body(s):
+        act = ~s["done"]
+        itn = s["itn"] + 1
+        u, Mu, v, Nv, alpha, beta = _gk_step_block(
+            A, M, N, s["v"], s["Mu"], s["Nv"], s["alpha"])
+
+        # ---- rotations (lsmr.py:336-365), column-vectorized ------------
+        chat, shat, alphahat = sym_ortho(s["alphabar"],
+                                         jnp.full(K, damp, dtype))
+        rhoold = s["rho"]
+        c, sn, rho = sym_ortho(alphahat, beta)
+        thetanew = sn * alpha
+        alphabar = c * alpha
+
+        rhobarold = s["rhobar"]
+        zetaold = s["zeta"]
+        thetabar = s["sbar"] * rho
+        rhotemp = s["cbar"] * rho
+        cbar, sbar, rhobar = sym_ortho(s["cbar"] * rho, thetanew)
+        zeta = cbar * s["zetabar"]
+        zetabar = -sbar * s["zetabar"]
+
+        # ---- update h, hbar, x (lsmr.py:367-371) -----------------------
+        hbar = s["h"] - (thetabar * rho
+                         / _safe(rhoold * rhobarold)) * s["hbar"]
+        x = s["x"] + (zeta / _safe(rho * rhobar)) * hbar
+        h = v - (thetanew / _safe(rho)) * s["h"]
+
+        # ---- direct-error window (lsmr.py:376-384) ---------------------
+        x_nrg2 = s["x_nrg2"] + zeta * zeta
+        d_err = s["d_err"].at[itn % window].set(
+            jnp.where(act, zeta, s["d_err"][itn % window]))
+        trnc = jnp.linalg.norm(d_err, axis=0)
+        istop = jnp.where((itn > window) & (trnc < etol * jnp.sqrt(x_nrg2)),
+                          8, s["istop"])
+
+        # ---- ||r|| estimate (lsmr.py:386-404) --------------------------
+        betaacute = chat * s["betadd"]
+        betacheck = -shat * s["betadd"]
+        betahat = c * betaacute
+        betadd = -sn * betaacute
+        thetatildeold = s["thetatilde"]
+        ctildeold, stildeold, rhotildeold = sym_ortho(s["rhodold"],
+                                                      thetabar)
+        thetatilde = stildeold * rhobar
+        rhodold = ctildeold * rhobar
+        betad = -stildeold * s["betad"] + ctildeold * betahat
+        tautildeold = (zetaold - thetatildeold * s["tautildeold"]) \
+            / _safe(rhotildeold)
+        taud = (zeta - thetatilde * tautildeold) / _safe(rhodold)
+        d = s["d"] + betacheck * betacheck
+        normr = jnp.sqrt(d + (betad - taud)**2 + betadd * betadd)
+
+        # ---- ||A|| and cond(A) estimates (lsmr.py:406-412) -------------
+        normA2 = s["normA2"] + beta * beta
+        normA = jnp.sqrt(normA2)
+        normA2 = normA2 + alpha * alpha
+        maxrbar = jnp.maximum(s["maxrbar"], rhobarold)
+        minrbar = jnp.where(itn > 1,
+                            jnp.minimum(s["minrbar"], rhobarold),
+                            s["minrbar"])
+        condA = jnp.maximum(maxrbar, rhotemp) \
+            / _safe(jnp.minimum(minrbar, rhotemp))
+
+        # ---- convergence tests (lsmr.py:416-448) -----------------------
+        normar = jnp.abs(zetabar)
+        normx = jnp.linalg.norm(x, axis=0)
+        sb = jnp.where(normb == 0, 1, normb)
+        test1 = normr / sb
+        test2 = normar / _safe(normA * normr)
+        test3 = 1.0 / _safe(condA)
+        t1 = test1 / (1 + normA * normx / sb)
+        rtol = btol + atol * normA * normx / sb
+
+        istop = jnp.where(itn >= itnlim, 7, istop)
+        istop = jnp.where(1 + test3 <= 1, 6, istop)
+        istop = jnp.where(1 + test2 <= 1, 5, istop)
+        istop = jnp.where(1 + t1 <= 1, 4, istop)
+        istop = jnp.where(test3 <= ctol, 3, istop)
+        istop = jnp.where(test2 <= atol, 2, istop)
+        istop = jnp.where(test1 <= rtol, 1, istop)
+        istop = istop.astype(jnp.int32)
+
+        def mc(new, old):
+            return jnp.where(act, new, old)
+
+        def mv(new, old):
+            return jnp.where(act[None, :], new, old)
+
+        h2 = s["hist"]
+        if h2 is not None:
+            h2 = h2.at[itn].set(jnp.where(act, normr, jnp.nan))
+        return dict(
+            x=mv(x, s["x"]), h=mv(h, s["h"]), hbar=mv(hbar, s["hbar"]),
+            u=mv(u, s["u"]), Mu=mv(Mu, s["Mu"]), v=mv(v, s["v"]),
+            Nv=mv(Nv, s["Nv"]),
+            alpha=mc(alpha, s["alpha"]), beta=mc(beta, s["beta"]),
+            zetabar=mc(zetabar, s["zetabar"]),
+            alphabar=mc(alphabar, s["alphabar"]),
+            rho=mc(rho, s["rho"]), rhobar=mc(rhobar, s["rhobar"]),
+            cbar=mc(cbar, s["cbar"]), sbar=mc(sbar, s["sbar"]),
+            betadd=mc(betadd, s["betadd"]), betad=mc(betad, s["betad"]),
+            rhodold=mc(rhodold, s["rhodold"]),
+            tautildeold=mc(tautildeold, s["tautildeold"]),
+            thetatilde=mc(thetatilde, s["thetatilde"]),
+            zeta=mc(zeta, s["zeta"]), d=mc(d, s["d"]),
+            normA2=mc(normA2, s["normA2"]),
+            maxrbar=mc(maxrbar, s["maxrbar"]),
+            minrbar=mc(minrbar, s["minrbar"]),
+            normr=mc(normr, s["normr"]), normar=mc(normar, s["normar"]),
+            normA=mc(normA, s["normA"]), condA=mc(condA, s["condA"]),
+            normx=mc(normx, s["normx"]), x_nrg2=mc(x_nrg2, s["x_nrg2"]),
+            d_err=d_err, istop=jnp.where(act, istop, s["istop"]),
+            iters=s["iters"] + act.astype(jnp.int32), itn=itn,
+            done=s["done"] | (act & (istop > 0)), hist=h2)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    istop = s["istop"]
+    optimal = jnp.isin(istop, jnp.asarray((0, 1, 2, 4, 5, 8)))
+    info = {"normr": s["normr"], "normar": s["normar"],
+            "normA": s["normA"], "condA": s["condA"],
+            "normx": s["normx"], "optimal": optimal,
+            "n_iter_columns": s["iters"]}
+    return SolveResult(
+        x=s["x"], converged=optimal, istop=istop,
+        n_iter=s["itn"], n_matvec=2 * s["itn"],
+        resid_norm=s["normr"], resid_norm0=normb,
+        resid_history=s["hist"], info=info)
+
+
+def lsmr_batched(A, B, *, damp=0.0, M=None, N=None, atol=1.0e-9,
+                 btol=1.0e-9, conlim=1.0e8, etol=1.0e-6, window=5,
+                 itnlim=None, store_history=False):
+    """Solve ``min ||A x_k - b_k||`` for an (m, K) block of right-hand
+    sides by LSMR in ONE fused while-loop.
+
+    The multi-RHS companion of :func:`~pykrylov_tpu.solvers.lsmr`
+    (reference double-QR recurrence
+    ``/root/reference/pykrylov/lls/lsmr.py:336-448``): each column runs
+    its own Golub-Kahan bidiagonalization, Q/Qbar/Qtilde rotation
+    chains, recursive ``||r||`` estimate and full istop battery under a
+    per-column freeze mask, while A and A' apply to whole blocks — one
+    pair of block products per iteration for all K systems.  Completes
+    the batched least-squares pair alongside :func:`lsqr_batched`.
+
+    Parameters mirror :func:`lsmr` (no ``show``/``verify_final``).
+    Returns :class:`SolveResult` with per-column fields: ``x`` (n, K),
+    ``converged``/``istop``/``resid_norm`` (K,) arrays, the reference
+    tuple's fields (normr/normar/normA/condA/normx) as (K,) arrays in
+    ``info``, and ``info["n_iter_columns"]``; ``n_matvec`` counts BLOCK
+    products.
+    """
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    N = as_operator(N) if N is not None else None
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    if B.ndim != 2 or B.shape[0] != A.shape[0]:
+        from ..ops.base import ShapeError
+        raise ShapeError("lsmr_batched: operator %r with rhs block %s"
+                         % (A, B.shape))
+    B = promote_rhs(B, A, M, N)
+    if itnlim is None:
+        itnlim = min(A.nargout, A.nargin)
+    return _lsmr_batched(A, B, M, N, float(damp), float(atol), float(btol),
+                         float(conlim), float(etol), int(itnlim),
+                         int(window), bool(store_history))
 
 
 def lsqr_batched(A, B, *, damp=0.0, M=None, N=None, atol=1.0e-9,

@@ -482,3 +482,79 @@ def test_minres_batched_zero_column_and_indef_precon():
     res2 = minres_batched(op, jnp.asarray(bneg[:, None]), M=Mbad)
     assert int(res2.istop[0]) == 9
     assert not bool(res2.converged[0])
+
+
+# ---------------------------------------------------------------------------
+# lsmr_batched
+# ---------------------------------------------------------------------------
+
+def test_lsmr_batched_columns_match_single():
+    from pykrylov_tpu.solvers import lsmr, lsmr_batched
+    rng = np.random.default_rng(12)
+    m, n = 90, 40
+    a = rng.standard_normal((m, n))
+    op = linop_from_ndarray(jnp.asarray(a))
+    B = np.stack([a @ np.ones(n), rng.standard_normal(m),
+                  1e2 * rng.standard_normal(m)], axis=1)
+    res = lsmr_batched(op, jnp.asarray(B), atol=1e-10, btol=1e-10,
+                       store_history=True)
+    assert res.x.shape == (n, 3)
+    for j in range(3):
+        sj = lsmr(op, jnp.asarray(B[:, j]), atol=1e-10, btol=1e-10)
+        assert bool(res.converged[j]) == bool(sj.converged), j
+        assert int(res.istop[j]) == int(sj.istop), j
+        assert abs(int(res.info["n_iter_columns"][j])
+                   - int(sj.n_iter)) <= 3, j
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(sj.x), rtol=1e-6,
+                                   atol=1e-8)
+        # normal-equations optimality: ||A'(Ax - b)|| small
+        g = a.T @ (a @ np.asarray(res.x[:, j]) - B[:, j])
+        assert np.linalg.norm(g) <= 1e-6 * np.linalg.norm(
+            a.T @ B[:, j]), j
+    assert int(res.n_iter) == int(res.info["n_iter_columns"].max())
+
+
+def test_lsmr_batched_damped_and_zero_column():
+    from pykrylov_tpu.solvers import lsmr_batched
+    rng = np.random.default_rng(13)
+    m, n = 60, 25
+    a = rng.standard_normal((m, n))
+    damp = 0.7
+    op = linop_from_ndarray(jnp.asarray(a))
+    B = np.stack([rng.standard_normal(m), np.zeros(m)], axis=1)
+    res = lsmr_batched(op, jnp.asarray(B), damp=damp, atol=1e-10,
+                       btol=1e-10, etol=0.0, itnlim=100)
+    # damped normal equations: (A'A + damp^2 I) x = A' b
+    xd = np.linalg.solve(a.T @ a + damp**2 * np.eye(n), a.T @ B[:, 0])
+    np.testing.assert_allclose(np.asarray(res.x[:, 0]), xd, rtol=1e-6,
+                               atol=1e-9)
+    # zero rhs: exact solution x = 0 at zero iterations (istop 0)
+    assert int(res.istop[1]) == 0
+    assert float(jnp.abs(res.x[:, 1]).max()) == 0.0
+    assert bool(res.converged.all())
+
+
+def test_lsmr_batched_preconditioned_sqd():
+    # M/N inner preconditioners (the SQD use, lsqr.py:457-472 analogue):
+    # columns must match single-RHS lsmr with the same M/N
+    from pykrylov_tpu.solvers import lsmr, lsmr_batched
+    rng = np.random.default_rng(14)
+    m, n = 50, 20
+    a = rng.standard_normal((m, n))
+    op = linop_from_ndarray(jnp.asarray(a))
+    M = DiagonalOperator(jnp.asarray(1.0 / np.linspace(1, 3, m)))
+    N = DiagonalOperator(jnp.asarray(1.0 / np.linspace(1, 2, n)))
+    B = np.stack([a @ np.ones(n), rng.standard_normal(m)], axis=1)
+    # etol=0 + itnlim headroom: the direct-error stop's crossing
+    # iteration is rounding-sensitive between block and single dots,
+    # and the min(m,n) default puts code 7 within that jitter
+    res = lsmr_batched(op, jnp.asarray(B), M=M, N=N, atol=1e-10,
+                       btol=1e-10, etol=0.0, itnlim=100)
+    for j in range(2):
+        sj = lsmr(op, jnp.asarray(B[:, j]), M=M, N=N, atol=1e-10,
+                  btol=1e-10, etol=0.0, itnlim=100)
+        assert bool(res.converged[j]) == bool(sj.converged), j
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(sj.x), rtol=1e-5,
+                                   atol=1e-8)
