@@ -128,3 +128,26 @@ def test_preconditioner_protocol_solve_alias():
     x = jnp.arange(30.0)
     np.testing.assert_allclose(np.asarray(M.solve(x)), np.asarray(M * x),
                                rtol=1e-12)
+
+
+def test_chebyshev_composes_with_sharded_operator():
+    # preconditioning shards for free: p(A) of a halo-exchange sharded
+    # operator is itself a sharded operator (matvec-only composition) —
+    # bounds estimation, the polynomial recurrence and CG all run as
+    # sharded device programs
+    from pykrylov_tpu.parallel import make_mesh
+    from pykrylov_tpu.parallel.sharded import sharded_poisson3d
+    from pykrylov_tpu.ops import chebyshev_preconditioner, lanczos_bounds
+
+    mesh = make_mesh(8)
+    op, b, e, pad = sharded_poisson3d(8, mesh, halo=True)
+    lmin, lmax = lanczos_bounds(op, k=12)
+    assert 0 < float(lmin) < float(lmax) <= 12.7  # 3-D Poisson < 12 + pad
+    M = chebyshev_preconditioner(op, degree=6, bounds=(lmin, lmax))
+    plain = cg(op, b, rtol=1e-10)
+    pre = cg(op, b, M=M, rtol=1e-10)
+    assert bool(pre.converged)
+    assert int(pre.n_iter) * 2 <= int(plain.n_iter)
+    assert float(jnp.linalg.norm(pre.x - e)) < 1e-5
+    # solution sharding survives the preconditioned while_loop
+    assert len(pre.x.sharding.device_set) == 8
