@@ -67,7 +67,8 @@ def solve(A, b, method=None, verified=False, **opts):
     A 2-D ``b`` of shape (n, K) dispatches to the fused multi-RHS
     family (``cg_batched`` for symmetric square, ``bicgstab_batched``
     for general square, ``lsqr_batched`` for rectangular; explicit
-    ``method=`` picks its ``*_batched`` twin when one exists) — the
+    ``method=`` picks its ``*_batched`` twin when one exists — cg,
+    bicgstab, cgs, tfqmr, minres, lsqr and lsmr all have one) — the
     sparse operators' SpMM kernels then stream A once per iteration for
     all K systems.  ``verified`` is unsupported for blocks.
     """
@@ -133,7 +134,8 @@ def solve(A, b, method=None, verified=False, **opts):
 
 _BATCHED = {"cg": "cg_batched", "bicgstab": "bicgstab_batched",
             "cgs": "cgs_batched", "tfqmr": "tfqmr_batched",
-            "lsqr": "lsqr_batched"}
+            "minres": "minres_batched", "lsqr": "lsqr_batched",
+            "lsmr": "lsmr_batched"}
 
 
 def _solve_block(A, B, method, verified, opts):
