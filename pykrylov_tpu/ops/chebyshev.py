@@ -101,8 +101,19 @@ def lanczos_bounds(A, *, k=16, seed=0, safety=0.05, v0=None):
                          .standard_normal(n).astype(dt))
     k = int(min(k, n))
     alphas, betas = _lanczos_tridiag(A, v0, k)
-    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
-         + jnp.diag(betas[:-1], -1))
+    # Exact breakdown (beta_j == 0: the Krylov space exhausted in j < k
+    # steps) zero-fills the rest of the scan; the padded zero rows would
+    # inject spurious 0 Ritz values (lmin ~= 0 for an SPD operator).
+    # Mask them out: a row is valid iff every earlier beta was nonzero;
+    # padded diagonal entries are replaced by alphas[0] (a Rayleigh
+    # quotient, so inside the true spectral interval) and the
+    # off-diagonals that couple into padded rows are zeroed.
+    row_ok = jnp.concatenate([
+        jnp.ones((1,), bool),
+        jnp.cumprod((betas[:-1] > 0).astype(jnp.int32)).astype(bool)])
+    alphas = jnp.where(row_ok, alphas, alphas[0])
+    off = jnp.where(row_ok[1:], betas[:-1], jnp.zeros_like(betas[:-1]))
+    T = jnp.diag(alphas) + jnp.diag(off, 1) + jnp.diag(off, -1)
     ritz = jnp.linalg.eigvalsh(T)
     lmin, lmax = ritz[0], ritz[-1]
     lmin = lmin * jnp.where(lmin > 0, 1.0 - safety, 1.0 + safety)
@@ -208,8 +219,28 @@ def chebyshev_preconditioner(A, *, degree=8, bounds=None, k_lanczos=16,
     ``bounds=(lmin, lmax)`` skips the estimation (floats or device
     scalars).  Returns a :class:`ChebyshevOperator` usable as ``M=`` in
     cg/minres/symmlq and their batched variants.
+
+    When the bounds are CONCRETE (host floats or non-traced device
+    scalars) they are validated: ``lmin <= 0`` or ``lmin >= lmax``
+    raises, because the polynomial then has roots inside the interval
+    and ``p(A)`` is not SPD — CG/MINRES would fail downstream with no
+    pointer to the cause.  Traced bounds (inside jit) skip the check.
     """
     if bounds is None:
         bounds = lanczos_bounds(A, k=k_lanczos, seed=seed, safety=safety)
     lmin, lmax = bounds
+    try:
+        lmin_c, lmax_c = float(lmin), float(lmax)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError, TypeError):
+        pass  # traced bounds: caller asserts validity
+    else:
+        if lmin_c <= 0 or lmin_c >= lmax_c:
+            raise ValueError(
+                "chebyshev_preconditioner: spectral interval [%g, %g] is "
+                "not positive (the operator looks indefinite or "
+                "semidefinite on the probed subspace); p(A) would not be "
+                "SPD. Provide bounds= for a shifted/regularized interval "
+                "or use an indefinite-capable method (MINRES)."
+                % (lmin_c, lmax_c))
     return ChebyshevOperator(A, lmin, lmax, degree=degree)

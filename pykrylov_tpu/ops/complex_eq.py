@@ -79,7 +79,11 @@ def unpack_complex(x):
         raise ValueError("unpack_complex: leading dimension %d is odd"
                          % m2)
     m = m2 // 2
-    ct = np.complex64 if x.dtype == np.float32 else np.complex128
+    # Pair every sub-double float (f32, and the bf16/f16 blocks that
+    # low-precision solves produce) with complex64; only f64 widens to
+    # complex128 — upcasting bf16 results to c128 would fabricate
+    # precision.
+    ct = np.complex128 if x.dtype == np.float64 else np.complex64
     return (x[:m] + 1j * x[m:]).astype(ct)
 
 

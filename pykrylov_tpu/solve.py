@@ -13,12 +13,19 @@ scipy users expect from ``spsolve``-style entry points):
 Explicit ``method=`` accepts any solver name exported by
 :mod:`pykrylov_tpu.solvers`.
 
-Traceability contract: the automatic fallbacks (CG→MINRES, BiCGSTAB→TFQMR)
-dispatch on the *concrete* stop code, which requires a host synchronization.
-Inside ``jit``/``vmap`` the stop code is a tracer, so ``solve`` returns the
-first solver's result as-is (no fallback) — call a concrete solver
-(``pykrylov_tpu.solvers.cg`` etc.) directly when tracing, or run ``solve``
-outside the traced region.
+Traceability contract: outside ``jit`` the automatic fallbacks (CG→MINRES,
+BiCGSTAB→TFQMR) dispatch on the *concrete* stop code (one host
+synchronization).  Inside ``jit``/``vmap`` the stop code is a tracer, so
+the fallback is FUSED instead: the second solver runs under a
+``lax.cond`` selected by the first solver's stop code, inside the same
+compiled program — a traced ``solve`` on an indefinite operator returns
+the converged MINRES-path result, never a silently degraded CG abort.
+Both branches of a ``lax.cond`` must return one pytree structure, so the
+traced path returns a *stripped* result: ``resid_history=None`` and
+``info={"fallback_used": <bool>}`` (``istop`` then belongs to the solver
+named by ``fallback_used``); ``store_history``/``store_iterates``/
+``verify_final`` raise under tracing — call a concrete solver directly
+when those are needed.
 """
 
 from __future__ import annotations
@@ -120,15 +127,21 @@ def solve(A, b, method=None, verified=False, **opts):
 
     if A.symmetric or A.hermitian:
         res = _S.cg(A, b, check_curvature=True, **opts)
-        if _concrete_istop(res) == 2:  # indefinite → MINRES handles it
+        code = _concrete_istop(res)
+        if code == 2:  # indefinite → MINRES handles it
             return _minres_fallback(A, b, res, opts)
+        if code is None:  # tracer: fused lax.cond fallback
+            return _fused_sym_fallback(A, b, res, opts)
         return res
 
     res = _S.bicgstab(A, b, **opts)
-    if _concrete_istop(res) == 3:  # breakdown → different recurrence
+    code = _concrete_istop(res)
+    if code == 3:  # breakdown → different recurrence
         # BiCGSTAB and TFQMR share their whole keyword surface, so every
         # option (x0, rtol, atol, matvec_max, store_history, M) carries over.
         return _S.tfqmr(A, b, **opts)
+    if code is None:
+        return _fused_gen_fallback(A, b, res, opts)
     return res
 
 
@@ -170,6 +183,92 @@ def _solve_block(A, B, method, verified, opts):
     if A.symmetric or A.hermitian:
         return _S.cg_batched(A, B, **opts)
     return _S.bicgstab_batched(A, B, **opts)
+
+
+_UNTRACEABLE_OPTS = ("store_history", "store_iterates", "store_resids",
+                     "verify_final", "show")
+
+
+def _strip_result(res, fallback_used, rdtype):
+    """Coerce a SolveResult onto the one pytree structure both branches
+    of the fused-fallback ``lax.cond`` must share."""
+    return _S.SolveResult(
+        x=res.x,
+        converged=jnp.asarray(res.converged, jnp.bool_),
+        istop=jnp.asarray(res.istop, jnp.int32),
+        n_iter=jnp.asarray(res.n_iter, jnp.int32),
+        n_matvec=jnp.asarray(res.n_matvec, jnp.int32),
+        resid_norm=jnp.asarray(res.resid_norm, rdtype),
+        resid_norm0=jnp.asarray(res.resid_norm0, rdtype),
+        resid_history=None,
+        info={"fallback_used": jnp.asarray(fallback_used, jnp.bool_)})
+
+
+def _check_traceable_opts(opts, what):
+    bad = [k for k in _UNTRACEABLE_OPTS if opts.get(k)]
+    if bad:
+        raise ValueError(
+            "solve() under jit/vmap fuses the %s fallback with lax.cond, "
+            "which cannot carry %s across branches; call a concrete "
+            "solver (pykrylov_tpu.solvers.*) directly, or pass method=."
+            % (what, "/".join(bad)))
+
+
+def _fused_sym_fallback(A, b, cg_res, opts):
+    """Traced counterpart of :func:`_minres_fallback`: MINRES runs under
+    ``lax.cond(istop == 2)`` inside the caller's program, so a jit'd
+    ``solve`` on an indefinite operator still returns the MINRES-path
+    result.  Costs one extra compiled while_loop in the program; pass
+    ``method="cg"`` to skip it when the operator is known definite."""
+    _check_traceable_opts(opts, "CG→MINRES")
+    from .solvers.minres import _minres
+    rdtype = jnp.zeros((), b.dtype).real.dtype
+    n = b.shape[0]
+    itnlim = int(opts.get("maxiter") or opts.get("matvec_max") or 5 * n)
+    M = opts.get("M")
+    M = as_operator(M) if M is not None else None
+    rtol = jnp.asarray(opts.get("rtol", 1e-12), rdtype)
+    atol = opts.get("atol")
+    if atol is not None:
+        # fold CG's absolute tolerance into MINRES's relative one via the
+        # measured initial residual (traced arithmetic — no host pull)
+        resid0 = jnp.asarray(cg_res.resid_norm0, rdtype)
+        rtol = jnp.maximum(rtol, jnp.asarray(atol, rdtype)
+                           / jnp.maximum(resid0, jnp.finfo(rdtype).tiny))
+    etol = jnp.asarray(opts.get("etol", 1e-6), rdtype)
+    window = int(opts.get("window", 5))
+    x0 = opts.get("x0")
+    x0 = jnp.asarray(x0, b.dtype) if x0 is not None else None
+
+    def run_minres(_):
+        rhs = b if x0 is None else b - apply_op(A, x0)
+        mr = _minres(A, rhs, M, jnp.zeros((), rdtype), rtol, etol,
+                     itnlim, window, False, False)
+        if x0 is not None:
+            mr = dataclasses.replace(mr, x=mr.x + x0,
+                                     n_matvec=mr.n_matvec + 1)
+        return _strip_result(mr, True, rdtype)
+
+    def keep_cg(_):
+        return _strip_result(cg_res, False, rdtype)
+
+    return jax.lax.cond(cg_res.istop == 2, run_minres, keep_cg, None)
+
+
+def _fused_gen_fallback(A, b, bicg_res, opts):
+    """Traced BiCGSTAB→TFQMR fallback: TFQMR runs under
+    ``lax.cond(istop == 3)`` (recurrence breakdown) in the same compiled
+    program; the two solvers share their whole keyword surface."""
+    _check_traceable_opts(opts, "BiCGSTAB→TFQMR")
+    rdtype = jnp.zeros((), b.dtype).real.dtype
+
+    def run_tfqmr(_):
+        return _strip_result(_S.tfqmr(A, b, **opts), True, rdtype)
+
+    def keep(_):
+        return _strip_result(bicg_res, False, rdtype)
+
+    return jax.lax.cond(bicg_res.istop == 3, run_tfqmr, keep, None)
 
 
 def _minres_fallback(A, b, cg_res, opts):

@@ -79,6 +79,38 @@ def test_degree_one_and_validation():
         ChebyshevOperator(nonsym, 1.0, 2.0)
 
 
+def test_indefinite_interval_raises():
+    # concrete lmin <= 0 (indefinite/semidefinite operator): p(A) has
+    # roots in the interval and is not SPD — fail loud at construction
+    a, _ = _spd(n=30, cond=10.0, seed=7)
+    ind = a - 5.0 * np.eye(30)          # shifts the spectrum below 0
+    op = linop_from_ndarray(jnp.asarray(ind), symmetric=True)
+    with pytest.raises(ValueError, match="not positive"):
+        chebyshev_preconditioner(op, k_lanczos=20)
+    spd_op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    with pytest.raises(ValueError, match="not positive"):
+        chebyshev_preconditioner(spd_op, bounds=(2.0, 1.0))
+    with pytest.raises(ValueError, match="not positive"):
+        chebyshev_preconditioner(spd_op, bounds=(-1.0, 2.0))
+
+
+def test_lanczos_breakdown_masks_padding():
+    # an SPD operator whose Krylov space exhausts in r << k steps:
+    # EXACT breakdown (beta == 0) must not inject spurious ~0 Ritz
+    # values — lmin must stay inside the true (positive) spectrum.
+    # v0 = e0 is an exact eigenvector of a diagonal matrix, so the
+    # first step computes w = 3*e0 - 3*e0 = 0 bit-exactly and the scan
+    # zero-fills steps 2..k.
+    n = 32
+    d = np.full(n, 5.0)
+    d[0], d[1] = 3.0, 10.0
+    op = linop_from_ndarray(jnp.asarray(np.diag(d)), symmetric=True)
+    v0 = jnp.zeros(n, jnp.float64).at[0].set(1.0)
+    lmin, lmax = lanczos_bounds(op, k=8, v0=v0, safety=0.0)
+    np.testing.assert_allclose(float(lmin), 3.0, rtol=1e-12)
+    np.testing.assert_allclose(float(lmax), 3.0, rtol=1e-12)
+
+
 def test_cg_iteration_count_drops():
     a, lam = _spd(n=150, cond=1e4, seed=3)
     op = linop_from_ndarray(jnp.asarray(a), symmetric=True)

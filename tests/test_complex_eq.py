@@ -51,6 +51,17 @@ def test_pack_unpack_roundtrip_and_isometry():
         unpack_complex(np.zeros(7))
 
 
+def test_unpack_complex_dtype_pairing():
+    # sub-double floats (f32, and the bf16/f16 blocks low-precision
+    # solves produce) pair with complex64; only f64 widens to c128
+    import jax.numpy as jnp
+    assert unpack_complex(np.zeros(8, np.float64)).dtype == np.complex128
+    assert unpack_complex(np.zeros(8, np.float32)).dtype == np.complex64
+    assert unpack_complex(np.zeros(8, np.float16)).dtype == np.complex64
+    bf = np.asarray(jnp.zeros(8, jnp.bfloat16))
+    assert unpack_complex(bf).dtype == np.complex64
+
+
 def test_real_equivalent_dense_matches_complex_matvec():
     a = _general_complex(17)
     ar = real_equivalent_dense(a)
