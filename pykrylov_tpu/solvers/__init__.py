@@ -36,8 +36,8 @@ from .pipelined import cg_pipelined
 from .diff import make_differentiable, cg_solve, bicgstab_solve, lsqr_solve
 from .refine import refined_solve, refined_lls
 from .batched import (cg_batched, bicgstab_batched, cgs_batched,
-                      tfqmr_batched, minres_batched, lsqr_batched,
-                      lsmr_batched,
+                      tfqmr_batched, minres_batched, symmlq_batched,
+                      lsqr_batched, lsmr_batched,
                       solve_columns)
 
 __all__ = ["SolveResult", "cg", "minres", "symmlq", "bicgstab", "cgs",
@@ -45,5 +45,6 @@ __all__ = ["SolveResult", "cg", "minres", "symmlq", "bicgstab", "cgs",
            "make_differentiable", "cg_solve", "bicgstab_solve",
            "lsqr_solve", "refined_solve", "refined_lls", "cg_batched",
            "lsqr_batched", "bicgstab_batched", "cgs_batched",
-           "tfqmr_batched", "minres_batched", "lsmr_batched",
+           "tfqmr_batched", "minres_batched", "symmlq_batched",
+           "lsmr_batched",
            "solve_columns"]

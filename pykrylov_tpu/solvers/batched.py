@@ -40,9 +40,10 @@ from .common import (apply_op, as_operator, default_maxiter, promote_rhs,
 from .result import SolveResult
 
 __all__ = ["cg_batched", "bicgstab_batched", "cgs_batched",
-           "tfqmr_batched", "minres_batched", "lsqr_batched",
-           "lsmr_batched", "solve_columns", "ISTOP_MSG", "ISTOP_MSG_TF",
-           "ISTOP_MSG_LSQR", "ISTOP_MSG_MINRES"]
+           "tfqmr_batched", "minres_batched", "symmlq_batched",
+           "lsqr_batched", "lsmr_batched", "solve_columns", "ISTOP_MSG",
+           "ISTOP_MSG_TF", "ISTOP_MSG_LSQR", "ISTOP_MSG_MINRES",
+           "ISTOP_MSG_SYMMLQ"]
 
 # cg_batched istop codes (per column); lsqr_batched columns follow the
 # LSQR table re-exported below
@@ -90,11 +91,14 @@ def _check_x0(x0, B, name):
 
 
 @partial(jax.jit, static_argnames=("maxiter", "check_curvature",
-                                   "store_history"))
+                                   "store_history", "replace_every",
+                                   "ff_mm", "leg_rtol"))
 def _cg_batched(A, B, X0, M, rtol, atol, maxiter, check_curvature,
-                store_history):
+                store_history, replace_every=None, ff_mm=None,
+                leg_rtol=1e-2):
     dtype = B.dtype
     n, K = B.shape
+    verified = replace_every is not None
     if X0 is None:
         X = jnp.zeros((n, K), dtype)
         R = B
@@ -105,23 +109,38 @@ def _cg_batched(A, B, X0, M, rtol, atol, maxiter, check_curvature,
         extra = 1
     Y = _apply_block(M, R) if M is not None else R
     ry = _col_dot(R, Y)
-    resid0 = jnp.sqrt(jnp.maximum(ry, 0))
+    # the verified path stops per column on the plain 2-norm of the TRUE
+    # residual (same documented deviation as single-RHS cg's
+    # replace_every: M only accelerates, it does not define the norm)
+    resid0 = (jnp.linalg.norm(R, axis=0) if verified
+              else jnp.sqrt(jnp.maximum(ry, 0)))
     thresh = threshold_of(resid0, rtol, atol)
     hist = (jnp.full((maxiter + 1, K), jnp.nan, resid0.dtype)
             .at[0].set(resid0) if store_history else None)
 
+    Z = jnp.zeros((n, K), dtype)  # lo parts of the double-f32 carries
     active0 = resid0 > thresh
-    carry0 = (X, R, Y, Y, ry, jnp.zeros((), jnp.int32), resid0, active0,
-              jnp.ones(K, bool), jnp.zeros(K, jnp.int32), hist)
+    carry0 = (X, Z, R, Z, Y, Y, ry, jnp.zeros((), jnp.int32), resid0,
+              active0, jnp.ones(K, bool), jnp.zeros(K, jnp.int32),
+              jnp.zeros(K, jnp.int32), jnp.zeros((), jnp.int32), resid0,
+              hist)
 
     def cond(carry):
-        _, _, _, _, _, k, _, active, _, _, _ = carry
+        k, active = carry[7], carry[9]
         return jnp.any(active) & (k < maxiter)
 
     def body(carry):
-        X, R, Y, P, ry, k, resid, active, definite, iters, hist = carry
-        AP = _apply_block(A, P)
-        pAp = _col_dot(P, AP)
+        (X, Xl, R, Rl, Y, P, ry, k, resid, active, definite, iters,
+         nrep_cols, nrep_evts, leg_r0, hist) = carry
+        if verified and ff_mm is not None:
+            # compensated block product: each column's recurrence tracks
+            # exact CG of the f32 matvec sequence (cg.py's per-iteration
+            # ff path — the plain f32 product floors legs at ~6e-6)
+            AP, APl = ff_mm(A._params, P, Z)
+            pAp = _col_dot(P, AP) + _col_dot(P, APl)
+        else:
+            AP, APl = _apply_block(A, P), None
+            pAp = _col_dot(P, AP)
         if check_curvature:
             bad = active & (pAp <= 0)
         else:
@@ -130,39 +149,103 @@ def _cg_batched(A, B, X0, M, rtol, atol, maxiter, check_curvature,
         # frozen columns get alpha = beta-mix 0 so every array column
         # they own is carried bit-unchanged through the remaining sweeps
         alpha = jnp.where(act, ry / jnp.where(pAp == 0, 1, pAp), 0)
-        X2 = X + alpha * P
-        R2 = R - alpha * AP
-        Y2 = _apply_block(M, R2) if M is not None else R2
-        ry2 = _col_dot(R2, Y2)
-        beta = jnp.where(act, ry2 / jnp.where(ry == 0, 1, ry), 0)
-        P2 = jnp.where(act, Y2 + beta * P, P)
-        resid2 = jnp.where(act, jnp.sqrt(jnp.maximum(ry2, 0)), resid)
+        nrep_cols2, nrep_evts2, leg_r02 = nrep_cols, nrep_evts, leg_r0
+        if not verified:
+            X2, Xl2 = X + alpha * P, Xl
+            R2, Rl2 = R - alpha * AP, Rl
+            Y2 = _apply_block(M, R2) if M is not None else R2
+            ry2 = _col_dot(R2, Y2)
+            beta = jnp.where(act, ry2 / jnp.where(ry == 0, 1, ry), 0)
+            P2 = jnp.where(act, Y2 + beta * P, P)
+            resid2 = jnp.where(act, jnp.sqrt(jnp.maximum(ry2, 0)), resid)
+        else:
+            # per-column mirror of single-RHS cg's replace_every branch
+            # (see the long rationale in cg.py): X and R ride double-f32
+            # (hi, lo) pairs; when a column's recurrence claims its leg
+            # target — or every ``replace_every`` iterations as a drift
+            # bound — the TRUE residual block is recomputed
+            # (compensated when the storage supports it) and that
+            # column's direction restarts from the verified state.
+            # Columns can only stop on a true-residual test.
+            from ..utils.ff import ff_add_ff, two_prod, two_sum
+            ps, pe = two_prod(alpha, P)
+            X2, Xl2 = ff_add_ff(X, Xl, ps, pe)
+            qs, qe = two_prod(-alpha, AP)
+            if APl is not None:
+                qe = qe - alpha * APl
+            R2, Rl2 = ff_add_ff(R, Rl, qs, qe)
+            Y_cand = _apply_block(M, R2) if M is not None else R2
+            ry_cand = _col_dot(R2, Y_cand)
+            res_cand = jnp.linalg.norm(R2, axis=0)
+            claims = res_cand <= jnp.maximum(leg_rtol * leg_r0, thresh)
+            do_rep = act & (claims | ((k + 1) % replace_every == 0))
+
+            def _replaced():
+                if ff_mm is not None:
+                    Sh, Sl = ff_mm(A._params, X2, Xl2)
+                else:
+                    Sh = _apply_block(A, X2)
+                    Sl = _apply_block(A, Xl2)
+                D, De = two_sum(B, -Sh)
+                Rt, Rtl = two_sum(D, De - Sl)
+                R3 = jnp.where(do_rep, Rt, R2)
+                Rl3 = jnp.where(do_rep, Rtl, Rl2)
+                Y3 = _apply_block(M, R3) if M is not None else R3
+                ry3 = _col_dot(R3, Y3)
+                res3 = jnp.where(do_rep, jnp.linalg.norm(Rt, axis=0),
+                                 res_cand)
+                return R3, Rl3, Y3, ry3, res3
+
+            R2, Rl2, Y2, ry2, res2 = jax.lax.cond(
+                jnp.any(do_rep), _replaced,
+                lambda: (R2, Rl2, Y_cand, ry_cand, res_cand))
+            nrep_cols2 = nrep_cols + do_rep.astype(jnp.int32)
+            nrep_evts2 = nrep_evts + jnp.any(do_rep).astype(jnp.int32)
+            leg_r02 = jnp.where(do_rep, res2, leg_r0)
+            beta = jnp.where(act, ry2 / jnp.where(ry == 0, 1, ry), 0)
+            P2 = jnp.where(act, jnp.where(do_rep, Y2, Y2 + beta * P), P)
+            resid2 = jnp.where(act, res2, resid)
         # a non-finite column freezes like single cg's loop exit (its
         # cond resid > thresh is False for NaN); it reports istop 1
         done = act & ((resid2 <= thresh) | ~jnp.isfinite(resid2))
         h2 = hist if hist is None else hist.at[k + 1].set(
             jnp.where(active, resid2, jnp.nan))
-        return (X2, R2, jnp.where(act, Y2, Y), P2,
+        # mask BOTH halves of the double-f32 pairs for frozen columns:
+        # ff_add_ff renormalizes (hi, lo) even under a zero update, and
+        # a renormalized hi paired with the stale lo would corrupt the
+        # carried value
+        return (jnp.where(act, X2, X), jnp.where(act, Xl2, Xl),
+                jnp.where(act, R2, R),
+                jnp.where(act, Rl2, Rl), jnp.where(act, Y2, Y), P2,
                 jnp.where(act, ry2, ry), k + 1, resid2, act & ~done,
-                definite & ~bad, iters + active.astype(jnp.int32), h2)
+                definite & ~bad, iters + active.astype(jnp.int32),
+                nrep_cols2, nrep_evts2, leg_r02, h2)
 
-    (X, R, Y, P, ry, k, resid, active, definite, iters, hist) = \
-        jax.lax.while_loop(cond, body, carry0)
+    (X, Xl, R, Rl, Y, P, ry, k, resid, active, definite, iters,
+     nrep_cols, nrep_evts, leg_r0, hist) = jax.lax.while_loop(
+        cond, body, carry0)
 
     converged = resid <= thresh
     istop = jnp.where(converged, 0, jnp.where(definite, 1, 2))
     info = {"definite": definite, "n_iter_columns": iters,
             "active_at_exit": active}
+    extra_total = extra
+    if verified:
+        info["n_replacements"] = nrep_cols
+        info["x_lo"] = Xl
+        # each replacement event is one compensated block product (two
+        # plain ones without a compensated storage path)
+        extra_total = extra + nrep_evts * (1 if ff_mm is not None else 2)
     return SolveResult(
         x=X, converged=converged, istop=istop.astype(jnp.int32),
-        n_iter=k, n_matvec=k + extra,
+        n_iter=k, n_matvec=k + extra_total,
         resid_norm=resid, resid_norm0=resid0,
         resid_history=hist, info=info)
 
 
 def cg_batched(A, B, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
                maxiter=None, matvec_max=None, check_curvature=False,
-               store_history=False):
+               store_history=False, replace_every=None, leg_rtol=1e-2):
     """Solve SPD ``A X = B`` for an (n, K) block of right-hand sides in
     ONE fused while-loop.
 
@@ -175,10 +258,20 @@ def cg_batched(A, B, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
     A's data a single time per iteration for all K systems.
 
     Parameters mirror :func:`~pykrylov_tpu.solvers.cg` (no
-    residual-replacement / telemetry-buffer options; ``x0`` is an
-    (n, K) block).  ``maxiter`` caps BLOCK iterations; a column that
-    converges early freezes and stops counting
-    (``info["n_iter_columns"]``).
+    telemetry-buffer options; ``x0`` is an (n, K) block).  ``maxiter``
+    caps BLOCK iterations; a column that converges early freezes and
+    stops counting (``info["n_iter_columns"]``).
+
+    ``replace_every`` enables VERIFIED per-column stopping, the block
+    counterpart of single-RHS cg's residual-replacement mode: ``X`` and
+    ``R`` ride double-f32 (hi, lo) column blocks, each column stops
+    only on a recomputed TRUE residual (compensated when the operator
+    storage supports it — ELL/dense), and every column refines in
+    ``leg_rtol``-sized legs relative to its own last verified residual.
+    Stopping then uses the plain 2-norm of the unpreconditioned
+    residual (same documented deviation as single cg).  The compensated
+    block product streams A per column (vmap of the ff matvec), so this
+    mode trades the SpMM amortization for the certificate.
 
     Returns
     -------
@@ -203,8 +296,14 @@ def cg_batched(A, B, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
     if maxiter is None:
         maxiter = default_maxiter(B.shape[0], 1, matvec_max)
     X0 = _check_x0(x0, B, "cg_batched")
+    ff_mm = None
+    if replace_every is not None:
+        replace_every = int(replace_every)
+        from .ffmv import resolve_ff_matmat
+        ff_mm = resolve_ff_matmat(A)
     return _cg_batched(A, B, X0, M, float(rtol), float(atol), int(maxiter),
-                       bool(check_curvature), bool(store_history))
+                       bool(check_curvature), bool(store_history),
+                       replace_every, ff_mm, float(leg_rtol))
 
 
 def solve_columns(solver, A, B, **kwargs):
@@ -885,6 +984,246 @@ def minres_batched(A, B, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
     return _minres_batched(A, B, M, float(shift), float(rtol),
                            float(etol), int(itnlim), int(window),
                            bool(store_history))
+
+
+# ---------------------------------------------------------------------------
+# Batched SYMMLQ
+# ---------------------------------------------------------------------------
+
+from .symmlq import ISTOP_MSG as ISTOP_MSG_SYMMLQ  # noqa: E402
+
+_SYMMLQ_CONVERGED = (1, 2)
+
+
+@partial(jax.jit, static_argnames=("matvec_max", "store_history"))
+def _symmlq_batched(A, B, M, shift, rtol, matvec_max, store_history):
+    dtype = B.dtype
+    n, K = B.shape
+    eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
+    itnlim = max(1, matvec_max + 2)
+    zK = jnp.zeros(K, dtype)
+
+    def sdiv(a, d):
+        return a / jnp.where(d == 0, jnp.ones_like(d), d)
+
+    # ---- first + second Lanczos vectors, local reorthogonalization ----
+    # (symmlq.py:128-199, column-vectorized; init counts one matvec)
+    r1 = B
+    Y = _apply_block(M, r1) if M is not None else r1
+    beta1_sq = _col_dot(r1, Y).astype(dtype)
+    indef_precon = beta1_sq < 0
+    zero_b = beta1_sq == 0
+    beta1 = jnp.sqrt(jnp.maximum(beta1_sq, 0))
+
+    v = sdiv(Y, beta1)
+    y = _apply_block(A, v) - shift * v
+    alfa = _col_dot(v, y).astype(dtype)
+    y = y - sdiv(alfa, beta1) * r1
+    z = _col_dot(v, y).astype(dtype)
+    ss = _col_dot(v, v).astype(dtype)
+    y = y - sdiv(z, ss) * v
+    r2 = y
+    Y = _apply_block(M, r2) if M is not None else r2
+    beta_sq = _col_dot(r2, Y).astype(dtype)
+    indef_precon2 = beta_sq < 0
+    dead = indef_precon | zero_b | indef_precon2
+    beta = jnp.sqrt(jnp.maximum(beta_sq, 0))
+    istop0 = jnp.where(indef_precon | indef_precon2, 8, 0)
+    istop0 = jnp.where((istop0 == 0) & (beta <= eps) & ~zero_b, -1,
+                       istop0).astype(jnp.int32)
+
+    hist = (jnp.full((itnlim + 1, K), jnp.nan, dtype).at[0].set(beta1)
+            if store_history else None)
+
+    state0 = dict(
+        x=jnp.zeros((n, K), dtype), w=jnp.zeros((n, K), dtype),
+        r1=r1, r2=r2, y=Y,
+        oldb=beta1, beta=beta, gbar=alfa, dbar=beta,
+        rhs1=beta1, rhs2=zK, snprod=jnp.ones(K, dtype), bstep=zK,
+        tnorm=alfa**2 + beta**2, ynorm2=zK,
+        gmax=jnp.abs(alfa) + eps, gmin=jnp.abs(alfa) + eps,
+        cgnorm=beta1, lqnorm=beta1,
+        diag=jnp.where(alfa == 0, eps, alfa),
+        acond=zK, anorm=zK,
+        istop=istop0, itn=jnp.zeros((), jnp.int32),
+        nmv=jnp.where(dead, 0, 1).astype(jnp.int32),
+        done=dead, hist=hist)
+
+    def cond(s):
+        return (jnp.any(~s["done"] & (s["nmv"] < matvec_max))
+                & (s["itn"] < itnlim))
+
+    def body(s):
+        act = ~s["done"] & (s["nmv"] < matvec_max)
+        itn = s["itn"] + 1
+        # ---- per-column norm estimates + tests (symmlq.py:237-277) ----
+        anorm = jnp.sqrt(s["tnorm"])
+        ynorm = jnp.sqrt(s["ynorm2"])
+        epsa = anorm * eps
+        epsx = anorm * ynorm * eps
+        epsr = anorm * ynorm * rtol
+        diag = jnp.where(s["gbar"] == 0, epsa, s["gbar"])
+        lqnorm = jnp.sqrt(s["rhs1"]**2 + s["rhs2"]**2)
+        qrnorm = s["snprod"] * beta1
+        cgnorm = qrnorm * s["beta"] / jnp.abs(jnp.where(diag == 0, eps,
+                                                        diag))
+        acond = jnp.where(lqnorm < cgnorm, s["gmax"] / s["gmin"],
+                          s["gmax"] / jnp.minimum(s["gmin"],
+                                                  jnp.abs(diag)))
+        code = s["istop"]
+        code = jnp.where(s["nmv"] >= matvec_max, 5, code)
+        code = jnp.where(acond >= 0.1 / eps, 4, code)
+        code = jnp.where(epsx >= beta1, 3, code)
+        code = jnp.where(cgnorm <= epsx, 2, code)
+        code = jnp.where(cgnorm <= epsr, 1, code)
+        istop = jnp.where(act & (s["istop"] == 0), code.astype(jnp.int32),
+                          s["istop"])
+        go = act & (istop == 0)
+
+        # ---- Lanczos step (symmlq.py:286-302), column-vectorized ------
+        v = sdiv(s["y"], s["beta"])
+        ya = _apply_block(A, v) - shift * v
+        ya = ya - sdiv(s["beta"], s["oldb"]) * s["r1"]
+        alfa = _col_dot(v, ya).astype(dtype)
+        ya = ya - sdiv(alfa, s["beta"]) * s["r2"]
+        r1n, r2n = s["r2"], ya
+        y2 = _apply_block(M, r2n) if M is not None else r2n
+        oldb = s["beta"]
+        beta_sq = _col_dot(r2n, y2).astype(dtype)
+        indef = go & (beta_sq < 0)          # istop 6 (symmlq.py:191-199)
+        rot = go & ~indef
+        istop = jnp.where(indef, jnp.asarray(6, jnp.int32), istop)
+        beta_n = jnp.sqrt(jnp.maximum(beta_sq, 0))
+        tnorm = s["tnorm"] + alfa**2 + oldb**2 + beta_n**2
+
+        # ---- plane rotation + LQ update (symmlq.py:307-338) -----------
+        gamma = jnp.hypot(s["gbar"], oldb)
+        gsafe = jnp.where(gamma == 0, eps, gamma)
+        cs = s["gbar"] / gsafe
+        sn = oldb / gsafe
+        delta = cs * s["dbar"] + sn * alfa
+        gbar = sn * s["dbar"] - cs * alfa
+        epsln = sn * beta_n
+        dbar = -cs * beta_n
+        zz = s["rhs1"] / gsafe
+        x = s["x"] + (zz * cs) * s["w"] + (zz * sn) * v
+        w = sn * s["w"] - cs * v
+        bstep = s["snprod"] * cs * zz + s["bstep"]
+        snprod = s["snprod"] * sn
+        gmax = jnp.maximum(s["gmax"], gamma)
+        gmin = jnp.minimum(s["gmin"], gamma)
+        ynorm2 = zz**2 + s["ynorm2"]
+        rhs1 = s["rhs2"] - delta * zz
+        rhs2 = -epsln * zz
+
+        def ma(new, old):  # committed for every column tested this pass
+            return jnp.where(act, new, old)
+
+        def mc(new, old):  # committed only when the rotation ran
+            return jnp.where(rot, new, old)
+
+        def mv(new, old):
+            return jnp.where(rot[None, :], new, old)
+
+        h2 = s["hist"]
+        if h2 is not None:
+            h2 = h2.at[itn].set(jnp.where(act, cgnorm, jnp.nan))
+        return dict(
+            x=mv(x, s["x"]), w=mv(w, s["w"]),
+            r1=mv(r1n, s["r1"]), r2=mv(r2n, s["r2"]),
+            y=mv(y2, s["y"]),
+            oldb=mc(oldb, s["oldb"]), beta=mc(beta_n, s["beta"]),
+            gbar=mc(gbar, s["gbar"]), dbar=mc(dbar, s["dbar"]),
+            rhs1=mc(rhs1, s["rhs1"]), rhs2=mc(rhs2, s["rhs2"]),
+            snprod=mc(snprod, s["snprod"]), bstep=mc(bstep, s["bstep"]),
+            tnorm=mc(tnorm, s["tnorm"]), ynorm2=mc(ynorm2, s["ynorm2"]),
+            gmax=mc(gmax, s["gmax"]), gmin=mc(gmin, s["gmin"]),
+            cgnorm=ma(cgnorm, s["cgnorm"]), lqnorm=ma(lqnorm, s["lqnorm"]),
+            diag=ma(diag, s["diag"]), acond=ma(acond, s["acond"]),
+            anorm=ma(anorm, s["anorm"]),
+            istop=istop, itn=itn,
+            # the step's matvec is spent before indefiniteness is seen
+            # (symmlq on_indef commits nmv), so count go, not rot
+            nmv=s["nmv"] + go.astype(jnp.int32),
+            done=s["done"] | (act & (istop != 0)), hist=h2)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    # budget exhausted via the loop guard (reference leaves istop=0
+    # there); report the iteration limit explicitly, as single symmlq
+    istop = jnp.where((s["istop"] == 0) & ~zero_b,
+                      jnp.asarray(5, jnp.int32), s["istop"])
+
+    # ---- move to the CG point where better (symmlq.py:356-365) --------
+    move = s["cgnorm"] < s["lqnorm"]
+    dsafe = jnp.where(s["diag"] == 0, eps, s["diag"])
+    zbar = s["rhs1"] / dsafe
+    bstep = jnp.where(move, s["snprod"] * zbar + s["bstep"], s["bstep"])
+    x = jnp.where(move[None, :], s["x"] + zbar * s["w"], s["x"])
+
+    # ---- step along b (symmlq.py:367-374) ----------------------------
+    bstep = sdiv(bstep, beta1)
+    Yb = _apply_block(M, B) if M is not None else B
+    x = x + bstep * Yb
+
+    # ---- true final residual, one counted matvec (symmlq.py:376-381) --
+    Ax = _apply_block(A, x) - shift * x
+    rnorm = jnp.linalg.norm(B - Ax, axis=0)
+    xnorm = jnp.linalg.norm(x, axis=0)
+    nmv = s["nmv"] + jnp.where(s["nmv"] == 0, 0, 1)
+
+    x = jnp.where(zero_b[None, :], jnp.zeros((n, K), dtype), x)
+    rnorm = jnp.where(zero_b, zK, rnorm)
+    converged = zero_b | jnp.isin(istop, jnp.asarray(_SYMMLQ_CONVERGED))
+    info = {"Anorm": s["anorm"], "Acond": s["acond"], "xnorm": xnorm,
+            "cgnorm": s["cgnorm"], "lqnorm": s["lqnorm"],
+            "n_matvec_columns": nmv, "active_at_exit": ~s["done"]}
+    return SolveResult(
+        x=x, converged=converged, istop=istop,
+        n_iter=s["itn"], n_matvec=jnp.max(nmv),
+        resid_norm=rnorm, resid_norm0=beta1,
+        resid_history=s["hist"], info=info)
+
+
+def symmlq_batched(A, B, *, M=None, shift=0.0, rtol=1.0e-9,
+                   matvec_max=None, store_history=False):
+    """Solve symmetric (possibly indefinite) ``(A - shift I) X = B`` for
+    an (n, K) block of right-hand sides by SYMMLQ in ONE fused
+    while-loop.
+
+    Each column runs the reference Paige–Saunders LQ recurrence —
+    Lanczos step with the init-time local reorthogonalization, plane
+    rotations, the full istop battery, the LQ-vs-CG exit point and the
+    final step along ``b`` (``/root/reference/pykrylov/symmlq/
+    symmlq.py:65-400``) — under a per-column freeze mask, while the
+    matvec and preconditioner solve apply to whole blocks (one operator
+    stream per iteration for all K systems).  The reference's
+    ``self.matvec`` bug is not replicated (SURVEY §7).
+
+    Parameters mirror :func:`~pykrylov_tpu.solvers.symmlq` (no
+    ``check``/``store_iterates``).  ``matvec_max`` caps PER-COLUMN
+    matvec counts (default 2n+2); per-column counts land in
+    ``info["n_matvec_columns"]`` and ``n_matvec`` reports their max.
+
+    Returns :class:`SolveResult` with per-column fields: ``x`` (n, K);
+    ``converged``/``istop``/``resid_norm``/``resid_norm0`` are (K,)
+    (istop codes in :data:`ISTOP_MSG_SYMMLQ`); ``resid_norm`` columns
+    are TRUE final residuals recomputed with one counted block matvec,
+    as in the single-RHS solver.
+    """
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    if B.ndim != 2 or B.shape[0] != A.shape[1] or A.shape[0] != A.shape[1]:
+        from ..ops.base import ShapeError
+        raise ShapeError("symmlq_batched: operator %r with rhs block %s"
+                         % (A, B.shape))
+    B = promote_rhs(B, A, M)
+    if matvec_max is None:
+        matvec_max = 2 * B.shape[0] + 2
+    return _symmlq_batched(A, B, M, float(shift), float(rtol),
+                           int(matvec_max), bool(store_history))
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["resolve_ff_matvec"]
+__all__ = ["resolve_ff_matvec", "resolve_ff_matmat"]
 
 
 def _ff_ell(params, xh, xl):
@@ -58,6 +58,35 @@ def resolve_ff_matvec(A):
     if getattr(params, "ndim", None) == 2:  # dense MatrixOperator storage
         return _ff_dense
     return None
+
+
+def _columns_of(ff_mv):
+    def mm(params, Xh, Xl):
+        return jax.vmap(lambda xh, xl: ff_mv(params, xh, xl),
+                        in_axes=(1, 1), out_axes=1)(Xh, Xl)
+    return mm
+
+
+_FF_MM = {id(_ff_ell): _columns_of(_ff_ell),
+          id(_ff_dense): _columns_of(_ff_dense)}
+
+
+def resolve_ff_matmat(A):
+    """Block counterpart of :func:`resolve_ff_matvec`: a compensated
+    product ``(params, Xh, Xl) -> (Yh, Yl)`` on (n, K) column blocks, or
+    ``None``.
+
+    Implemented as a trace-time ``vmap`` of the compensated matvec over
+    columns — safe here because both compensated storages (ELL, dense)
+    are XLA-level code (the ~1000x vmap pathology is specific to the
+    manual-DMA Pallas kernels, which have no compensated path and
+    return ``None`` from the resolver anyway).  The verified batched
+    path therefore streams A's data per column; it trades the SpMM
+    amortization for the certificate."""
+    mv = resolve_ff_matvec(A)
+    if mv is None:
+        return None
+    return _FF_MM[id(mv)]
 
 
 # historical name (pre-refactor callers imported this from solvers.cg)

@@ -277,6 +277,12 @@ def test_solve_block_dispatch():
     res = solve(Ar, jnp.asarray(rect @ Xs), atol=1e-10, btol=1e-10)
     assert res.x.shape == (n, K)
 
+    # verified blocks route to cg_batched's residual-replacement mode
+    # for symmetric square systems (VERDICT r3 #3)...
+    res = solve(A, jnp.asarray(spd @ Xs), verified=True, rtol=1e-8)
+    assert res.x.shape == (n, K) and bool(res.converged.all())
+    assert "n_replacements" in res.info
+    # ...and still raise for methods/shapes without a verified twin
     import pytest
     with pytest.raises(ValueError):
-        solve(A, jnp.asarray(spd @ Xs), verified=True)
+        solve(Ag, jnp.asarray(gen @ Xs), verified=True)
