@@ -206,133 +206,230 @@ def rectangular_gather_accounting():
     }
 
 
-def projected_weak_efficiency():
+# ---- weak-scaling projection model (VERDICT r2 #4a, r3 #6) ------------
+# stated model inputs
+BW_HALO_CG = 187e9        # DEFAULT effective HBM stream of the sharded
+                          # halo-CG iteration on this v5e, fitted from
+                          # two real-chip anchor runs (grid 64 + 240,
+                          # real_mesh.model_fit) — NOT the 665 GB/s DIA
+                          # kernel number: the halo path is XLA stencil
+                          # slices + unfused CG vector passes, measured
+                          # ~3.2x slower end to end (round-4 finding;
+                          # re-fitted live on every PYKRYLOV_REAL_MESH
+                          # run)
+C0_DEFAULT = 0.168e-3     # fitted per-iteration fixed overhead (s)
+ICI_LINK_BW = 40e9        # sustained per-neighbor ICI, one direction
+ICI_HOP_LAT = 1.5e-6      # per-hop collective latency (s)
+DCN_BW = 25e9             # per-host data-center network (B/s)
+DCN_LAT = 10e-6           # cross-host collective latency (s)
+NDIAG = 7
+VEC_PASSES = 10           # r/p/x axpys + 2 dots read traffic per iter
+
+
+def model_t_comp(n_grid, bw=BW_HALO_CG):
+    """HBM-bound per-device iteration time at per-device load n_grid^3:
+    matvec stream ((ndiag+2)·m·4 B) + ~10 vector passes."""
+    return (NDIAG + 2 + VEC_PASSES) * n_grid ** 3 * 4 / bw
+
+
+def model_t_iter(n_grid, devices, hosts, c0=C0_DEFAULT, bw=BW_HALO_CG):
+    """Projected per-iteration time: compute + per-iteration fixed
+    overhead c0 (the latency-bound term the small-per-device regime is
+    dominated by — sequential dot reductions, loop-step scheduling;
+    FITTED together with ``bw`` from measured real-chip runs, see
+    real-mesh model_fit/model_validation) + halo exchange +
+    scalar-psum latency."""
+    t = model_t_comp(n_grid, bw) + c0
+    if devices == 1:
+        return t
+    import math
+    halo_bytes = n_grid * n_grid * 4   # one direction, one neighbor
+    # halo: 2 neighbor exchanges; hosts > 1 puts 2 boundary exchanges
+    # per host on DCN, the rest on ICI
+    t_halo = 2 * (halo_bytes / ICI_LINK_BW + ICI_HOP_LAT)
+    if hosts > 1:
+        t_halo = max(t_halo, 2 * (halo_bytes / DCN_BW + DCN_LAT))
+    # 2 scalar psums, tree over the slice + one DCN level
+    hops = math.ceil(math.log2(devices))
+    t_dots = 2 * (hops * ICI_HOP_LAT
+                  + (DCN_LAT * math.ceil(math.log2(hosts))
+                     if hosts > 1 else 0.0))
+    return t + t_halo + t_dots
+
+
+def projected_weak_efficiency(c0=C0_DEFAULT, n_grid=240, bw=BW_HALO_CG):
     """Convert the measured per-iteration communication volumes into a
     PROJECTED weak-scaling efficiency curve (VERDICT r2 #4a): the
     virtual-mesh wall clock times the oversubscribed host, not the mesh,
-    so the ≥75% BASELINE target needs a model with stated inputs
-    instead.
+    so the ≥75% BASELINE target needs a model with stated inputs.
 
-    Model (all inputs in the emitted dict):
-      * compute: per-device CG iteration on the HEADLINE bench problem
-        (3-D Poisson, n=240 per device, 7 diagonals) is HBM-bound; time
-        = bytes/BW with the MEASURED DIA kernel bandwidth (bench.py:
-        665 GB/s on this v5e).  Iteration traffic = matvec stream
-        ((ndiag+2)·m·4 B) + ~10 vector passes (axpys/dots of r,p,x).
-      * halo exchange: 2 neighbor ppermutes of w = n_grid^2 entries
-        (row-block 1-D partition; measured in weak_scaling rows as
-        halo_bytes_per_dev_per_mv), each costing bytes/link_bw + hop
-        latency, riding ICI inside a slice and DCN across hosts.
-      * dot products: 2 scalar psums per iteration, latency-bound:
-        2·ceil(log2 D) hops on the torus (tree schedule), plus one DCN
-        latency per level crossing hosts.
-    ICI/DCN parameters are v5e-class public numbers, stated explicitly
-    so the model can be re-fit from a real-slice run (the structure —
-    surface/volume halo + latency-bound scalar psums — is what the
-    measured volumes validate).
+    Model structure (inputs in the emitted dict): HBM-bound compute
+    (:func:`model_t_comp`) + fitted per-iteration overhead ``c0`` +
+    surface/volume halo exchange + latency-bound scalar psums
+    (:func:`model_t_iter`).  ICI/DCN parameters are v5e-class public
+    numbers; ``c0`` and the HBM bandwidth are measured on this chip
+    (see the real-mesh ``model_validation`` block for the anchoring
+    runs and the model-vs-measured error).
+
+    Besides the headline curve at the bench per-device load, a
+    SMALL-LOAD curve sweeps per-device n_grid down to where the
+    latency terms dominate — the regime the round-3 note named as the
+    real scaling risk.
     """
-    # stated model inputs
-    BW_HBM_EFF = 665e9        # measured DIA SpMV stream on this v5e (B/s)
-    ICI_LINK_BW = 40e9        # sustained per-neighbor ICI, one direction
-    ICI_HOP_LAT = 1.5e-6      # per-hop collective latency (s)
-    DCN_BW = 25e9             # per-host data-center network (B/s)
-    DCN_LAT = 10e-6           # cross-host collective latency (s)
-    NDIAG = 7
-    n_grid = 240              # per-device load of the headline bench
-    m_local = n_grid ** 3
-    VEC_PASSES = 10           # r/p/x axpys + 2 dots read traffic per iter
-
-    t_comp = (NDIAG + 2 + VEC_PASSES) * m_local * 4 / BW_HBM_EFF
-    halo_bytes = n_grid * n_grid * 4   # one direction, one neighbor
-
-    def t_iter(devices, hosts):
-        if devices == 1:
-            return t_comp
-        import math
-        # halo: 2 neighbor exchanges; hosts > 1 puts 2 boundary
-        # exchanges per host on DCN, the rest on ICI
-        t_halo_ici = 2 * (halo_bytes / ICI_LINK_BW + ICI_HOP_LAT)
-        t_halo = t_halo_ici
-        if hosts > 1:
-            t_halo = max(t_halo,
-                         2 * (halo_bytes / DCN_BW + DCN_LAT))
-        # 2 scalar psums, tree over the slice + one DCN level
-        hops = math.ceil(math.log2(devices))
-        t_dots = 2 * (hops * ICI_HOP_LAT
-                      + (DCN_LAT * math.ceil(math.log2(hosts))
-                         if hosts > 1 else 0.0))
-        return t_comp + t_halo + t_dots
-
-    rows = []
-    for devices, hosts in [(1, 1), (4, 1), (8, 1), (16, 1), (64, 1),
-                           (256, 1), (16, 2), (32, 4), (64, 8),
-                           (256, 32)]:
-        t = t_iter(devices, hosts)
-        rows.append({
-            "devices": devices, "hosts": hosts,
-            "time_per_iter_ms": round(t * 1e3, 4),
-            "projected_weak_efficiency": round(t_comp / t, 4),
+    sizes = [(1, 1), (4, 1), (8, 1), (16, 1), (64, 1),
+             (256, 1), (16, 2), (32, 4), (64, 8), (256, 32)]
+    t1 = model_t_iter(n_grid, 1, 1, c0, bw)
+    rows = [{
+        "devices": d, "hosts": h,
+        "time_per_iter_ms": round(
+            model_t_iter(n_grid, d, h, c0, bw) * 1e3, 4),
+        "projected_weak_efficiency": round(
+            t1 / model_t_iter(n_grid, d, h, c0, bw), 4),
+    } for d, h in sizes]
+    # latency-bound small-per-device regime: weak-scaling efficiency at
+    # shrinking per-device loads, 2-host configuration (the first DCN
+    # crossing is the worst relative hit)
+    small = []
+    for ng in (240, 120, 64, 32, 16):
+        ts1 = model_t_iter(ng, 1, 1, c0, bw)
+        ts = model_t_iter(ng, 16, 2, c0, bw)
+        small.append({
+            "per_device_grid_n": ng,
+            "per_device_unknowns": ng ** 3,
+            "time_per_iter_ms_1dev": round(ts1 * 1e3, 4),
+            "time_per_iter_ms_16dev_2host": round(ts * 1e3, 4),
+            "projected_weak_efficiency": round(ts1 / ts, 4),
         })
     return {
         "model_inputs": {
-            "hbm_eff_gbps": BW_HBM_EFF / 1e9,
+            "halo_cg_stream_gbps_fitted": bw / 1e9,
             "ici_link_gbps": ICI_LINK_BW / 1e9,
             "ici_hop_latency_us": ICI_HOP_LAT * 1e6,
             "dcn_gbps": DCN_BW / 1e9,
             "dcn_latency_us": DCN_LAT * 1e6,
-            "per_device_unknowns": m_local,
+            "per_device_unknowns": n_grid ** 3,
             "ndiag": NDIAG, "vector_passes_per_iter": VEC_PASSES,
-            "halo_bytes_per_direction": halo_bytes,
+            "halo_bytes_per_direction": n_grid * n_grid * 4,
+            "c0_overhead_ms": round(c0 * 1e3, 4),
         },
         "note": ("projection from measured single-chip bandwidth + "
-                 "measured comm volumes; halo traffic is surface/volume "
-                 "-small (0.23 MB vs 1.05 GB per iteration), so the "
-                 ">=75% BASELINE weak-scaling target is met with large "
-                 "margin at every modeled size — the risk is latency-"
-                 "bound scalar psums at very small per-device loads, "
-                 "not bandwidth"),
+                 "measured comm volumes + a per-iteration overhead "
+                 "fitted on-chip; halo traffic is surface/volume-small, "
+                 "so the >=75% BASELINE weak-scaling target is met with "
+                 "margin at every modeled size at the bench per-device "
+                 "load — small_load_curve quantifies where the latency-"
+                 "bound regime erodes that (see projected efficiencies "
+                 "there)"),
         "curve": rows,
+        "small_load_curve": small,
         "meets_75pct_target_at_2plus_hosts": all(
             r["projected_weak_efficiency"] >= 0.75 for r in rows
             if r["hosts"] >= 2),
     }
 
 
+def _timed_halo_cg(mesh, n_grid, maxiter=None):
+    from pykrylov_tpu.parallel import sharded_poisson3d, replicate
+    from pykrylov_tpu.ops import DiagonalOperator
+    from pykrylov_tpu.solvers import cg
+
+    op, b, e, pad = sharded_poisson3d(n_grid, mesh, halo=True,
+                                      dtype=np.float32)
+    m = n_grid ** 3 + pad
+    if maxiter is None:
+        maxiter = 2 * m
+    M = DiagonalOperator(replicate(
+        jnp.full(m, 1.0 / 6.0, dtype=jnp.float32), mesh))
+    res = cg(op, b, M=M, rtol=1e-6, maxiter=maxiter)
+    jax.block_until_ready(res.x)
+    best = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = cg(op, b, M=M, rtol=1e-6, maxiter=maxiter)
+        jax.block_until_ready(res.x)
+        best = min(best, time.perf_counter() - t0)
+    return res, best
+
+
 def real_mesh_degenerate_leg():
     """PYKRYLOV_REAL_MESH escape hatch exercised on hardware (VERDICT r2
     #8): a 1-device mesh on the real chip through the exact code path a
     slice run would take — ``initialize_multihost`` bootstrap, mesh
-    construction, sharded operator, halo-CG solve."""
-    from pykrylov_tpu.parallel import (make_mesh, sharded_poisson3d,
-                                       replicate)
+    construction, sharded operator, halo-CG solve.
+
+    Also ANCHORS the weak-scaling projection model (VERDICT r3 #6).
+    Three per-device loads run on the chip: grid 64 and the model's own
+    13.8M-unknown grid-240 anchor FIT the two model parameters
+    (effective stream bandwidth ``bw`` and fixed per-iteration overhead
+    ``c0`` — round-4 finding: the sharded halo-CG path streams at ~187
+    GB/s, ~3.2x below the DIA Pallas kernel the round-3 model assumed,
+    because it is XLA stencil slices + unfused CG vector passes); grid
+    120 then validates the fitted model OUT-OF-SAMPLE.  The emitted
+    ``model_validation`` block carries the fit, the out-of-sample error
+    and the round-3 raw-model error for comparison.
+    """
+    from pykrylov_tpu.parallel import make_mesh
     from pykrylov_tpu.parallel.mesh import initialize_multihost
-    from pykrylov_tpu.ops import DiagonalOperator
-    from pykrylov_tpu.solvers import cg
 
     boot = initialize_multihost()
     d = len(jax.devices())
     mesh = make_mesh(d)
-    n_grid = 64
-    op, b, e, pad = sharded_poisson3d(n_grid, mesh, halo=True,
-                                      dtype=np.float32)
-    m = n_grid ** 3 + pad
-    M = DiagonalOperator(replicate(
-        jnp.full(m, 1.0 / 6.0, dtype=jnp.float32), mesh))
-    res = cg(op, b, M=M, rtol=1e-6, maxiter=2 * m)
-    jax.block_until_ready(res.x)
-    t0 = time.perf_counter()
-    res = cg(op, b, M=M, rtol=1e-6, maxiter=2 * m)
-    jax.block_until_ready(res.x)
-    dt = time.perf_counter() - t0
+
+    def tpi_of(n_grid, maxiter=None):
+        res, dt = _timed_halo_cg(mesh, n_grid, maxiter=maxiter)
+        return res, dt, dt / max(int(res.n_iter), 1)
+
+    res64, dt64, tpi64 = tpi_of(64)
+    n_anchor = 240
+    res_a, dt_a, tpi_a = tpi_of(n_anchor, maxiter=200)
+
+    # two-point fit: t(n) = bytes(n)/bw + c0
+    bytes64 = (NDIAG + 2 + VEC_PASSES) * 64 ** 3 * 4
+    bytes_a = (NDIAG + 2 + VEC_PASSES) * n_anchor ** 3 * 4
+    bw_fit = (bytes_a - bytes64) / max(tpi_a - tpi64, 1e-9)
+    c0_fit = max(0.0, tpi64 - bytes64 / bw_fit)
+
+    # out-of-sample validation at grid 120
+    n_val = 120
+    res_v, dt_v, tpi_v = tpi_of(n_val, maxiter=400)
+    pred_v = model_t_comp(n_val, bw_fit) + c0_fit
+    raw_r3 = (NDIAG + 2 + VEC_PASSES) * n_anchor ** 3 * 4 / 665e9
+
     return {
         "initialize_multihost": repr(boot),
         "devices": d,
         "device_kind": str(jax.devices()[0]),
-        "grid_n": n_grid,
-        "iters": int(res.n_iter),
-        "converged": bool(res.converged),
-        "time_s": round(dt, 4),
-        "time_per_iter_ms": round(dt / max(int(res.n_iter), 1) * 1e3, 4),
+        "grid_n": 64,
+        "iters": int(res64.n_iter),
+        "converged": bool(res64.converged),
+        "time_s": round(dt64, 4),
+        "time_per_iter_ms": round(tpi64 * 1e3, 4),
+        "model_fit": {
+            "fit_points_grid_n": [64, n_anchor],
+            "measured_ms_per_iter": [round(tpi64 * 1e3, 4),
+                                     round(tpi_a * 1e3, 4)],
+            "halo_cg_stream_gbps_fitted": round(bw_fit / 1e9, 1),
+            "c0_overhead_ms_fitted": round(c0_fit * 1e3, 4),
+            "note": ("the halo-CG path streams ~3.2x below the DIA "
+                     "Pallas kernel (XLA stencil slices + unfused "
+                     "vector passes) — routing the sharded matvec "
+                     "through the Pallas kernel per shard is the "
+                     "single-device lever, tracked in ROADMAP"),
+        },
+        "model_validation": {
+            "holdout_grid_n": n_val,
+            "holdout_unknowns": n_val ** 3,
+            "holdout_iters_timed": int(res_v.n_iter),
+            "measured_ms_per_iter": round(tpi_v * 1e3, 4),
+            "model_fitted_ms_per_iter": round(pred_v * 1e3, 4),
+            "fitted_error_pct": round(100 * (tpi_v - pred_v) / tpi_v, 2),
+            "r3_unanchored_model_ms_per_iter_at_anchor":
+                round(raw_r3 * 1e3, 4),
+            "r3_unanchored_error_pct_at_anchor":
+                round(100 * (tpi_a - raw_r3) / tpi_a, 2),
+        },
+        "bw_fit": bw_fit,
+        "c0_s": c0_fit,
     }
 
 
@@ -344,27 +441,42 @@ def main():
     args = ap.parse_args()
 
     host_cores = len(_os.sched_getaffinity(0))
+    real = bool(_os.environ.get("PYKRYLOV_REAL_MESH"))
+    if real:
+        note = ("real-device mesh (%d device(s)): collectives, sharding "
+                "and timings all run on hardware; with fewer devices "
+                "than a slice, the weak_scaling rows cover only the "
+                "available widths — the projection model (anchored in "
+                "real_mesh.model_validation) covers the rest"
+                % len(jax.devices()))
+    else:
+        note = ("virtual CPU mesh: collectives, sharding and the "
+                "communication-volume accounting are real and transfer "
+                "to hardware; the wall-clock weak_efficiency column "
+                "does NOT (virtual devices share %d host cores, so the "
+                "oversubscribed runs time the host, not the mesh) — "
+                "re-run with PYKRYLOV_REAL_MESH=1 on a slice for real "
+                "efficiency" % host_cores)
     report = {
         "backend": jax.default_backend(),
         "devices": len(jax.devices()),
         "host_cores": host_cores,
         "device_kind": str(jax.devices()[0]),
-        "virtual_mesh": not bool(_os.environ.get("PYKRYLOV_REAL_MESH")),
-        "note": ("virtual CPU mesh: collectives, sharding and the "
-                 "communication-volume accounting are real and transfer "
-                 "to hardware; the wall-clock weak_efficiency column "
-                 "does NOT (virtual devices share %d host cores, so the "
-                 "oversubscribed runs time the host, not the mesh) — "
-                 "re-run with PYKRYLOV_REAL_MESH=1 on a slice for real "
-                 "efficiency" % host_cores),
+        "virtual_mesh": not real,
+        "note": note,
         "weak_scaling": weak_scaling_curve(args.scale),
-        "projected_weak_efficiency": projected_weak_efficiency(),
         "general_sparsity_gather_schedule": gather_schedule_accounting(),
         "tall_skinny_lsqr": tall_skinny_accounting(),
         "rectangular_gather_lsqr": rectangular_gather_accounting(),
     }
-    if _os.environ.get("PYKRYLOV_REAL_MESH"):
+    if real:
         report["real_mesh"] = real_mesh_degenerate_leg()
+        c0 = report["real_mesh"].pop("c0_s")
+        bw = report["real_mesh"].pop("bw_fit")
+        report["projected_weak_efficiency"] = \
+            projected_weak_efficiency(c0=c0, bw=bw)
+    else:
+        report["projected_weak_efficiency"] = projected_weak_efficiency()
     out = json.dumps(report, indent=1)
     print(out)
     with open(args.out, "w") as f:
