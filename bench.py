@@ -160,40 +160,48 @@ def bench_bell():
         bf16 = {"error": "%s: %s" % (type(e).__name__, str(e)[:120])}
         note("bf16 leg failed: %r" % (e,))
 
-    # Block-product (SpMM) leg: K=8 RHS through the fused kernel — the
-    # matrix stream, index unpack and one-hot staging amortize over the
-    # block (VERDICT r2 #2).  Reference analogue: the bmark trio's
-    # per-solver sequential solves (examples/bmark.py:45-51).
+    # Block-product (SpMM) leg: the matrix stream, index unpack and
+    # one-hot staging amortize over the K columns (VERDICT r2 #2).
+    # K > 8 chunks into serialized K=8 kernel calls at the XLA level —
+    # the K-CURVE measures whether the per-call amortization holds
+    # through that chunking or decays (VERDICT r3 #4).  Reference
+    # analogue: the bmark trio's per-solver sequential solves
+    # (examples/bmark.py:45-51).
     spmm = {}
+    spmm_curve = []
     try:
-        K = 8
         mm = op._mm
-        miters = max(2, iters // 4)
+        for K in ((8, 16, 32, 64) if on_tpu else (2,)):
+            # ~constant total columns per timed chain across K
+            miters = max(2, 2000 // K if on_tpu else 2)
 
-        @jax.jit
-        def chain_mm(params, X):
-            return jax.lax.fori_loop(0, miters,
-                                     lambda _, X: mm(params, X), X)
+            @jax.jit
+            def chain_mm(params, X, miters=miters):
+                return jax.lax.fori_loop(0, miters,
+                                         lambda _, X: mm(params, X), X)
 
-        float(chain_mm(params, jnp.ones((n, K), jnp.float32))[0, 0])
-        best_mm = np.inf
-        for rep in range(3):
-            Xr = jnp.full((n, K), 1.0 + 0.1 * rep, jnp.float32)
-            float(Xr[0, 0])
-            t0 = time.perf_counter()
-            float(chain_mm(params, Xr)[0, 0])
-            best_mm = min(best_mm, time.perf_counter() - t0)
-        ms_col = best_mm / miters / K * 1e3
-        spmm = {
-            "K": K,
-            "ms_per_col": round(ms_col, 4),
-            "eff_nnz_per_s_G": round(
-                miters * nnz * K / best_mm / 1e9, 2),
-            "eff_vs_csr8B": round(
-                miters * nnz * K / best_mm / (peak * 1e9 / 8), 4),
-            "amortization_x": round((best / iters) / (ms_col / 1e3), 2),
-        }
-        note("spmm leg done")
+            float(chain_mm(params, jnp.ones((n, K), jnp.float32))[0, 0])
+            best_mm = np.inf
+            for rep in range(3):
+                Xr = jnp.full((n, K), 1.0 + 0.1 * rep, jnp.float32)
+                float(Xr[0, 0])
+                t0 = time.perf_counter()
+                float(chain_mm(params, Xr)[0, 0])
+                best_mm = min(best_mm, time.perf_counter() - t0)
+            ms_col = best_mm / miters / K * 1e3
+            row = {
+                "K": K,
+                "ms_per_col": round(ms_col, 4),
+                "eff_nnz_per_s_G": round(
+                    miters * nnz * K / best_mm / 1e9, 2),
+                "eff_vs_csr8B": round(
+                    miters * nnz * K / best_mm / (peak * 1e9 / 8), 4),
+                "amortization_x": round((best / iters) / (ms_col / 1e3),
+                                        2),
+            }
+            spmm_curve.append(row)
+            note("spmm K=%d done (%.4f ms/col)" % (K, ms_col))
+        spmm = dict(spmm_curve[0])
     except Exception as e:  # pragma: no cover - chip-dependent
         spmm = {"error": "%s: %s" % (type(e).__name__, str(e)[:120])}
         note("spmm leg failed: %r" % (e,))
@@ -241,7 +249,152 @@ def bench_bell():
         "auto_selects_bell": bool(auto_is_bell),
         "bf16_storage": bf16,
         "spmm_block8": spmm,
+        "spmm_k_curve": spmm_curve,
     }
+
+
+def _chain_ms_per_mv(op, n, iters, tag, note):
+    """Best-of-3 chained matvec timing through the operator's own matvec
+    (the library surface a solver iteration drives)."""
+    mv, params = op._mv, op._params
+
+    @jax.jit
+    def chain(params, x):
+        return jax.lax.fori_loop(0, iters, lambda _, x: mv(params, x), x)
+
+    t0 = time.perf_counter()
+    float(chain(params, jnp.ones(n, jnp.float32))[0])
+    note("%s compile %.1fs" % (tag, time.perf_counter() - t0))
+    best = np.inf
+    for rep in range(3):
+        xr = jnp.full(n, 1.0 + 0.1 * rep, jnp.float32)
+        float(xr[0])
+        t0 = time.perf_counter()
+        float(chain(params, xr)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / iters * 1e3
+
+
+def _gen_power_law(n=1 << 17, seed=0):
+    """Heavy-tailed (Pareto) row degrees, banded locality + 5% uniform
+    long-range tail — the irregular class of VERDICT r3 #2."""
+    rng = np.random.default_rng(seed)
+    deg = np.clip((rng.pareto(2.0, n) + 1).astype(int) * 3, 3, 400)
+    rws = np.repeat(np.arange(n), deg)
+    base = rws + rng.integers(-300, 301, rws.shape)
+    far = rng.random(rws.shape) < 0.05
+    cls = np.where(far, rng.integers(0, n, rws.shape), base) % n
+    vls = rng.standard_normal(rws.shape).astype(np.float32)
+    key = rws.astype(np.int64) * n + cls
+    _, first = np.unique(key, return_index=True)
+    return vls[first], rws[first], cls[first], (n, n)
+
+
+def _gen_stencil_scatter(n=1 << 17, spr=0.25, seed=1):
+    """7-diagonal stencil + clustered long-range scatter (inter-domain
+    coupling into 64 hot 128-column blocks) — the class a DIA+BELL
+    hybrid split targets (probed: the split stays within ~1.2x of pure
+    BELL even here; tools/probes/probe_hybrid_split.py)."""
+    rng = np.random.default_rng(seed)
+    offs = np.array([-1024, -32, -1, 0, 1, 32, 1024])
+    rws, cls, vls = [], [], []
+    for o in offs:
+        r = np.arange(max(0, -o), min(n, n - o))
+        rws.append(r)
+        cls.append(r + o)
+        vls.append(np.full(len(r), 6.0 if o == 0 else -1.0, np.float32))
+    ns = int(spr * n)
+    sr = rng.integers(0, n, ns)
+    blocks = rng.integers(0, n // 128, 64)
+    sc = blocks[rng.integers(0, 64, ns)] * 128 + rng.integers(0, 128, ns)
+    rws.append(sr)
+    cls.append(sc)
+    vls.append(0.1 * rng.standard_normal(ns).astype(np.float32))
+    rws = np.concatenate(rws)
+    cls = np.concatenate(cls)
+    vls = np.concatenate(vls)
+    key = rws.astype(np.int64) * n + cls
+    _, first = np.unique(key, return_index=True)
+    return vls[first], rws[first], cls[first], (n, n)
+
+
+def bench_matrix_classes():
+    """Matrix-class generality table (VERDICT r3 #2): the auto format
+    policy + kernels measured over three sparsity classes beyond the
+    headline tiled-jpwh matrix, each with the cost model's PREDICTED
+    time next to the measured one so the 12.5 ps/slot (BELL) and
+    stream-floor (DIA) models are validated — or shown where they
+    break — per class.
+    """
+    import sys
+    from pykrylov_tpu.gallery.convdiff import convdiff2d_coo
+    from pykrylov_tpu.sparse.linop import operator_from_coo
+    from pykrylov_tpu.sparse.bell import _SLOT_COST_PS
+
+    def note(msg):
+        print("[bench_classes] %s" % msg, file=sys.stderr, flush=True)
+
+    on_tpu = jax.default_backend() == "tpu"
+    iters = 500 if on_tpu else 2
+    nc = 575 if on_tpu else 24
+    cv, cr, cc, cs = convdiff2d_coo(nc)
+    classes = [
+        ("convdiff2d_n%d" % nc, (cv.astype(np.float32), cr, cc, cs)),
+    ]
+    if on_tpu:
+        classes += [
+            ("power_law_131k", _gen_power_law()),
+            ("stencil_scatter_131k", _gen_stencil_scatter()),
+        ]
+    rows = []
+    for name, (vals, rws, cls_, shape) in classes:
+        m = shape[0]
+        rowsum = np.zeros(m)
+        np.add.at(rowsum, rws, np.abs(vals))
+        vals = (vals / rowsum.max()).astype(np.float32)
+        nnz = len(vals)
+        t0 = time.perf_counter()
+        op = operator_from_coo(vals, rws, cls_, shape, fmt="auto")
+        note("%s pack %.1fs" % (name, time.perf_counter() - t0))
+        from pykrylov_tpu.sparse.linop import SparseOperator
+        if hasattr(op, "bytes_per_nnz"):        # BELL kernel operator
+            fmt = "bell"
+            levels = op._params[0]
+            slots = sum(int(np.prod(b.data.shape)) for b in levels)
+            model_ms = sum(
+                int(np.prod(b.data.shape)) * _SLOT_COST_PS[b.window]
+                for b in levels) * 1e-9
+            extra = {"slots_per_nnz": round(slots / nnz, 2)}
+        elif isinstance(op, SparseOperator):    # XLA container path
+            fmt = type(op.container).__name__.lower()
+            if fmt == "dia":
+                ndiag = len(op.container.offsets)
+                model_ms = (ndiag + 2) * m * 4 / 685e9 * 1e3
+                extra = {"ndiag": ndiag}
+            else:
+                model_ms = nnz * 24e-6          # measured ~24 ns/nnz ELL
+                extra = {}
+        elif hasattr(op, "container"):          # pallas-DIA wrapper
+            fmt = "pallas-dia"
+            ndiag = len(op.container.offsets)
+            model_ms = (ndiag + 2) * m * 4 / 685e9 * 1e3
+            extra = {"ndiag": ndiag}
+        else:
+            fmt = type(op).__name__
+            model_ms = float("nan")
+            extra = {}
+        ms = _chain_ms_per_mv(op, shape[1], iters, name, note)
+        rows.append({
+            "class": name, "m": m, "nnz": nnz, "format": fmt,
+            "ms_per_mv": round(ms, 4),
+            "nnz_per_s_G": round(nnz / ms / 1e6, 2),
+            "model_ms_per_mv": round(model_ms, 4),
+            "measured_over_model": round(ms / model_ms, 2)
+            if model_ms == model_ms else None,
+            **extra,
+        })
+        note("%s: %s %.4f ms/mv (model %.4f)" % (name, fmt, ms, model_ms))
+    return rows
 
 
 def main():
@@ -345,6 +498,10 @@ def main():
         bell = bench_bell()
     except Exception as e:  # pragma: no cover - chip-dependent
         bell = {"error": "%s: %s" % (type(e).__name__, str(e)[:200])}
+    try:
+        classes = bench_matrix_classes()
+    except Exception as e:  # pragma: no cover - chip-dependent
+        classes = [{"error": "%s: %s" % (type(e).__name__, str(e)[:200])}]
     print(json.dumps({
         "metric": "spmv_dia_poisson3d_bandwidth",
         "value": round(gbps, 2),
@@ -360,6 +517,7 @@ def main():
             "achievable_gbps": round(achievable, 2),
             "vs_achievable": round(gbps / achievable, 4),
             "bell_general_spmv": bell,
+            "spmv_matrix_classes": classes,
         },
     }))
 

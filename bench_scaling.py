@@ -343,10 +343,16 @@ def _timed_halo_cg(mesh, n_grid, maxiter=None):
     res = cg(op, b, M=M, rtol=1e-6, maxiter=maxiter)
     jax.block_until_ready(res.x)
     best = np.inf
-    for _ in range(2):
+    for rep in range(3):
+        # distinct input per timed call: identical dispatches through
+        # the remote transport can be result-cached (bench.py's timing
+        # defense — a repeated identical solve measured 0.0013 ms/iter,
+        # i.e. ~800 TB/s, on the round-4 kernel path)
+        bs = b * (1.0 + 0.001 * (rep + 1))
+        jax.block_until_ready(bs)
         t0 = time.perf_counter()
-        res = cg(op, b, M=M, rtol=1e-6, maxiter=maxiter)
-        jax.block_until_ready(res.x)
+        r2 = cg(op, bs, M=M, rtol=1e-6, maxiter=maxiter)
+        jax.block_until_ready(r2.x)
         best = min(best, time.perf_counter() - t0)
     return res, best
 

@@ -73,6 +73,22 @@ def _halo_mm_factory(offsets, axis, n_dev, mesh):
 
 
 @functools.lru_cache(maxsize=None)
+def _halo_mm_tuple_factory(offsets, axis, n_dev, mesh):
+    """matmat twin for kernel-path operators whose params are
+    ``(packed_data3, flat_data)`` — block products keep the XLA
+    shifted-axpy path on the flat layout."""
+    local_mm = _halo_matmat_factory(offsets, axis, n_dev)
+    mapped = shard_map(local_mm, mesh=mesh,
+                       in_specs=(P(None, axis), P(axis, None)),
+                       out_specs=P(axis, None))
+
+    def mm(params, X):
+        return mapped(params[1], X)
+
+    return mm
+
+
+@functools.lru_cache(maxsize=None)
 def _halo_matmat_factory(offsets, axis, n_dev):
     """Per-shard block product: halo exchange + local shifted axpys on
     an (L, K) block."""
@@ -100,6 +116,51 @@ def _halo_matmat_factory(offsets, axis, n_dev):
         return Y
 
     return local_mm
+
+
+@functools.lru_cache(maxsize=None)
+def _halo_mv_pallas_factory(offsets, axis, n_dev, mesh, w, L, m_loc,
+                            block, interpret):
+    """Pallas-kernel local path (round 4): the XLA shifted-slice local
+    stencil streams at ~187 GB/s end to end (measured, SCALING_r04
+    model_fit) while the ring-buffered DIA kernel streams at ~675 GB/s
+    — so the local compute inside the shard_map is routed through
+    :func:`~pykrylov_tpu.sparse.kernels._dia_matvec_call` on the
+    halo-extended local vector.  Per-shard data arrives pre-packed as
+    (ndiag, 1, m_loc/128, 128); rows [0, w) and [w+L, m_loc) of the
+    extended system are zero, so the kernel's own zero boundary
+    handling is exact and the local result is rows [w, w+L)."""
+    from ..sparse.kernels import _dia_matvec_call
+
+    fwd_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def local_mv(data3_blk, x_blk):
+        idx = jax.lax.axis_index(axis)
+        if w > 0:
+            left = jax.lax.ppermute(x_blk[-w:], axis, perm=fwd_perm)
+            right = jax.lax.ppermute(x_blk[:w], axis, perm=bwd_perm)
+            left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+            right = jnp.where(idx == n_dev - 1, jnp.zeros_like(right),
+                              right)
+            xp = jnp.concatenate([left, x_blk, right])
+        else:
+            xp = x_blk
+        xe = jnp.zeros(m_loc, xp.dtype).at[:xp.shape[0]].set(xp)
+        y = _dia_matvec_call(data3_blk[:, 0], xe, offsets, block,
+                             interpret)
+        return y[w:w + L]
+
+    # check_vma=False: pallas_call inside shard_map cannot annotate its
+    # output's mesh-variance (same as the GatherBell wrappers)
+    mapped = shard_map(local_mv, mesh=mesh,
+                       in_specs=(P(None, axis, None, None), P(axis)),
+                       out_specs=P(axis), check_vma=False)
+
+    def mv(params, x):
+        return mapped(params[0], x)
+
+    return mv
 
 
 @functools.lru_cache(maxsize=None)
@@ -152,7 +213,8 @@ class HaloDiaOperator(LinearOperator):
     container explicitly otherwise.
     """
 
-    def __init__(self, dia: F.DIA, mesh, axis=ROW_AXIS, **kwargs):
+    def __init__(self, dia: F.DIA, mesh, axis=ROW_AXIS, kernel="auto",
+                 **kwargs):
         m, n = dia.shape
         if m != n:
             raise ValueError("HaloDiaOperator expects a square operator")
@@ -172,15 +234,47 @@ class HaloDiaOperator(LinearOperator):
         data = np.zeros((dia.data.shape[0], mp), dtype=dia.data.dtype)
         data[:, :m] = np.asarray(dia.data)
         sh = NamedSharding(mesh, P(None, axis))
-        data = jax.device_put(jnp.asarray(data), sh)
+        offsets_t = tuple(int(o) for o in dia.offsets)
+        data_flat = jax.device_put(jnp.asarray(data), sh)
 
-        mv = _halo_mv_factory(tuple(dia.offsets), axis, n_dev, mesh)
-        mm = _halo_mm_factory(tuple(dia.offsets), axis, n_dev, mesh)
+        # Local-compute path selection (round 4): the XLA shifted-slice
+        # stencil streams at ~187 GB/s end to end inside a CG iteration
+        # (measured, SCALING_r04 real_mesh.model_fit) vs ~675 GB/s for
+        # the ring-buffered Pallas DIA kernel — large shards route the
+        # local matvec through the kernel on the halo-extended local
+        # block.  ``kernel=`` True/False forces it; "auto" requires the
+        # TPU backend and shards big enough to amortize the pallas_call.
+        use_kernel = (kernel is True
+                      or (kernel == "auto"
+                          and jax.default_backend() == "tpu"
+                          and L >= (1 << 16)))
+        if use_kernel:
+            from ..sparse.kernels import choose_block
+            ndiag = data.shape[0]
+            block = choose_block(ndiag, offsets_t,
+                                 itemsize=data.dtype.itemsize)
+            ext = L + 2 * w
+            m_loc = -(-ext // block) * block
+            d3 = np.zeros((ndiag, n_dev, m_loc), dtype=data.dtype)
+            for k in range(n_dev):
+                d3[:, k, w:w + L] = data[:, k * L:(k + 1) * L]
+            d3 = d3.reshape(ndiag, n_dev, m_loc // 128, 128)
+            sh3 = NamedSharding(mesh, P(None, axis, None, None))
+            data3 = jax.device_put(jnp.asarray(d3), sh3)
+            interpret = jax.default_backend() != "tpu"
+            mv = _halo_mv_pallas_factory(offsets_t, axis, n_dev, mesh,
+                                         w, L, m_loc, block, interpret)
+            mm = _halo_mm_tuple_factory(offsets_t, axis, n_dev, mesh)
+            params = (data3, data_flat)
+        else:
+            mv = _halo_mv_factory(offsets_t, axis, n_dev, mesh)
+            mm = _halo_mm_factory(offsets_t, axis, n_dev, mesh)
+            params = data_flat
 
         is_complex = np.issubdtype(dia.data.dtype, np.complexfloating)
         # Structural symmetry of the *values* is the caller's contract
         # (gallery stencils are symmetric); offsets symmetry checked above.
-        super().__init__(mp, mp, matvec=mv, matmat=mm, params=data,
+        super().__init__(mp, mp, matvec=mv, matmat=mm, params=params,
                          _takes_params=True, symmetric=True,
                          hermitian=not is_complex,
                          dtype=dia.data.dtype, **kwargs)
@@ -188,10 +282,12 @@ class HaloDiaOperator(LinearOperator):
         self.mesh = mesh
         self.offsets = dia.offsets
         self.halo_width = w
+        self.local_kernel = bool(use_kernel)
 
     @property
     def container(self):
-        return self._params
+        return self._params[1] if isinstance(self._params, tuple) \
+            else self._params
 
 
 _register_as_linop(HaloDiaOperator)

@@ -1069,13 +1069,21 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
 
     # Adaptive ring depth: deep-block packings (dense bands, GS >= 4k)
     # would blow the 16 MB scoped-VMEM budget at the default depth; the
-    # per-slot ring cost is the three buffers below plus ~4 MB of
-    # staging/product transients.
+    # per-slot ring cost is the three buffers below plus staging/product
+    # transients that SCALE with GS (~9.1 slots of (GS, L) f32 measured
+    # from a Mosaic stack-OOM at GS=1856: 16.42 M total with 8.15 M of
+    # rings — the old flat 4 MB transient assumption under-budgeted;
+    # round-4 hybrid probe).  Keep a 4 MB floor so small-GS packings
+    # keep their full prefetch depth.
     ring_bytes = (nb * L * np.dtype(ct).itemsize
                   + GS * L * np.dtype(data.dtype).itemsize
                   + int(np.prod(lanes.shape[1:]))
                   * np.dtype(lanes.dtype).itemsize)
-    nring = int(max(2, min(WIN_AHEAD + 1, (10 << 20) // max(1, ring_bytes))))
+    transient_bytes = max(4 << 20,
+                          int(10 * GS * L * np.dtype(ct).itemsize))
+    nring = int(max(2, min(WIN_AHEAD + 1,
+                           ((16 << 20) - transient_bytes)
+                           // max(1, ring_bytes))))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,           # band_lo
         grid=(nsteps,),

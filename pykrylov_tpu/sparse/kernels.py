@@ -154,13 +154,19 @@ def _dia_kernel(offsets, brows, hrows, ndiag, data_ref, xl_ref, xc_ref,
 
 
 def _halo_rows(offsets, brows):
-    """Smallest divisor of ``brows`` covering the diagonal halo in rows."""
+    """Smallest divisor of ``brows`` covering the diagonal halo in rows.
+
+    Mosaic requires BlockSpec row counts divisible by 8 (or equal to the
+    full array dimension), so the divisor is also 8-aligned — a
+    main-diagonal-only matrix (need = 1) must still take an 8-row halo
+    sliver, not a (1, 128) block (found by the round-4 hybrid probe:
+    fmt="auto" on a near-diagonal matrix crashed the lowering)."""
     need = 1  # window layout assumes at least one halo row per side
     for off in offsets:
         dr, dl = divmod(off, LANES)
         need = max(need, -dr, dr + (1 if dl else 0))
     for d in range(1, brows + 1):
-        if brows % d == 0 and d >= need:
+        if brows % d == 0 and d >= need and (d % 8 == 0 or d == brows):
             return d
     raise ValueError("halo %d rows exceeds block of %d rows"
                      % (need, brows))

@@ -76,19 +76,26 @@ class SparseOperator(LinearOperator):
 _register_as_linop(SparseOperator)
 
 
-def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256):
+def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256,
+              max_pad_bytes=1 << 30, min_speedup_vs_ell=4.0):
     """Build a BELL kernel operator if the packing qualifies.
 
     The speed comparison is lopsided — the XLA ELL gather path measured
-    ~24 ns/nnz on-chip vs the kernel's ~0.06 ns/slot stream, so BELL
-    wins on throughput up to slots/nnz in the HUNDREDS.  The binding
-    constraints are instead:
+    ~24 ns/nnz on-chip vs the kernel's ~12.5 ps/slot compute floor, so
+    BELL wins on throughput up to slots/nnz in the HUNDREDS.  The
+    binding constraints are instead:
 
-    * storage bloat: ``max_slots_per_nnz`` (default 8 ≈ 5x the 8 B/nnz
-      CSR footprint) caps HBM spent on padding;
     * ``max_nb``: per-step x windows wider than ~2 K-tiles make the
       one-hot staging matmuls dominate;
-    * no XLA scatter remainder (~16 ns/entry).
+    * no XLA scatter remainder (~16 ns/entry);
+    * storage: either the classic density budget ``max_slots_per_nnz``
+      (default 8 ≈ 5x the 8 B/nnz CSR footprint) holds, or — for
+      heavy-tailed/irregular classes that pack badly but where the XLA
+      alternative is 1-2 orders slower (power-law degree matrices
+      plan at ~29 slots/nnz yet still run ~100x faster than ELL's
+      per-nnz gathers) — the COST-BASED escape: predicted kernel time
+      beats the ELL estimate by ``min_speedup_vs_ell`` AND absolute
+      padding stays under ``max_pad_bytes`` of HBM.
 
     Tries the raw ordering first, then RCM (square only).  Returns None
     when neither packing qualifies."""
@@ -96,17 +103,50 @@ def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256):
     from .bell import (NB_MAX, SpanError, _SPILL_BYTES, _pack_levels,
                        bell_operator, reorder_rcm)
 
+    _ELL_NS_PER_NNZ = 24.0   # measured on-chip (ROADMAP r2)
+
     def _ok(lv):
         from .bell import _SLOT_COST_PS
-        nb = max(b.nb for b in lv)
         remainder = sum(b.nnz_spill for b in lv)
+        if remainder != 0:
+            return False
+        for b in lv:
+            # scoped-VMEM feasibility per level: staging/product stack
+            # transients scale with GS (~10 slots of (GS, 128) f32) on
+            # top of the DMA rings; deep-GS packings compile at a
+            # shrunken ring depth but a GS=3424/nring=2 w1 config
+            # CRASHED the TPU worker at run time (round 4) — reject
+            # anything whose estimate crowds the 16 MB limit instead
+            # of generating it
+            GS = int(b.data.shape[1])
+            ring = (b.nb * 128 * 4 + GS * 128 * b.data.dtype.itemsize
+                    + int(_np.prod(b.lanes.shape[1:]))
+                    * b.lanes.dtype.itemsize)
+            if 10 * GS * 128 * 4 + 2 * ring > (15 << 20):
+                return False
+        nb = max(b.nb for b in lv)
+        nnz = max(1, sum(b.nnz for b in lv))
         # normalize padding by per-slot kernel cost so the budget means
         # the same predicted time whichever window mode auto picked
         # (w1 slots are ~1.6x cheaper than w2 slots)
-        spn = (sum(int(_np.prod(b.data.shape)) * _SLOT_COST_PS[b.window]
-                   for b in lv)
-               / (_SLOT_COST_PS[2] * max(1, sum(b.nnz for b in lv))))
-        return remainder == 0 and nb <= max_nb and spn <= max_slots_per_nnz
+        cost_ps = sum(int(_np.prod(b.data.shape)) * _SLOT_COST_PS[b.window]
+                      for b in lv)
+        if (nb <= max_nb
+                and cost_ps / (_SLOT_COST_PS[2] * nnz)
+                <= max_slots_per_nnz):
+            return True
+        # cost-based escape; wide windows (nb > max_nb) are admitted
+        # here too, with the per-level slot cost scaled by nb/max_nb —
+        # the one-hot staging matmuls are (nb, GS) per output pass, so
+        # the 12.5 ps/slot model (measured at nb ~ 100) undercharges
+        # wide-window packings roughly linearly in nb
+        cost_adj = sum(int(_np.prod(b.data.shape)) * _SLOT_COST_PS[b.window]
+                       * max(1.0, b.nb / max_nb) for b in lv)
+        slots = sum(int(_np.prod(b.data.shape)) for b in lv)
+        pad_bytes = 8 * slots   # 4 B value + ~4 B packed index per slot
+        return (pad_bytes <= max_pad_bytes
+                and cost_adj * 1e-12 * min_speedup_vs_ell
+                <= nnz * _ELL_NS_PER_NNZ * 1e-9)
 
     def _plan(c):
         # host-side candidate planning: disqualified packings must not

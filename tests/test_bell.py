@@ -227,9 +227,51 @@ def test_try_bell_policy():
     x = np.random.default_rng(44).standard_normal(2048)
     np.testing.assert_allclose(np.asarray(op @ jnp.asarray(x)), a @ x,
                                rtol=1e-10, atol=1e-10)
-    # uniform random scatter at ~2 nnz/row: everything would spill
+    # uniform random scatter at ~2 nnz/row: packs far above the density
+    # budget (slots/nnz in the tens), but the COST-BASED escape accepts
+    # it — the predicted kernel time still beats the 24 ns/nnz XLA ELL
+    # estimate by far, and the padding is a few MB (VERDICT r3: change
+    # the format policy, not the kernel)
     coo2, *_ = _random_coo(4096, 4096, 8192, 45)
-    assert _try_bell(coo2, symmetric=False) is None
+    op2 = _try_bell(coo2, symmetric=False)
+    assert op2 is not None
+    a2 = _dense(coo2)
+    x2 = np.random.default_rng(46).standard_normal(4096)
+    np.testing.assert_allclose(np.asarray(op2 @ jnp.asarray(x2)), a2 @ x2,
+                               rtol=1e-9, atol=1e-9)
+    # ... unless the absolute padding budget says no
+    assert _try_bell(coo2, symmetric=False, max_pad_bytes=1 << 16) is None
+    # ... or the predicted speedup over ELL is too thin
+    assert _try_bell(coo2, symmetric=False,
+                     min_speedup_vs_ell=1e9) is None
+
+
+def test_try_bell_cost_based_accepts_power_law():
+    # heavy-tailed (power-law) row degrees with banded locality: plans
+    # around ~10-30 slots/nnz — over the density budget, far under the
+    # ELL cost — and must now ride the kernel instead of falling to the
+    # 625x-slower XLA path
+    from pykrylov_tpu.sparse.linop import _try_bell
+    rng = np.random.default_rng(5)
+    n = 8192
+    deg = np.clip((rng.pareto(2.0, n) + 1).astype(int) * 3, 3, 200)
+    rows = np.repeat(np.arange(n), deg)
+    base = rows + rng.integers(-300, 301, rows.shape)
+    far = rng.random(rows.shape) < 0.05
+    cols = np.where(far, rng.integers(0, n, rows.shape), base) % n
+    vals = rng.standard_normal(rows.shape)
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    coo = F.coo_from_arrays(vals[first], rows[first], cols[first], (n, n),
+                            device=False)
+    op = _try_bell(coo, symmetric=False)
+    assert op is not None
+    a = _dense(coo)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(x)), a @ x,
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(op.T @ jnp.asarray(x)), a.T @ x,
+                               rtol=1e-9, atol=1e-9)
 
 
 def test_mixed_bell_fwd_ell_bwd():

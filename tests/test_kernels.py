@@ -146,3 +146,19 @@ def test_bf16_diagonal_storage_f32_compute(ring):
     assert y.dtype == np.float32
     ref = a16 @ x[:shape[0]]
     np.testing.assert_allclose(y[:shape[0]], ref, rtol=2e-6, atol=2e-6)
+
+
+def test_halo_rows_are_mosaic_aligned():
+    # Mosaic rejects BlockSpec row counts not divisible by 8 (unless
+    # equal to the array dim): a main-diagonal-only matrix (need=1)
+    # must take an 8-row halo sliver, not a (1, 128) block (round-4
+    # hybrid probe crash)
+    from pykrylov_tpu.sparse.kernels import _halo_rows
+    for offsets in ([0], [-1, 0, 1], [0, 128], [-4096, 0, 4096]):
+        for brows in (512, 1024, 2048):
+            h = _halo_rows(offsets, brows)
+            assert h % 8 == 0 or h == brows, (offsets, brows, h)
+            need = max(1, *(-o // 128 for o in offsets),
+                       *((o // 128) + (1 if o % 128 else 0)
+                         for o in offsets))
+            assert h >= need
