@@ -73,17 +73,28 @@ def _halo_mm_factory(offsets, axis, n_dev, mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def _halo_mm_tuple_factory(offsets, axis, n_dev, mesh):
-    """matmat twin for kernel-path operators whose params are
-    ``(packed_data3, flat_data)`` — block products keep the XLA
-    shifted-axpy path on the flat layout."""
-    local_mm = _halo_matmat_factory(offsets, axis, n_dev)
+def _halo_mm_tuple_factory(offsets, axis, n_dev, mesh, w, L):
+    """matmat twin for kernel-path operators (params = the packed
+    ``(ndiag, n_dev, m_loc/128, 128)`` array only — storing a second
+    flat copy would double HBM and the device upload): block products
+    keep the XLA shifted-axpy path on a local flat view sliced out of
+    the packed layout per call (rows [w, w+L) of the halo-extended
+    local block; a cheap reshape+slice against the K-amortized
+    product)."""
+    inner_mm = _halo_matmat_factory(offsets, axis, n_dev)
+
+    def local_mm(data3_blk, X_blk):
+        ndiag = data3_blk.shape[0]
+        flat = data3_blk[:, 0].reshape(ndiag, -1)[:, w:w + L]
+        return inner_mm(flat, X_blk)
+
     mapped = shard_map(local_mm, mesh=mesh,
-                       in_specs=(P(None, axis), P(axis, None)),
+                       in_specs=(P(None, axis, None, None),
+                                 P(axis, None)),
                        out_specs=P(axis, None))
 
     def mm(params, X):
-        return mapped(params[1], X)
+        return mapped(params, X)
 
     return mm
 
@@ -158,7 +169,7 @@ def _halo_mv_pallas_factory(offsets, axis, n_dev, mesh, w, L, m_loc,
                        out_specs=P(axis), check_vma=False)
 
     def mv(params, x):
-        return mapped(params[0], x)
+        return mapped(params, x)
 
     return mv
 
@@ -233,9 +244,7 @@ class HaloDiaOperator(LinearOperator):
 
         data = np.zeros((dia.data.shape[0], mp), dtype=dia.data.dtype)
         data[:, :m] = np.asarray(dia.data)
-        sh = NamedSharding(mesh, P(None, axis))
         offsets_t = tuple(int(o) for o in dia.offsets)
-        data_flat = jax.device_put(jnp.asarray(data), sh)
 
         # Local-compute path selection (round 4): the XLA shifted-slice
         # stencil streams at ~187 GB/s end to end inside a CG iteration
@@ -264,12 +273,14 @@ class HaloDiaOperator(LinearOperator):
             interpret = jax.default_backend() != "tpu"
             mv = _halo_mv_pallas_factory(offsets_t, axis, n_dev, mesh,
                                          w, L, m_loc, block, interpret)
-            mm = _halo_mm_tuple_factory(offsets_t, axis, n_dev, mesh)
-            params = (data3, data_flat)
+            mm = _halo_mm_tuple_factory(offsets_t, axis, n_dev, mesh,
+                                        w, L)
+            params = data3
         else:
             mv = _halo_mv_factory(offsets_t, axis, n_dev, mesh)
             mm = _halo_mm_factory(offsets_t, axis, n_dev, mesh)
-            params = data_flat
+            params = jax.device_put(jnp.asarray(data),
+                                    NamedSharding(mesh, P(None, axis)))
 
         is_complex = np.issubdtype(dia.data.dtype, np.complexfloating)
         # Structural symmetry of the *values* is the caller's contract
@@ -286,8 +297,10 @@ class HaloDiaOperator(LinearOperator):
 
     @property
     def container(self):
-        return self._params[1] if isinstance(self._params, tuple) \
-            else self._params
+        """The sharded diagonal storage: the flat (ndiag, m) array on
+        the XLA path, the packed (ndiag, n_dev, m_loc/128, 128) array
+        on the kernel path (``self.local_kernel``)."""
+        return self._params
 
 
 _register_as_linop(HaloDiaOperator)
