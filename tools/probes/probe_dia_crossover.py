@@ -49,7 +49,7 @@ if __name__ == "__main__":
         op_x = SparseOperator(F.DIA(jnp.asarray(dia.data), dia.offsets,
                                     dia.shape), None, symmetric=False)
         t_x = chain_ms(op_x, m)
-        op_p = pallas_dia_sparse_operator(dia)
+        op_p = pallas_dia_sparse_operator(coo)
         t_p = chain_ms(op_p, m)
         model = (len(dia.offsets) + 2) * m * 4 / 675e9 * 1e3
         print("m=%8d  xla %.4f ms  pallas %.4f ms  model %.4f  "

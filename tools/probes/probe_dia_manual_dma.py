@@ -43,6 +43,12 @@ def _dia_kernel_mdma(offsets, brows, hrows, ndiag, nblk,
             data_hbm.at[k, pl.ds(j * brows, brows), :],
             dring.at[slot], dsems.at[slot])
 
+    # ring slots follow GLOBAL diagonal-stream position parity
+    # (g = i*ndiag + k): with odd ndiag the within-block parity flips
+    # every block (the first probe run returned wrong values from
+    # exactly this producer/consumer slot mismatch)
+    par = (i * ndiag) % 2
+
     @pl.when(i == 0)
     def _():
         xdma(jnp.int32(0)).start()
@@ -50,7 +56,7 @@ def _dia_kernel_mdma(offsets, brows, hrows, ndiag, nblk,
             xdma(jnp.int32(1)).start()
         if nblk > 2:
             xdma(jnp.int32(2)).start()
-        # first two diagonals of block 0
+        # first two positions of block 0's diagonal stream
         ddma(0, jnp.int32(0), jnp.int32(0)).start()
         if ndiag > 1:
             ddma(1, jnp.int32(0), jnp.int32(1)).start()
@@ -93,22 +99,25 @@ def _dia_kernel_mdma(offsets, brows, hrows, ndiag, nblk,
 
     acc = None
     for k in range(ndiag):  # static unroll: diagonal ring of depth 2
-        # prefetch the NEXT diagonal block: k+1 of this block, or
-        # diagonal 0/1 of block i+1 at the tail
-        if k + 1 < ndiag:
-            pl.when((i > 0) | (k + 1 >= 2))(
-                lambda: ddma(k + 1, i, jnp.int32((k + 1) % 2)).start())
-        else:
-            pl.when(i + 1 <= nblk - 1)(
-                lambda: ddma(0, i + 1, jnp.int32((k + 1) % 2)).start())
-            if ndiag > 1:
-                pl.when(i + 1 <= nblk - 1)(
-                    lambda: ddma(1, i + 1, jnp.int32(k % 2)).start())
-        pltpu.make_async_copy(dring.at[k % 2], dring.at[k % 2],
-                              dsems.at[k % 2]).wait()
-        d = dring[k % 2]
+        # position k's block was prefetched two positions earlier (init
+        # for k=0,1 of block 0; the tail of block i-1 for k=0,1 of
+        # later blocks; the post-consume start below otherwise)
+        slot = (par + k) % 2
+        pltpu.make_async_copy(dring.at[slot], dring.at[slot],
+                              dsems.at[slot]).wait()
+        d = dring[slot]
         term = d * shifted(offsets[k])
         acc = term if acc is None else acc + term
+        # this slot is free now: fetch position k+2 of the stream
+        # (diagonal k+2, or diagonals 0/1 of block i+1) — same global
+        # parity as the slot just consumed
+        nxt = k + 2
+        if nxt < ndiag:
+            ddma(nxt, i, slot).start()
+        else:
+            pl.when(i + 1 <= nblk - 1)(
+                lambda nxt=nxt, slot=slot: ddma(nxt - ndiag, i + 1,
+                                                slot).start())
     y_ref[:] = acc
 
 
