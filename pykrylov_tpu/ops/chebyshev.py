@@ -230,7 +230,11 @@ def chebyshev_preconditioner(A, *, degree=8, bounds=None, k_lanczos=16,
         bounds = lanczos_bounds(A, k=k_lanczos, seed=seed, safety=safety)
     lmin, lmax = bounds
     try:
-        lmin_c, lmax_c = float(lmin), float(lmax)
+        # ONE device pull for both scalars: congested-tunnel
+        # device->host fetches can cost seconds each (CLAUDE.md)
+        lmin_c, lmax_c = (float(v) for v in
+                          np.asarray(jnp.stack([jnp.asarray(lmin),
+                                                jnp.asarray(lmax)])))
     except (jax.errors.TracerArrayConversionError,
             jax.errors.ConcretizationTypeError, TypeError):
         pass  # traced bounds: caller asserts validity

@@ -257,11 +257,22 @@ class HaloDiaOperator(LinearOperator):
                       or (kernel == "auto"
                           and jax.default_backend() == "tpu"
                           and L >= (1 << 16)))
+        block = None
         if use_kernel:
             from ..sparse.kernels import choose_block
             ndiag = data.shape[0]
-            block = choose_block(ndiag, offsets_t,
-                                 itemsize=data.dtype.itemsize)
+            try:
+                block = choose_block(ndiag, offsets_t,
+                                     itemsize=data.dtype.itemsize)
+            except ValueError:
+                # bandwidth exceeds every supported kernel block (e.g.
+                # |offset| >= 262144): "auto" degrades to the XLA path
+                # the operator always supported; an explicit
+                # kernel=True keeps the loud failure
+                if kernel is True:
+                    raise
+                use_kernel = False
+        if use_kernel:
             ext = L + 2 * w
             m_loc = -(-ext // block) * block
             d3 = np.zeros((ndiag, n_dev, m_loc), dtype=data.dtype)

@@ -171,6 +171,10 @@ def _solve_block(A, B, method, verified, opts):
         if (method in (None, "cg")) and sym and A.shape[0] == A.shape[1]:
             copts = dict(opts)
             copts.setdefault("replace_every", 50)
+            # same indefinite safety net as the 1-D verified path: an
+            # indefinite operator must fail loud per column (istop 2,
+            # definite=False), not grind to maxiter claiming progress
+            copts.setdefault("check_curvature", True)
             return _S.cg_batched(A, B, **copts)
         raise ValueError(
             "verified=True for (n, K) right-hand-side blocks is "
@@ -240,7 +244,13 @@ def _fused_sym_fallback(A, b, cg_res, opts):
     result.  Costs one extra compiled while_loop in the program; pass
     ``method="cg"`` to skip it when the operator is known definite."""
     _check_traceable_opts(opts, "CG→MINRES")
+    from .solvers.common import promote_rhs
     from .solvers.minres import _minres
+    M0 = opts.get("M")
+    # the public minres() wrapper promotes the rhs against A/M; calling
+    # _minres directly must do the same, or a mixed-dtype traced solve
+    # leaves the two lax.cond branches with different result dtypes
+    b = promote_rhs(b, A, as_operator(M0) if M0 is not None else None)
     rdtype = jnp.zeros((), b.dtype).real.dtype
     n = b.shape[0]
     itnlim = int(opts.get("maxiter") or opts.get("matvec_max") or 5 * n)

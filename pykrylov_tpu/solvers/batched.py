@@ -296,9 +296,11 @@ def cg_batched(A, B, *, x0=None, M=None, rtol=1.0e-6, atol=1.0e-8,
     if maxiter is None:
         maxiter = default_maxiter(B.shape[0], 1, matvec_max)
     X0 = _check_x0(x0, B, "cg_batched")
+    # falsy (0/None) disables the verified mode, mirroring single cg's
+    # coercion — replace_every=0 would otherwise reach (k+1) % 0
+    replace_every = int(replace_every) if replace_every else None
     ff_mm = None
     if replace_every is not None:
-        replace_every = int(replace_every)
         from .ffmv import resolve_ff_matmat
         ff_mm = resolve_ff_matmat(A)
     return _cg_batched(A, B, X0, M, float(rtol), float(atol), int(maxiter),

@@ -55,7 +55,12 @@ def resolve_ff_matvec(A):
     if (isinstance(params, tuple) and len(params) >= 1
             and isinstance(params[0], SF.ELL)):
         return _ff_ell
-    if getattr(params, "ndim", None) == 2:  # dense MatrixOperator storage
+    # dense MatrixOperator storage: a 2-D params array whose SHAPE is
+    # the operator's shape — a bare ndim==2 sniff also matched
+    # HaloDiaOperator's (ndiag, m) diagonal array and fed it to the
+    # dense path (round-4 review finding)
+    if (getattr(params, "ndim", None) == 2
+            and tuple(params.shape) == (A.shape[0], A.shape[1])):
         return _ff_dense
     return None
 

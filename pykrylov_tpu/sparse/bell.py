@@ -1084,6 +1084,18 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
     nring = int(max(2, min(WIN_AHEAD + 1,
                            ((16 << 20) - transient_bytes)
                            // max(1, ring_bytes))))
+    if not interpret and transient_bytes + 2 * ring_bytes > (16 << 20):
+        # Even the minimum ring depth cannot fit next to the GS-scaled
+        # stack transients.  Fail LOUD at trace time: a GS=3424/nring=2
+        # config passed compilation but CRASHED the TPU worker at run
+        # time (round-4 probe; libtpu fault).  The auto format policy
+        # (linop._try_bell) rejects such packings up front; direct
+        # bell_operator callers get this error instead of a dead chip.
+        raise ValueError(
+            "BELL packing (GS=%d, nb=%d) needs ~%.1f MB of scoped VMEM "
+            "against the 16 MB limit; repack with a smaller nb_max / "
+            "window budget, more levels, or use the XLA ELL path"
+            % (GS, nb, (transient_bytes + 2 * ring_bytes) / 2**20))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,           # band_lo
         grid=(nsteps,),

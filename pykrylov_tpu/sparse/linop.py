@@ -92,10 +92,11 @@ def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256,
       (default 8 ≈ 5x the 8 B/nnz CSR footprint) holds, or — for
       heavy-tailed/irregular classes that pack badly but where the XLA
       alternative is 1-2 orders slower (power-law degree matrices
-      plan at ~29 slots/nnz yet still run ~100x faster than ELL's
+      plan at ~29 slots/nnz yet still run ~20x faster than ELL's
       per-nnz gathers) — the COST-BASED escape: predicted kernel time
-      beats the ELL estimate by ``min_speedup_vs_ell`` AND absolute
-      padding stays under ``max_pad_bytes`` of HBM.
+      beats the ELL estimate by ``min_speedup_vs_ell`` AND the total
+      packed storage (values + indices at their stored dtypes) stays
+      under ``max_pad_bytes`` of HBM.
 
     Tries the raw ordering first, then RCM (square only).  Returns None
     when neither packing qualifies."""
@@ -142,9 +143,13 @@ def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256,
         # wide-window packings roughly linearly in nb
         cost_adj = sum(int(_np.prod(b.data.shape)) * _SLOT_COST_PS[b.window]
                        * max(1.0, b.nb / max_nb) for b in lv)
-        slots = sum(int(_np.prod(b.data.shape)) for b in lv)
-        pad_bytes = 8 * slots   # 4 B value + ~4 B packed index per slot
-        return (pad_bytes <= max_pad_bytes
+        # exact packed storage (values + lane indices at their actual
+        # dtypes) — the escape caps total HBM footprint, not an 8 B/slot
+        # guess that double-charged bf16 values
+        storage_bytes = sum(
+            b.data.size * b.data.dtype.itemsize
+            + b.lanes.size * b.lanes.dtype.itemsize for b in lv)
+        return (storage_bytes <= max_pad_bytes
                 and cost_adj * 1e-12 * min_speedup_vs_ell
                 <= nnz * _ELL_NS_PER_NNZ * 1e-9)
 

@@ -725,3 +725,30 @@ def test_symmlq_batched_front_door():
     res = solve(op, jnp.asarray(a @ Xs), method="symmlq", rtol=1e-10)
     assert res.x.shape == (50, 3) and bool(res.converged.all())
     np.testing.assert_allclose(np.asarray(res.x), Xs, rtol=1e-6, atol=1e-8)
+
+
+def test_replace_every_zero_is_plain_cg():
+    # replace_every=0 must disable the verified mode (single cg's falsy
+    # coercion), not evaluate (k+1) % 0
+    a = _spd(n=60, cond=50, seed=30)
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    B = jnp.asarray(np.random.default_rng(31).standard_normal((60, 3)))
+    r0 = cg_batched(op, B, rtol=1e-10)
+    r1 = cg_batched(op, B, rtol=1e-10, replace_every=0)
+    assert "n_replacements" not in r1.info
+    np.testing.assert_array_equal(np.asarray(r0.x), np.asarray(r1.x))
+
+
+def test_verified_block_front_door_indefinite_fails_loud():
+    # solve(A_indef, B, verified=True) must flag istop 2 per column
+    # (curvature net), not grind to maxiter claiming progress
+    from pykrylov_tpu import solve
+    n = 40
+    d = np.ones(n)
+    d[-1] = -1.0
+    op = DiagonalOperator(jnp.asarray(d))
+    B = jnp.asarray(np.random.default_rng(32).standard_normal((n, 2)))
+    res = solve(op, B, verified=True, rtol=1e-10, maxiter=500)
+    assert not bool(res.converged.any())
+    assert bool((np.asarray(res.istop) == 2).all()), np.asarray(res.istop)
+    assert not bool(res.info["definite"].any())

@@ -286,3 +286,21 @@ def test_solve_block_dispatch():
     import pytest
     with pytest.raises(ValueError):
         solve(Ag, jnp.asarray(gen @ Xs), verified=True)
+
+
+def test_fused_fallback_promotes_mixed_dtype_rhs():
+    # f32 rhs on an f64 operator inside jit: both lax.cond branches
+    # must carry the promoted dtype (round-4 review finding: the fused
+    # MINRES leg bypassed the public wrapper's promote_rhs)
+    A, x_true, b = _indefinite_system()
+    op = MatrixOperator(jnp.asarray(A), symmetric=True)
+
+    @jax.jit
+    def run(b32):
+        return solve(op, b32, rtol=1e-10)
+
+    res = run(jnp.asarray(b, jnp.float32))
+    assert res.x.dtype == jnp.float64
+    assert bool(res.info["fallback_used"]) and bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-5,
+                               atol=1e-7)
