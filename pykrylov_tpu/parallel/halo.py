@@ -73,25 +73,39 @@ def _halo_mm_factory(offsets, axis, n_dev, mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def _halo_mm_tuple_factory(offsets, axis, n_dev, mesh, w, L):
-    """matmat twin for kernel-path operators (params = the packed
-    ``(ndiag, n_dev, m_loc/128, 128)`` array only — storing a second
-    flat copy would double HBM and the device upload): block products
-    keep the XLA shifted-axpy path on a local flat view sliced out of
-    the packed layout per call (rows [w, w+L) of the halo-extended
-    local block; a cheap reshape+slice against the K-amortized
-    product)."""
-    inner_mm = _halo_matmat_factory(offsets, axis, n_dev)
+def _halo_mm_pallas_factory(offsets, axis, n_dev, mesh, w, L, m_loc,
+                            block, interpret):
+    """Block-product twin of the Pallas local path: the halo exchange
+    ships (w, K) slices and the fused DIA SpMM ring kernel streams the
+    local diagonal blocks ONCE for all K columns (the XLA shifted-axpy
+    block product runs at the same ~72-110 GB/s its matvec sibling
+    measured — probe_dia_crossover)."""
+    from ..sparse.kernels import _dia_matmat_call
+
+    fwd_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
     def local_mm(data3_blk, X_blk):
-        ndiag = data3_blk.shape[0]
-        flat = data3_blk[:, 0].reshape(ndiag, -1)[:, w:w + L]
-        return inner_mm(flat, X_blk)
+        K = X_blk.shape[1]
+        idx = jax.lax.axis_index(axis)
+        if w > 0:
+            left = jax.lax.ppermute(X_blk[-w:, :], axis, perm=fwd_perm)
+            right = jax.lax.ppermute(X_blk[:w, :], axis, perm=bwd_perm)
+            left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+            right = jnp.where(idx == n_dev - 1, jnp.zeros_like(right),
+                              right)
+            Xp = jnp.concatenate([left, X_blk, right], axis=0)
+        else:
+            Xp = X_blk
+        Xe = jnp.zeros((m_loc, K), Xp.dtype).at[:Xp.shape[0], :].set(Xp)
+        Y = _dia_matmat_call(data3_blk[:, 0], Xe, offsets, block,
+                             interpret)
+        return Y[w:w + L, :]
 
     mapped = shard_map(local_mm, mesh=mesh,
                        in_specs=(P(None, axis, None, None),
                                  P(axis, None)),
-                       out_specs=P(axis, None))
+                       out_specs=P(axis, None), check_vma=False)
 
     def mm(params, X):
         return mapped(params, X)
@@ -284,8 +298,8 @@ class HaloDiaOperator(LinearOperator):
             interpret = jax.default_backend() != "tpu"
             mv = _halo_mv_pallas_factory(offsets_t, axis, n_dev, mesh,
                                          w, L, m_loc, block, interpret)
-            mm = _halo_mm_tuple_factory(offsets_t, axis, n_dev, mesh,
-                                        w, L)
+            mm = _halo_mm_pallas_factory(offsets_t, axis, n_dev, mesh,
+                                         w, L, m_loc, block, interpret)
             params = data3
         else:
             mv = _halo_mv_factory(offsets_t, axis, n_dev, mesh)
