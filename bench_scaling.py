@@ -59,10 +59,14 @@ def weak_scaling_curve(scale):
         res = cg(op, b, M=M, rtol=1e-6, maxiter=2 * m)  # compile+converge
         jax.block_until_ready(res.x)
         best = np.inf
-        for _ in range(3):
+        for rep in range(3):
+            # same timing defenses as _timed_halo_cg (distinct input +
+            # result-dependent scalar fetch)
+            bs = b * (1.0 + 0.001 * (rep + 1))
+            float(bs[0])
             t0 = time.perf_counter()
-            jax.block_until_ready(cg(op, b, M=M, rtol=1e-6,
-                                     maxiter=2 * m).x)
+            r2 = cg(op, bs, M=M, rtol=1e-6, maxiter=2 * m)
+            float(r2.x[0] + r2.resid_norm)
             best = min(best, time.perf_counter() - t0)
         iters = int(res.n_iter)
         tpi = best / max(iters, 1)
