@@ -24,6 +24,7 @@ from .mesh import (make_mesh, default_mesh, device_mesh_info,
 from .sharded import (shard_vector, replicate, shard_operator,
                       sharded_poisson3d)
 from .halo import HaloDiaOperator
+from .stencil import HaloStencilPoisson3DOperator
 from .gather import GatherEllOperator, build_gather_schedule
 from .bell_sharded import GatherBellOperator
 from .tall import TallSkinnyOperator
@@ -35,7 +36,8 @@ __all__ = [
     "make_mesh", "default_mesh", "device_mesh_info",
     "initialize_multihost",
     "shard_vector", "replicate", "shard_operator", "sharded_poisson3d",
-    "HaloDiaOperator", "GatherEllOperator", "build_gather_schedule",
+    "HaloDiaOperator", "HaloStencilPoisson3DOperator",
+    "GatherEllOperator", "build_gather_schedule",
     "GatherBellOperator",
     "Halo2DPoissonOperator", "make_mesh2d", "shard_vector_2d",
     "to_bricks", "from_bricks",

@@ -115,16 +115,26 @@ def shard_operator(op, mesh, axis=ROW_AXIS):
     return sharded, mp - m
 
 
-def sharded_poisson3d(n, mesh, dtype=np.float64, halo=True):
+def sharded_poisson3d(n, mesh, dtype=np.float64, halo=True,
+                      matrix_free=False):
     """Generated 3-D Poisson system sharded over ``mesh`` — the multi-host
     weak-scaling workload (SURVEY §7 stage 7, BASELINE north-star #5).
 
     Returns ``(op, b, exact, pad)`` with ``b = A·e`` sharded on rows.
     ``halo=True`` uses the ppermute halo-exchange DIA operator; otherwise
     the generic sharded-DIA path (XLA-chosen collectives).
+    ``matrix_free=True`` returns the zero-storage stencil operator
+    instead (fastest for this constant-coefficient class — no matrix
+    traffic at all; requires the mesh extent to divide ``n``).
     """
     from ..gallery.poisson import poisson3d_coo
     from .halo import HaloDiaOperator
+
+    if matrix_free:
+        from .stencil import HaloStencilPoisson3DOperator
+        op = HaloStencilPoisson3DOperator(n, mesh, dtype=dtype)
+        e = shard_vector(jnp.ones(n ** 3, dtype=dtype), mesh)
+        return op, op * e, e, 0
 
     vals, rows, cols, shape = poisson3d_coo(n, dtype=dtype)
     # Host-resident intermediate: conversions read triples on the host.

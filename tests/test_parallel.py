@@ -256,3 +256,48 @@ class TestHaloDiaKernelPath:
         res = solve(op, B2, verified=True, rtol=1e-8,
                     replace_every=10, maxiter=3000)
         assert bool(res.converged.all())
+
+
+class TestHaloStencilMatrixFree:
+    def test_matches_dia_halo_and_gallery(self, mesh):
+        from pykrylov_tpu.parallel import (HaloStencilPoisson3DOperator,
+                                           sharded_poisson3d)
+        from pykrylov_tpu.gallery.poisson import poisson3d_matvec
+        n = 16
+        op = HaloStencilPoisson3DOperator(n, mesh)
+        rng = np.random.default_rng(13)
+        v = rng.standard_normal(n ** 3).astype(np.float32)
+        xs = shard_vector(jnp.asarray(v), mesh)
+        y = np.asarray(op @ xs)
+        oracle = np.asarray(poisson3d_matvec(jnp.asarray(v, jnp.float64)))
+        np.testing.assert_allclose(y, oracle, rtol=1e-4, atol=1e-4)
+        # the sharded_poisson3d front door
+        opf, b, e, pad = sharded_poisson3d(n, mesh, matrix_free=True,
+                                           dtype=np.float32)
+        assert pad == 0
+        np.testing.assert_allclose(np.asarray(opf @ xs), y, rtol=1e-6)
+        # block products broadcast over K
+        X2 = jnp.stack([xs, 2.0 * xs], axis=1)
+        Y2 = np.asarray(opf.apply_with(opf._mm, X2))
+        np.testing.assert_allclose(Y2[:, 1], 2.0 * y, rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_cg_and_batched(self, mesh):
+        from pykrylov_tpu.parallel import sharded_poisson3d
+        from pykrylov_tpu.solvers import cg, cg_batched
+        n = 16
+        op, b, e, pad = sharded_poisson3d(n, mesh, matrix_free=True,
+                                          dtype=np.float32)
+        res = cg(op, b, rtol=1e-6, maxiter=4 * n ** 3)
+        assert bool(res.converged)
+        assert len(res.x.sharding.device_set) == 8
+        assert float(jnp.abs(res.x - e).max()) < 1e-3
+        B2 = jnp.stack([b, 0.5 * b], axis=1)
+        rb = cg_batched(op, B2, rtol=1e-6, maxiter=4 * n ** 3)
+        assert bool(rb.converged.all())
+        assert float(jnp.abs(rb.x[:, 1] - 0.5 * e).max()) < 1e-3
+
+    def test_indivisible_mesh_raises(self, mesh):
+        from pykrylov_tpu.parallel import HaloStencilPoisson3DOperator
+        with pytest.raises(ValueError, match="divide"):
+            HaloStencilPoisson3DOperator(12, mesh)  # 8 does not divide 12
