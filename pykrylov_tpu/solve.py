@@ -75,13 +75,14 @@ def solve(A, b, method=None, verified=False, **opts):
     family (``cg_batched`` for symmetric square, ``bicgstab_batched``
     for general square, ``lsqr_batched`` for rectangular; explicit
     ``method=`` picks its ``*_batched`` twin when one exists — cg,
-    bicgstab, cgs, tfqmr, minres, symmlq, lsqr and lsmr all have one) —
-    the sparse operators' SpMM kernels then stream A once per iteration
-    for all K systems.  Methods WITHOUT a fused twin (cg_pipelined,
-    craig, craigmr) fall back to :func:`~pykrylov_tpu.solvers.
-    solve_columns`, a host loop that shares one compilation across
-    columns but amortizes nothing else: A streams once per column per
-    iteration, i.e. K times the fused path's traffic.
+    bicgstab, cgs, tfqmr, minres, symmlq, lsqr, lsmr, craig and
+    craigmr all have one) — the sparse operators' SpMM kernels then
+    stream A once per iteration for all K systems.  The one method
+    WITHOUT a fused twin (cg_pipelined) falls back to
+    :func:`~pykrylov_tpu.solvers.solve_columns`, a host loop that
+    shares one compilation across columns but amortizes nothing else:
+    A streams once per column per iteration, i.e. K times the fused
+    path's traffic.
     ``verified=True`` with a block routes symmetric square systems to
     ``cg_batched(replace_every=...)`` — per-column double-f32 carries
     and per-column verified stops on recomputed true residuals; other
@@ -156,7 +157,8 @@ def solve(A, b, method=None, verified=False, **opts):
 _BATCHED = {"cg": "cg_batched", "bicgstab": "bicgstab_batched",
             "cgs": "cgs_batched", "tfqmr": "tfqmr_batched",
             "minres": "minres_batched", "symmlq": "symmlq_batched",
-            "lsqr": "lsqr_batched", "lsmr": "lsmr_batched"}
+            "lsqr": "lsqr_batched", "lsmr": "lsmr_batched",
+            "craig": "craig_batched", "craigmr": "craigmr_batched"}
 
 
 def _solve_block(A, B, method, verified, opts):

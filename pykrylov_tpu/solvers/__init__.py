@@ -37,8 +37,8 @@ from .diff import make_differentiable, cg_solve, bicgstab_solve, lsqr_solve
 from .refine import refined_solve, refined_lls
 from .batched import (cg_batched, bicgstab_batched, cgs_batched,
                       tfqmr_batched, minres_batched, symmlq_batched,
-                      lsqr_batched, lsmr_batched,
-                      solve_columns)
+                      lsqr_batched, lsmr_batched, craig_batched,
+                      craigmr_batched, solve_columns)
 
 __all__ = ["SolveResult", "cg", "minres", "symmlq", "bicgstab", "cgs",
            "tfqmr", "lsqr", "lsmr", "craig", "craigmr", "cg_pipelined",
@@ -46,5 +46,5 @@ __all__ = ["SolveResult", "cg", "minres", "symmlq", "bicgstab", "cgs",
            "lsqr_solve", "refined_solve", "refined_lls", "cg_batched",
            "lsqr_batched", "bicgstab_batched", "cgs_batched",
            "tfqmr_batched", "minres_batched", "symmlq_batched",
-           "lsmr_batched",
+           "lsmr_batched", "craig_batched", "craigmr_batched",
            "solve_columns"]

@@ -41,9 +41,10 @@ from .result import SolveResult
 
 __all__ = ["cg_batched", "bicgstab_batched", "cgs_batched",
            "tfqmr_batched", "minres_batched", "symmlq_batched",
-           "lsqr_batched", "lsmr_batched", "solve_columns", "ISTOP_MSG",
+           "lsqr_batched", "lsmr_batched", "craig_batched",
+           "craigmr_batched", "solve_columns", "ISTOP_MSG",
            "ISTOP_MSG_TF", "ISTOP_MSG_LSQR", "ISTOP_MSG_MINRES",
-           "ISTOP_MSG_SYMMLQ"]
+           "ISTOP_MSG_SYMMLQ", "ISTOP_MSG_CRAIG", "ISTOP_MSG_CRAIGMR"]
 
 # cg_batched istop codes (per column); lsqr_batched columns follow the
 # LSQR table re-exported below
@@ -1676,3 +1677,335 @@ def lsqr_batched(A, B, *, damp=0.0, M=None, N=None, atol=1.0e-9,
     return _lsqr_batched(A, B, M, N, float(damp), float(atol), float(btol),
                          float(conlim), float(etol), int(itnlim),
                          int(window), bool(store_history))
+
+
+# ---------------------------------------------------------------------------
+# Batched CRAIG / CRAIG-MR (SQD family)
+# ---------------------------------------------------------------------------
+
+from .craig import ISTOP_MSG as ISTOP_MSG_CRAIG        # noqa: E402
+from .craigmr import ISTOP_MSG as ISTOP_MSG_CRAIGMR    # noqa: E402
+
+_CRAIG_OPTIMAL = (0, 1, 2, 4, 5, 8)
+
+
+@partial(jax.jit, static_argnames=("itnlim", "window", "store_history"))
+def _craig_batched(A, B, M, N, atol, btol, etol, itnlim, window,
+                   store_history):
+    m, n = A.nargout, A.nargin
+    dtype = B.dtype
+    K = B.shape[1]
+    zK = jnp.zeros(K, dtype)
+    one = jnp.ones(K, dtype)
+
+    U, Mu, V, Nv, alpha, beta = _gk_init_block(A, B, M, N)
+    x_is_zero = beta == 0
+    bnorm = beta
+
+    # first-iteration initialization (craig.py:247-268), per column
+    rho = jnp.hypot(alpha, one)
+    D = U / rho
+    tau = beta / rho
+    R = tau * D
+    rnorm = tau * tau
+    c = alpha / rho
+    s = 1.0 / rho
+    zeta = s * beta
+    eta = c * zeta
+    xi = s * zeta
+    W = c * V
+    Wbar = s * V
+    X = zeta * W
+    xnorm = eta * eta
+    r1norm = xi * xi
+
+    hist = (jnp.full((itnlim + 1, K), jnp.nan, dtype)
+            .at[0].set(jnp.sqrt(rnorm)) if store_history else None)
+
+    st0 = dict(
+        X=X, R=R, W=W, Wbar=Wbar, D=D,
+        U=U, Mu=Mu, V=V, Nv=Nv, alpha=alpha, beta=beta,
+        c=c, s=s, zeta=zeta, tau=tau,
+        rnorm=rnorm, r1norm=r1norm, xnorm=xnorm,
+        arnorm=zK, r_nrg2=zK, x_nrg2=zK,
+        d_err=jnp.zeros((window, K), dtype),
+        istop=jnp.zeros(K, jnp.int32), itn=jnp.zeros((), jnp.int32),
+        done=x_is_zero, iters=jnp.zeros(K, jnp.int32), hist=hist)
+
+    def cond(st):
+        return jnp.any(~st["done"]) & (st["itn"] < itnlim)
+
+    def body(st):
+        act = ~st["done"]
+        itn = st["itn"] + 1
+        U, Mu, V, Nv, alpha, beta = _gk_step_block(
+            A, M, N, st["V"], st["Mu"], st["Nv"], st["alpha"])
+        arnorm = jnp.abs(st["alpha"] * beta * st["s"] * st["zeta"])
+
+        # rotations of types I and II (craig.py:333-345), per column
+        beta_hat = st["c"] * beta
+        gamma = st["s"] * beta
+        delta = jnp.hypot(gamma, one)
+        alpha_hat = jnp.hypot(alpha, delta)
+        ah = jnp.where(alpha_hat == 0, 1, alpha_hat)
+        c = alpha / ah
+        s = delta / ah
+        s2 = gamma / delta
+        # (c2 = -1/delta is unused by the updates, as in the single)
+
+        # dual update (craig.py:347-350)
+        D2 = (U - beta_hat * st["D"]) / ah
+        tau = -beta_hat * st["tau"] / ah
+        R2 = st["R"] + tau * D2
+
+        # primal update (craig.py:354-365)
+        zeta = -beta_hat * st["zeta"] / ah
+        eta = c * zeta
+        xi = s * zeta
+        Wbar_s = st["Wbar"] * s2
+        W2 = c * V + s * Wbar_s
+        Wbar2 = -c * Wbar_s + s * V
+        X2 = st["X"] + zeta * W2
+
+        # energy norms + dual direct-error stop (craig.py:370-379)
+        r_nrg2 = st["r_nrg2"] + tau * tau
+        x_nrg2 = st["x_nrg2"] + zeta * zeta
+        d_err = st["d_err"].at[itn % window].set(
+            jnp.where(act, tau, st["d_err"][itn % window]))
+        trnc = jnp.linalg.norm(d_err, axis=0)
+        istop = jnp.where(
+            act & (itn > window) & (trnc < etol * jnp.sqrt(r_nrg2)),
+            jnp.asarray(8, jnp.int32), st["istop"])
+
+        rnorm = st["rnorm"] + tau * tau
+        xnorm = st["xnorm"] + eta * eta
+        r1norm = st["r1norm"] + xi * xi
+
+        # active tests (craig.py:438-457)
+        test1 = jnp.sqrt(rnorm) / jnp.where(bnorm == 0, 1, bnorm)
+        istop = jnp.where(act & (itn >= itnlim), 7, istop)
+        istop = jnp.where(act & (1 + test1 <= 1), 4, istop)
+        istop = jnp.where(act & (test1 <= btol), 1, istop)
+        istop = istop.astype(jnp.int32)
+
+        def mc(new, old):
+            return jnp.where(act, new, old)
+
+        def mv(new, old):
+            return jnp.where(act[None, :], new, old)
+
+        h2 = st["hist"]
+        if h2 is not None:
+            h2 = h2.at[itn].set(jnp.where(act, jnp.sqrt(rnorm), jnp.nan))
+        return dict(
+            X=mv(X2, st["X"]), R=mv(R2, st["R"]), W=mv(W2, st["W"]),
+            Wbar=mv(Wbar2, st["Wbar"]), D=mv(D2, st["D"]),
+            U=mv(U, st["U"]), Mu=mv(Mu, st["Mu"]), V=mv(V, st["V"]),
+            Nv=mv(Nv, st["Nv"]),
+            alpha=mc(alpha, st["alpha"]), beta=mc(beta, st["beta"]),
+            c=mc(c, st["c"]), s=mc(s, st["s"]),
+            zeta=mc(zeta, st["zeta"]), tau=mc(tau, st["tau"]),
+            rnorm=mc(rnorm, st["rnorm"]),
+            r1norm=mc(r1norm, st["r1norm"]),
+            xnorm=mc(xnorm, st["xnorm"]), arnorm=mc(arnorm, st["arnorm"]),
+            r_nrg2=mc(r_nrg2, st["r_nrg2"]),
+            x_nrg2=mc(x_nrg2, st["x_nrg2"]), d_err=d_err,
+            istop=istop, itn=itn, done=st["done"] | (istop > 0),
+            iters=st["iters"] + act.astype(jnp.int32), hist=h2)
+
+    st = jax.lax.while_loop(cond, body, st0)
+    istop = st["istop"]
+    optimal = jnp.isin(istop, jnp.asarray(_CRAIG_OPTIMAL))
+    X_out = jnp.where(x_is_zero[None, :], jnp.zeros((n, K), dtype),
+                      st["X"])
+    R_out = jnp.where(x_is_zero[None, :], jnp.zeros((m, K), dtype),
+                      st["R"])
+    return SolveResult(
+        x=X_out, converged=optimal, istop=istop,
+        n_iter=st["itn"], n_matvec=2 * st["itn"],
+        resid_norm=jnp.sqrt(st["rnorm"]), resid_norm0=bnorm,
+        resid_history=st["hist"],
+        info={"r": R_out, "r1norm": jnp.sqrt(st["r1norm"]),
+              "r2norm": jnp.sqrt(st["rnorm"]),
+              "Arnorm": st["arnorm"], "xnorm": st["xnorm"],
+              "rNrgNorm2": st["r_nrg2"], "xNrgNorm2": st["x_nrg2"],
+              "optimal": optimal, "n_iter_columns": st["iters"]})
+
+
+def craig_batched(A, B, *, M=None, N=None, atol=1.0e-9, btol=1.0e-9,
+                  etol=1.0e-6, window=5, itnlim=None,
+                  store_history=False):
+    """Solve consistent ``A X = B`` / the SQD system per column by the
+    generalized CRAIG method in ONE fused while-loop.
+
+    Each column runs the reference recurrence — Golub-Kahan steps,
+    rotations of types I/II, BOTH the primal and dual iterates, energy
+    norms and the dual truncated-direct-error stop
+    (``/root/reference/pykrylov/lls/craig.py:104-520``) — under a
+    per-column freeze mask, with one forward + one transpose BLOCK
+    product per iteration for all K systems.
+
+    Parameters mirror :func:`~pykrylov_tpu.solvers.craig` (no
+    ``store_iterates``/``show``/``verify_final``).  Returns
+    :class:`SolveResult` with per-column fields; the dual block ``R``
+    is ``info["r"]`` (m, K), istop codes in :data:`ISTOP_MSG_CRAIG`.
+    """
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    N = as_operator(N) if N is not None else None
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    if B.ndim != 2 or B.shape[0] != A.shape[0]:
+        from ..ops.base import ShapeError
+        raise ShapeError("craig_batched: operator %r with rhs block %s"
+                         % (A, B.shape))
+    B = promote_rhs(B, A, M, N)
+    if itnlim is None:
+        itnlim = 3 * A.nargin
+    return _craig_batched(A, B, M, N, float(atol), float(btol),
+                          float(etol), int(itnlim), int(window),
+                          bool(store_history))
+
+
+@partial(jax.jit, static_argnames=("itnlim", "window", "store_history"))
+def _craigmr_batched(A, B, M, N, etol, itnlim, window, store_history):
+    m, n = A.nargout, A.nargin
+    dtype = B.dtype
+    K = B.shape[1]
+    zK = jnp.zeros(K, dtype)
+    one = jnp.ones(K, dtype)
+
+    U, Mu, V, Nv, alpha, beta = _gk_init_block(A, B, M, N)
+    x_is_zero = (alpha * beta) == 0
+
+    # first-iteration initialization (craigmr.py:104-120), per column
+    alpha_hat = jnp.hypot(alpha, one)
+    c = alpha / alpha_hat
+    s = 1.0 / alpha_hat
+    zeta_hat = beta
+    alpha_tilde = alpha_hat
+    theta = zK
+    D = U / alpha_hat
+
+    hist = (jnp.full((itnlim + 1, K), jnp.nan, dtype).at[0].set(beta)
+            if store_history else None)
+
+    st0 = dict(
+        X=jnp.zeros((m, K), dtype), D=D, Dbar=jnp.zeros((m, K), dtype),
+        U=U, Mu=Mu, V=V, Nv=Nv, alpha=alpha, beta=beta,
+        c=c, s=s, zeta_hat=zeta_hat, alpha_tilde=alpha_tilde,
+        theta=theta, zeta=zK, x_nrg2=zK,
+        d_err=jnp.zeros((window, K), dtype),
+        istop=jnp.zeros(K, jnp.int32), itn=jnp.zeros((), jnp.int32),
+        done=x_is_zero, iters=jnp.zeros(K, jnp.int32), hist=hist)
+
+    def cond(st):
+        return jnp.any(~st["done"]) & (st["itn"] < itnlim)
+
+    def body(st):
+        act = ~st["done"]
+        itn = st["itn"] + 1
+        U, Mu, V, Nv, alpha, beta = _gk_step_block(
+            A, M, N, st["V"], st["Mu"], st["Nv"], st["alpha"])
+
+        # rotations I / II / III (craigmr.py:161-185), per column
+        beta_hat = st["c"] * beta
+        gamma = st["s"] * beta
+        delta = jnp.hypot(gamma, one)
+        alpha_hat = jnp.hypot(alpha, delta)
+        ah = jnp.where(alpha_hat == 0, 1, alpha_hat)
+        c = alpha / ah
+        s = delta / ah
+        rho = jnp.hypot(st["alpha_tilde"], beta_hat)
+        rh = jnp.where(rho == 0, 1, rho)
+        c_hat = st["alpha_tilde"] / rh
+        s_hat = beta_hat / rh
+
+        Dbar2 = (st["D"] - st["theta"] * st["Dbar"]) / rh
+        theta = s_hat * ah
+        alpha_tilde = -c_hat * ah
+
+        zeta = c_hat * st["zeta_hat"]
+        zeta_hat = s_hat * st["zeta_hat"]
+        x_nrg2 = st["x_nrg2"] + zeta * zeta
+        D2 = (U - beta_hat * st["D"]) / ah
+        X2 = st["X"] + zeta * Dbar2
+
+        # stopping (craigmr.py:202-212)
+        d_err = st["d_err"].at[itn % window].set(
+            jnp.where(act, zeta, st["d_err"][itn % window]))
+        trnc = jnp.linalg.norm(d_err, axis=0)
+        istop = jnp.where(
+            act & (itn > window) & (trnc < etol * jnp.sqrt(x_nrg2)),
+            jnp.asarray(8, jnp.int32), st["istop"])
+        istop = jnp.where(act & (itn >= itnlim), 7,
+                          istop).astype(jnp.int32)
+
+        def mc(new, old):
+            return jnp.where(act, new, old)
+
+        def mv(new, old):
+            return jnp.where(act[None, :], new, old)
+
+        h2 = st["hist"]
+        if h2 is not None:
+            h2 = h2.at[itn].set(jnp.where(act, jnp.abs(zeta), jnp.nan))
+        return dict(
+            X=mv(X2, st["X"]), D=mv(D2, st["D"]),
+            Dbar=mv(Dbar2, st["Dbar"]),
+            U=mv(U, st["U"]), Mu=mv(Mu, st["Mu"]), V=mv(V, st["V"]),
+            Nv=mv(Nv, st["Nv"]),
+            alpha=mc(alpha, st["alpha"]), beta=mc(beta, st["beta"]),
+            c=mc(c, st["c"]), s=mc(s, st["s"]),
+            zeta_hat=mc(zeta_hat, st["zeta_hat"]),
+            alpha_tilde=mc(alpha_tilde, st["alpha_tilde"]),
+            theta=mc(theta, st["theta"]), zeta=mc(zeta, st["zeta"]),
+            x_nrg2=mc(x_nrg2, st["x_nrg2"]), d_err=d_err,
+            istop=istop, itn=itn, done=st["done"] | (istop > 0),
+            iters=st["iters"] + act.astype(jnp.int32), hist=h2)
+
+    st = jax.lax.while_loop(cond, body, st0)
+    istop = st["istop"]
+    converged = x_is_zero | (istop == 8)
+    return SolveResult(
+        x=st["X"], converged=converged, istop=istop,
+        n_iter=st["itn"], n_matvec=2 * st["itn"],
+        resid_norm=jnp.abs(st["zeta"]), resid_norm0=beta,
+        resid_history=st["hist"],
+        info={"xNrgNorm2": st["x_nrg2"],
+              "trncDirErr": jnp.linalg.norm(st["d_err"], axis=0),
+              "optimal": converged, "n_iter_columns": st["iters"]})
+
+
+def craigmr_batched(A, B, *, M=None, N=None, etol=1.0e-6, window=5,
+                    itnlim=None, store_history=False):
+    """Solve the least-norm minimum-residual problem per column by
+    CRAIG-MR in ONE fused while-loop.
+
+    Each column runs the reference recurrence (rotations I/II/III, the
+    dual-space iterate of dimension m, the truncated-direct-error stop
+    as the only active test — ``/root/reference/pykrylov/lls/
+    craigmr.py:51-250``; the stray hot-loop debug print is not
+    replicated) under a per-column freeze mask, with one forward + one
+    transpose BLOCK product per iteration.
+
+    Parameters mirror :func:`~pykrylov_tpu.solvers.craigmr`.  Returns
+    :class:`SolveResult` with per-column fields; ``x`` is the (m, K)
+    dual-space block, istop codes in :data:`ISTOP_MSG_CRAIGMR`.
+    """
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    N = as_operator(N) if N is not None else None
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    if B.ndim != 2 or B.shape[0] != A.shape[0]:
+        from ..ops.base import ShapeError
+        raise ShapeError("craigmr_batched: operator %r with rhs block %s"
+                         % (A, B.shape))
+    B = promote_rhs(B, A, M, N)
+    if itnlim is None:
+        itnlim = min(A.nargout, A.nargin)
+    return _craigmr_batched(A, B, M, N, float(etol), int(itnlim),
+                            int(window), bool(store_history))

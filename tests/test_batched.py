@@ -752,3 +752,79 @@ def test_verified_block_front_door_indefinite_fails_loud():
     assert not bool(res.converged.any())
     assert bool((np.asarray(res.istop) == 2).all()), np.asarray(res.istop)
     assert not bool(res.info["definite"].any())
+
+
+# ---------------------------------------------------------------------------
+# Batched CRAIG / CRAIG-MR (SQD family)
+# ---------------------------------------------------------------------------
+
+def test_craig_batched_columns_match_single():
+    from pykrylov_tpu.solvers import craig, craig_batched
+    from pykrylov_tpu.ops import MatrixOperator
+    rng = np.random.default_rng(40)
+    m, n = 40, 90
+    a = rng.standard_normal((m, n))
+    op = MatrixOperator(jnp.asarray(a))
+    B = np.stack([a @ rng.standard_normal(n) for _ in range(4)], axis=1)
+    B[:, 2] *= 1e3
+    # CRAIG solves the REGULARIZED SQD problem (M=N=I => Tikhonov),
+    # not plain Ax=b: the btol test never fires on an inconsistent-
+    # after-regularization rhs, so parity is istop/iterate equality
+    # plus the closed-form SQD certificates (CLAUDE.md conventions)
+    res = craig_batched(op, jnp.asarray(B), btol=1e-12, etol=0.0,
+                        itnlim=400)
+    assert res.x.shape == (n, 4) and res.info["r"].shape == (m, 4)
+    for j in range(4):
+        single = craig(op, jnp.asarray(B[:, j]), btol=1e-12, etol=0.0,
+                       itnlim=400)
+        assert int(res.istop[j]) == int(single.istop), j
+        assert abs(int(res.info["n_iter_columns"][j])
+                   - int(single.n_iter)) <= 3, j
+        nrm = max(1.0, float(jnp.linalg.norm(single.x)))
+        assert float(jnp.linalg.norm(res.x[:, j] - single.x)) \
+            < 1e-8 * nrm, j
+        # SQD block certificates per column (identity weights)
+        x = np.asarray(res.x[:, j])
+        r = np.asarray(res.info["r"][:, j])
+        bn = np.linalg.norm(B[:, j])
+        assert np.linalg.norm((B[:, j] - a @ x) - r) < 1e-6 * bn
+        assert np.linalg.norm(a.T @ r - x) < 1e-6 * bn
+
+
+def test_craigmr_batched_columns_match_single():
+    from pykrylov_tpu.solvers import craigmr, craigmr_batched
+    from pykrylov_tpu.ops import MatrixOperator
+    rng = np.random.default_rng(41)
+    m, n = 35, 80
+    a = rng.standard_normal((m, n))
+    op = MatrixOperator(jnp.asarray(a))
+    B = np.stack([a @ rng.standard_normal(n) for _ in range(3)], axis=1)
+    res = craigmr_batched(op, jnp.asarray(B), etol=1e-10, itnlim=200)
+    assert res.x.shape == (m, 3)       # dual-space iterate
+    for j in range(3):
+        single = craigmr(op, jnp.asarray(B[:, j]), etol=1e-10,
+                         itnlim=200)
+        assert int(res.istop[j]) == int(single.istop), j
+        nrm = max(1.0, float(jnp.linalg.norm(single.x)))
+        assert float(jnp.linalg.norm(res.x[:, j] - single.x)) \
+            < 1e-8 * nrm, j
+
+
+def test_craig_batched_zero_column_and_front_door():
+    from pykrylov_tpu import solve
+    from pykrylov_tpu.ops import MatrixOperator
+    rng = np.random.default_rng(42)
+    m, n = 30, 60
+    a = rng.standard_normal((m, n))
+    op = MatrixOperator(jnp.asarray(a))
+    B = np.stack([np.zeros(m), a @ np.ones(n)], axis=1)
+    # the etol (truncated direct-error) stop is the practical SQD
+    # convergence test: istop 8 per column
+    res = solve(op, jnp.asarray(B), method="craig", btol=1e-12,
+                etol=1e-10, itnlim=300)
+    assert bool(res.converged[0])
+    np.testing.assert_array_equal(np.asarray(res.x[:, 0]), 0.0)
+    assert bool(res.converged[1]) and int(res.istop[1]) == 8
+    res2 = solve(op, jnp.asarray(B), method="craigmr", etol=1e-8,
+                 itnlim=100)
+    assert res2.x.shape == (m, 2)
