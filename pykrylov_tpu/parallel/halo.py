@@ -147,9 +147,9 @@ def _halo_matmat_factory(offsets, axis, n_dev):
 def _halo_mv_pallas_factory(offsets, axis, n_dev, mesh, w, L, m_loc,
                             block, interpret):
     """Pallas-kernel local path (round 4): the XLA shifted-slice local
-    stencil streams at ~187 GB/s end to end (measured, SCALING_r04
-    model_fit) while the ring-buffered DIA kernel streams at ~675 GB/s
-    — so the local compute inside the shard_map is routed through
+    stencil streams at ~187 GB/s end to end (measured on-chip, ROADMAP
+    "Sharded halo-CG") while the ring-buffered DIA kernel streams at
+    ~675 — so the local compute inside the shard_map is routed through
     :func:`~pykrylov_tpu.sparse.kernels._dia_matvec_call` on the
     halo-extended local vector.  Per-shard data arrives pre-packed as
     (ndiag, 1, m_loc/128, 128); rows [0, w) and [w+L, m_loc) of the
