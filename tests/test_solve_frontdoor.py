@@ -263,12 +263,19 @@ def test_solve_block_dispatch():
     res = solve(Ag, jnp.asarray(gen @ Xs), rtol=1e-10)
     assert res.x.shape == (n, K) and bool(res.converged.all())
 
-    # explicit method with a batched twin, and one without (column
-    # driver fallback)
+    # explicit methods with batched twins...
     res = solve(Ag, jnp.asarray(gen @ Xs), method="tfqmr", rtol=1e-8)
     assert res.x.shape == (n, K)
     res = solve(A, jnp.asarray(spd @ Xs), method="minres", rtol=1e-8)
     assert res.x.shape == (n, K)
+    # ...and the ONE without (cg_pipelined): the restacked
+    # solve_columns fallback, per-column results in info["columns"]
+    res = solve(A, jnp.asarray(spd @ Xs), method="cg_pipelined",
+                rtol=1e-8)
+    assert res.x.shape == (n, K) and bool(res.converged.all())
+    assert len(res.info["columns"]) == K
+    np.testing.assert_allclose(np.asarray(res.x), Xs, rtol=1e-5,
+                               atol=1e-7)
 
     # rectangular block -> lsqr_batched
     m2 = 60
