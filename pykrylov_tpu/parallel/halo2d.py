@@ -123,6 +123,52 @@ def _halo2d_mv_factory(n, rz, ry, az, ay, mesh):
     return mv
 
 
+@functools.lru_cache(maxsize=None)
+def _halo2d_mm_factory(n, rz, ry, az, ay, mesh):
+    """Block-product twin (matmat protocol): the four face exchanges
+    ship (..., K) slices and the stencil broadcasts over the trailing
+    K axis — one shard_map serves all K systems per iteration."""
+    nzl, nyl = n // rz, n // ry
+    fwd_z = [(i, (i + 1) % rz) for i in range(rz)]
+    bwd_z = [(i, (i - 1) % rz) for i in range(rz)]
+    fwd_y = [(i, (i + 1) % ry) for i in range(ry)]
+    bwd_y = [(i, (i - 1) % ry) for i in range(ry)]
+
+    def local_mm(scale_ref, V):
+        K = V.shape[1]
+        u = V.reshape(nzl, nyl, n, K)
+        zi = jax.lax.axis_index(az)
+        yi = jax.lax.axis_index(ay)
+        zlo = jax.lax.ppermute(u[-1], az, perm=fwd_z)
+        zhi = jax.lax.ppermute(u[0], az, perm=bwd_z)
+        zlo = jnp.where(zi == 0, jnp.zeros_like(zlo), zlo)
+        zhi = jnp.where(zi == rz - 1, jnp.zeros_like(zhi), zhi)
+        ylo = jax.lax.ppermute(u[:, -1], ay, perm=fwd_y)
+        yhi = jax.lax.ppermute(u[:, 0], ay, perm=bwd_y)
+        ylo = jnp.where(yi == 0, jnp.zeros_like(ylo), ylo)
+        yhi = jnp.where(yi == ry - 1, jnp.zeros_like(yhi), yhi)
+
+        up = jnp.pad(u, ((1, 1), (1, 1), (1, 1), (0, 0)))
+        up = up.at[0, 1:-1, 1:-1].set(zlo).at[-1, 1:-1, 1:-1].set(zhi)
+        up = up.at[1:-1, 0, 1:-1].set(ylo).at[1:-1, -1, 1:-1].set(yhi)
+
+        c = up[1:-1, 1:-1, 1:-1]
+        Y = (6.0 * c
+             - up[:-2, 1:-1, 1:-1] - up[2:, 1:-1, 1:-1]
+             - up[1:-1, :-2, 1:-1] - up[1:-1, 2:, 1:-1]
+             - up[1:-1, 1:-1, :-2] - up[1:-1, 1:-1, 2:])
+        return (scale_ref * Y).reshape(-1, K)
+
+    mapped = shard_map(local_mm, mesh=mesh,
+                       in_specs=(P(), P((az, ay), None)),
+                       out_specs=P((az, ay), None))
+
+    def mm(params, X):
+        return mapped(params, X)
+
+    return mm
+
+
 class Halo2DPoissonOperator(LinearOperator):
     """7-point 3-D Poisson operator on an (rz x ry) device mesh.
 
@@ -145,8 +191,9 @@ class Halo2DPoissonOperator(LinearOperator):
                 "both mesh extents (%d, %d) must divide the grid n=%d"
                 % (rz, ry, n))
         mv = _halo2d_mv_factory(int(n), int(rz), int(ry), az, ay, mesh)
+        mm = _halo2d_mm_factory(int(n), int(rz), int(ry), az, ay, mesh)
         scale = jnp.asarray(scale, dtype=dtype)
-        super().__init__(n**3, n**3, matvec=mv, params=scale,
+        super().__init__(n**3, n**3, matvec=mv, matmat=mm, params=scale,
                          _takes_params=True, symmetric=True,
                          hermitian=True, dtype=np.dtype(dtype), **kwargs)
         self.mesh = mesh
