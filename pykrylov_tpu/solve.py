@@ -85,8 +85,10 @@ def solve(A, b, method=None, verified=False, **opts):
     path's traffic.
     ``verified=True`` with a block routes symmetric square systems to
     ``cg_batched(replace_every=...)`` — per-column double-f32 carries
-    and per-column verified stops on recomputed true residuals; other
-    methods/shapes raise (solve columns individually).
+    and per-column verified stops on recomputed true residuals — or,
+    with ``method="minres"``, to the indefinite-capable verified
+    ff-MINRES block path (``minres_batched(replace_every=...)``);
+    other methods/shapes raise (solve columns individually).
     """
     A = as_operator(A)
     b_arr = jnp.asarray(b)
@@ -178,10 +180,18 @@ def _solve_block(A, B, method, verified, opts):
             # definite=False), not grind to maxiter claiming progress
             copts.setdefault("check_curvature", True)
             return _S.cg_batched(A, B, **copts)
+        if method == "minres" and sym and A.shape[0] == A.shape[1]:
+            # indefinite-capable verified blocks: restart-free
+            # double-f32 ff-MINRES per column
+            mopts = dict(opts)
+            mopts.setdefault("replace_every", 50)
+            mopts.setdefault("rtol", 1e-6)
+            return _S.minres_batched(A, B, **mopts)
         raise ValueError(
             "verified=True for (n, K) right-hand-side blocks is "
-            "supported only for symmetric square systems via the "
-            "batched CG path (method=None or 'cg'); solve columns "
+            "supported for symmetric square systems via the batched CG "
+            "path (method=None or 'cg') or the ff-MINRES path "
+            "(method='minres', indefinite-capable); solve columns "
             "individually for verified stops with other methods")
     if method is not None:
         if method not in _METHODS:

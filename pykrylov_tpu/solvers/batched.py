@@ -944,7 +944,8 @@ def _minres_batched(A, B, M, shift, rtol, etol, itnlim, window,
 
 
 def minres_batched(A, B, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
-                   window=5, itnlim=None, store_history=False):
+                   window=5, itnlim=None, store_history=False,
+                   replace_every=None, atol=0.0):
     """Solve symmetric (possibly indefinite) ``(A - shift I) X = B`` for
     an (n, K) block of right-hand sides by MINRES in ONE fused
     while-loop.
@@ -961,9 +962,16 @@ def minres_batched(A, B, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
     affected column.
 
     Parameters mirror :func:`~pykrylov_tpu.solvers.minres` (no
-    ``check``/``show``/``store_iterates``/``replace_every`` — for
-    verified f32 tolerances run the single-RHS solver per column or
-    :func:`~pykrylov_tpu.solvers.refined_solve`).
+    ``check``/``show``/``store_iterates``).  ``replace_every`` enables
+    the VERIFIED per-column mode (round 4): the block counterpart of
+    single-RHS ff-MINRES — every column's Lanczos/Givens/w recurrence
+    rides double-f32 (hi, lo) pairs and ``istop=1`` fires per column
+    only on its recomputed TRUE residual
+    ``||b_k - (A - shift I)(x_k + xl_k)|| <= max(atol, rtol ||b_k||)``
+    (plain 2-norm, the same documented deviation as the single
+    solver).  No restarts; compensated block products when the
+    operator storage supports them.  ``store_history``/``etol`` are
+    unsupported in that mode.
 
     Returns :class:`SolveResult` with per-column fields: ``x`` (n, K);
     ``converged``/``istop``/``resid_norm`` (K,) arrays (istop codes in
@@ -984,6 +992,17 @@ def minres_batched(A, B, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
     B = promote_rhs(B, A, M)
     if itnlim is None:
         itnlim = 5 * B.shape[0]
+    replace_every = int(replace_every) if replace_every else None
+    if replace_every is not None:
+        if store_history:
+            raise ValueError("minres_batched: store_history is "
+                             "unsupported with replace_every (verified "
+                             "mode keeps no history buffers)")
+        from .ffmv import resolve_ff_matmat
+        ff_mm = resolve_ff_matmat(A)
+        return _minres_batched_ff(A, B, M, float(shift), float(rtol),
+                                  float(atol), int(itnlim),
+                                  replace_every, ff_mm)
     return _minres_batched(A, B, M, float(shift), float(rtol),
                            float(etol), int(itnlim), int(window),
                            bool(store_history))
@@ -2009,3 +2028,204 @@ def craigmr_batched(A, B, *, M=None, N=None, etol=1.0e-6, window=5,
         itnlim = min(A.nargout, A.nargin)
     return _craigmr_batched(A, B, M, N, float(etol), int(itnlim),
                             int(window), bool(store_history))
+
+
+# ---------------------------------------------------------------------------
+# Verified batched MINRES (restart-free double-f32, per column)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("itnlim", "replace_every", "ff_mm"))
+def _minres_batched_ff(A, B, M, shift, rtol, atol, itnlim,
+                       replace_every, ff_mm):
+    """Per-column port of single-RHS ``_minres``'s verified mode (see
+    the long rationale there, solvers/minres.py): the whole
+    Lanczos/Givens/w recurrence rides double-f32 (hi, lo) pairs per
+    column — scalars as (K,) pairs, vectors as (n, K) pairs — and
+    istop 1 fires per column only on its recomputed TRUE residual."""
+    from ..utils.ff import (ff_add_ff, ff_div, ff_hypot, ff_mul,
+                            ff_sqrt, ff_vdot_cols, two_prod, two_sum)
+
+    dtype = B.dtype
+    n, K = B.shape
+    eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
+    zK = jnp.zeros(K, dtype)
+    Z = jnp.zeros((n, K), dtype)
+
+    Y = _apply_block(M, B) if M is not None else B
+    beta1_sq = _col_dot(B, Y).astype(dtype)
+    indef_precon = beta1_sq < 0              # istop 9
+    zero_b = beta1_sq == 0
+    beta1 = jnp.sqrt(jnp.maximum(beta1_sq, 0))
+    bnorm = jnp.linalg.norm(B, axis=0)
+    vthresh = jnp.maximum(jnp.asarray(atol, dtype),
+                          jnp.asarray(rtol, dtype) * bnorm)
+
+    s0 = dict(
+        x=Z, xl=Z, r1=B, r1l=Z, r2=B, r2l=Z, y=Y, yl=Z,
+        w=Z, wl=Z, w2=Z, w2l=Z,
+        oldb=zK, oldbl=zK, beta=beta1, betal=zK,
+        dbar=zK, dbarl=zK, epsln=zK, epslnl=zK,
+        phibar=beta1, phibarl=zK,
+        cs=-jnp.ones(K, dtype), csl=zK, sn=zK, snl=zK,
+        tnorm2=zK, gmax=zK, gmin=zK,
+        rnt=bnorm, lastv=jnp.zeros(K, jnp.int32),
+        nrep=jnp.zeros(K, jnp.int32),
+        nrep_evts=jnp.zeros((), jnp.int32),
+        istop=jnp.where(indef_precon, 9, 0).astype(jnp.int32),
+        itn=jnp.zeros((), jnp.int32),
+        done=indef_precon | zero_b,
+        iters=jnp.zeros(K, jnp.int32))
+
+    def cond(s):
+        return jnp.any(~s["done"]) & (s["itn"] < itnlim)
+
+    def body(s):
+        act = ~s["done"]
+        itn = s["itn"] + 1
+        # ---- double-f32 Lanczos, column-vectorized --------------------
+        v, vl = ff_div(s["y"], s["yl"], s["beta"], s["betal"])
+        if ff_mm is not None:
+            y, ylo = ff_mm(A._params, v, vl)
+        else:
+            y, ylo = _apply_block(A, v), _apply_block(A, vl)
+        ph0, pe0 = two_prod(-shift, v)
+        y, ylo = ff_add_ff(y, ylo, ph0, pe0 - shift * vl)
+        c1, c1l = ff_div(s["beta"], s["betal"], s["oldb"], s["oldbl"])
+        t1h, t1l = two_prod(-c1, s["r1"])
+        y2h, y2l = ff_add_ff(y, ylo, t1h,
+                             t1l - c1 * s["r1l"] - c1l * s["r1"])
+        y = jnp.where(itn >= 2, y2h, y)
+        ylo = jnp.where(itn >= 2, y2l, ylo)
+        alfa, alfal = ff_vdot_cols(v, vl, y, ylo)
+        c2, c2l = ff_div(alfa, alfal, s["beta"], s["betal"])
+        t2h, t2l = two_prod(-c2, s["r2"])
+        y, ylo = ff_add_ff(y, ylo, t2h,
+                           t2l - c2 * s["r2l"] - c2l * s["r2"])
+        r1, r1l = s["r2"], s["r2l"]
+        r2, r2l = y, ylo
+        if M is not None:
+            y, yl_new = _apply_block(M, r2), _apply_block(M, r2l)
+        else:
+            y, yl_new = r2, r2l
+        oldb, oldbl = s["beta"], s["betal"]
+        beta_sq, beta_sql = ff_vdot_cols(r2, r2l, y, yl_new)
+        indef = act & (beta_sq < 0)          # istop 6
+        go = act & ~indef
+        istop = jnp.where(indef, jnp.asarray(6, jnp.int32), s["istop"])
+
+        beta, betal = ff_sqrt(jnp.maximum(beta_sq, 0), beta_sql)
+        beta = jnp.where(beta_sq > 0, beta, 0.0)
+        betal = jnp.where(beta_sq > 0, betal, 0.0)
+        tnorm2 = s["tnorm2"] + alfa**2 + oldb**2 + beta**2
+        near_const = beta / jnp.where(beta1 == 0, 1, beta1) <= 10 * eps
+        istop = jnp.where(go & (itn == 1) & near_const,
+                          jnp.asarray(-1, jnp.int32), istop)
+        gmax0 = jnp.where(itn == 1, jnp.abs(alfa), s["gmax"])
+        gmin0 = jnp.where(itn == 1, jnp.abs(alfa), s["gmin"])
+
+        # ---- double-f32 Givens chain ----------------------------------
+        oldeps, oldepsl = s["epsln"], s["epslnl"]
+        d1h, d1l = ff_mul(s["cs"], s["csl"], s["dbar"], s["dbarl"])
+        d2h, d2l = ff_mul(s["sn"], s["snl"], alfa, alfal)
+        delta, deltal = ff_add_ff(d1h, d1l, d2h, d2l)
+        g1h, g1l = ff_mul(s["sn"], s["snl"], s["dbar"], s["dbarl"])
+        g2h, g2l = ff_mul(s["cs"], s["csl"], alfa, alfal)
+        gbar, gbarl = ff_add_ff(g1h, g1l, -g2h, -g2l)
+        epsln, epslnl = ff_mul(s["sn"], s["snl"], beta, betal)
+        dbar, dbarl = ff_mul(-s["cs"], -s["csl"], beta, betal)
+        gamma, gammal = ff_hypot(gbar, gbarl, beta, betal)
+        gammal = jnp.where(gamma <= eps, 0.0, gammal)
+        gamma = jnp.maximum(gamma, eps)
+        cs, csl = ff_div(gbar, gbarl, gamma, gammal)
+        sn, snl = ff_div(beta, betal, gamma, gammal)
+        phi, phil = ff_mul(cs, csl, s["phibar"], s["phibarl"])
+        phibar, phibarl = ff_mul(sn, snl, s["phibar"], s["phibarl"])
+
+        # ---- double-f32 w recurrence + x update -----------------------
+        w1, w2v = s["w2"], s["w"]
+        w1l, w2l_ = s["w2l"], s["wl"]
+        t1h, t1l = two_prod(-oldeps, w1)
+        t1l = t1l - oldeps * w1l - oldepsl * w1
+        t2h, t2l = two_prod(-delta, w2v)
+        t2l = t2l - delta * w2l_ - deltal * w2v
+        sh, sl = two_sum(v, t1h)
+        sh, e2 = two_sum(sh, t2h)
+        w, wl = ff_div(sh, sl + e2 + t1l + t2l + vl, gamma, gammal)
+        uh, ue = two_prod(phi, w)
+        x, xl = ff_add_ff(s["x"], s["xl"], uh, ue + phi * wl + phil * w)
+
+        gmax = jnp.maximum(gmax0, gamma)
+        gmin = jnp.minimum(gmin0, gamma)
+        acond = gmax / jnp.where(gmin == 0, 1, gmin)
+
+        # ---- verified stopping ----------------------------------------
+        code = jnp.where(itn >= itnlim, 6, 0)
+        code = jnp.where(acond >= 0.1 / eps, 4, code)
+        istop = jnp.where(go & (istop == 0), code.astype(jnp.int32),
+                          istop)
+        claims = (phibar <= vthresh) & (itn - s["lastv"] >= 5)
+        periodic = (itn % replace_every) == 0
+        do_ver = go & (claims | periodic)
+
+        def _true_resid():
+            if ff_mm is not None:
+                sh2, sl2 = ff_mm(A._params, x, xl)
+            else:
+                sh2 = _apply_block(A, x)
+                sl2 = _apply_block(A, xl)
+            ph, pe = two_prod(shift, x)
+            d, de = two_sum(B, -sh2)
+            d2, de2 = two_sum(d, ph)
+            rt = d2 + (de + de2 + pe + shift * xl - sl2)
+            rnt_new = jnp.linalg.norm(rt, axis=0)
+            return jnp.where(do_ver, rnt_new, s["rnt"])
+
+        rnt = jax.lax.cond(jnp.any(do_ver), _true_resid,
+                           lambda: s["rnt"])
+        istop = jnp.where(go & (istop == 0) & do_ver & (rnt <= vthresh),
+                          jnp.asarray(1, jnp.int32), istop)
+
+        def mc(new, old):
+            return jnp.where(go, new, old)
+
+        def mv(new, old):
+            return jnp.where(go[None, :], new, old)
+
+        return dict(
+            x=mv(x, s["x"]), xl=mv(xl, s["xl"]),
+            r1=mv(r1, s["r1"]), r1l=mv(r1l, s["r1l"]),
+            r2=mv(r2, s["r2"]), r2l=mv(r2l, s["r2l"]),
+            y=mv(y, s["y"]), yl=mv(yl_new, s["yl"]),
+            w=mv(w, s["w"]), wl=mv(wl, s["wl"]),
+            w2=mv(w2v, s["w2"]), w2l=mv(w2l_, s["w2l"]),
+            oldb=mc(oldb, s["oldb"]), oldbl=mc(oldbl, s["oldbl"]),
+            beta=mc(beta, s["beta"]), betal=mc(betal, s["betal"]),
+            dbar=mc(dbar, s["dbar"]), dbarl=mc(dbarl, s["dbarl"]),
+            epsln=mc(epsln, s["epsln"]),
+            epslnl=mc(epslnl, s["epslnl"]),
+            phibar=mc(phibar, s["phibar"]),
+            phibarl=mc(phibarl, s["phibarl"]),
+            cs=mc(cs, s["cs"]), csl=mc(csl, s["csl"]),
+            sn=mc(sn, s["sn"]), snl=mc(snl, s["snl"]),
+            tnorm2=mc(tnorm2, s["tnorm2"]),
+            gmax=mc(gmax, s["gmax"]), gmin=mc(gmin, s["gmin"]),
+            rnt=mc(rnt, s["rnt"]),
+            lastv=mc(jnp.where(do_ver, itn, s["lastv"]), s["lastv"]),
+            nrep=s["nrep"] + do_ver.astype(jnp.int32),
+            nrep_evts=s["nrep_evts"] + jnp.any(do_ver).astype(jnp.int32),
+            istop=istop, itn=itn, done=s["done"] | (istop > 0),
+            iters=s["iters"] + act.astype(jnp.int32))
+
+    s = jax.lax.while_loop(cond, body, s0)
+    istop = s["istop"]
+    x_out = jnp.where(zero_b[None, :], jnp.zeros((n, K), dtype), s["x"])
+    converged = zero_b | (istop == 1)
+    mult = 1 if ff_mm is not None else 2
+    return SolveResult(
+        x=x_out, converged=converged, istop=istop,
+        n_iter=s["itn"], n_matvec=(s["itn"] + s["nrep_evts"]) * mult,
+        resid_norm=jnp.where(zero_b, zK, s["rnt"]),
+        resid_norm0=bnorm, resid_history=None,
+        info={"n_replacements": s["nrep"], "x_lo": s["xl"],
+              "n_iter_columns": s["iters"],
+              "active_at_exit": ~s["done"]})

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 __all__ = ["two_sum", "two_prod", "ff_add", "ff_add_ff", "ff_renorm",
            "ff_scale", "ff_div", "ff_mul", "ff_sqrt", "ff_hypot",
-           "ff_sum", "ff_vdot"]
+           "ff_sum", "ff_vdot", "ff_sum_cols", "ff_vdot_cols"]
 
 # Dekker split factors 2^ceil(p/2)+1: binary32 (p=24) and binary64 (p=53).
 _SPLIT32 = 4097.0
@@ -166,3 +166,35 @@ def _comp_sum_err(p):
     plain sum near eps*sqrt(log n), so we only fold in the term errors.
     Kept as a hook for stricter accumulation if a target needs it."""
     return jnp.zeros((), p.dtype)
+
+
+def ff_sum_cols(p):
+    """Per-column :func:`ff_sum`: compensated sums over axis 0 of an
+    (n, K) block, returned as a (K,) (hi, lo) pair.  Same pairwise
+    TwoSum tree, vectorized across columns."""
+    import numpy as _np
+    n = int(p.shape[0])
+    K = p.shape[1]
+    if n == 0:
+        z = jnp.zeros((K,), p.dtype)
+        return z, z
+    m = 1 if n <= 1 else 2 ** int(_np.ceil(_np.log2(n)))
+    if m != n:
+        p = jnp.concatenate(
+            [p, jnp.zeros((m - n, K), p.dtype)], axis=0)
+    err = jnp.zeros((K,), p.dtype)
+    while m > 1:
+        s, e = two_sum(p[0::2, :], p[1::2, :])
+        err = err + jnp.sum(e, axis=0)
+        p = s
+        m //= 2
+    return two_sum(p[0], err)
+
+
+def ff_vdot_cols(ah, al, bh, bl):
+    """Per-column :func:`ff_vdot`: compensated real dots of two (n, K)
+    (hi, lo) block pairs, returned as a (K,) scalar pair."""
+    p, pe = two_prod(ah, bh)
+    sh, sl = ff_sum_cols(p)
+    corr = jnp.sum(pe + ah * bl + al * bh, axis=0)
+    return ff_add(sh, sl, corr)

@@ -644,7 +644,7 @@ def test_verified_block_front_door_rejects_unsupported():
         solve(nonsym, B, verified=True)
     sym = linop_from_ndarray(jnp.asarray(a), symmetric=True)
     with pytest.raises(ValueError, match="verified"):
-        solve(sym, B, verified=True, method="minres")
+        solve(sym, B, verified=True, method="symmlq")
 
 
 # ---------------------------------------------------------------------------
@@ -828,3 +828,100 @@ def test_craig_batched_zero_column_and_front_door():
     res2 = solve(op, jnp.asarray(B), method="craigmr", etol=1e-8,
                  itnlim=100)
     assert res2.x.shape == (m, 2)
+
+
+# ---------------------------------------------------------------------------
+# Verified batched MINRES (round 4)
+# ---------------------------------------------------------------------------
+
+def _indef_f32(n=200, nneg=10):
+    main = np.full(n, 2.0)
+    off = np.full(n - 1, -1.0)
+    a = np.diag(main) + np.diag(off, 1) + np.diag(off, -1)
+    eig = 2.0 - 2.0 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+    shift = 0.5 * (eig[nneg - 1] + eig[nneg])
+    a -= shift * np.eye(n)
+    return a.astype(np.float32)
+
+
+def test_verified_minres_batched_f32_indefinite_per_column():
+    # per-column counterpart of the single ff-MINRES bar: each column
+    # of a symmetric INDEFINITE f32 system verified at a true relative
+    # residual the recurrence can attest
+    from pykrylov_tpu.solvers import minres, minres_batched
+    a32 = _indef_f32()
+    a64 = a32.astype(np.float64)
+    n = a32.shape[0]
+    op = linop_from_ndarray(jnp.asarray(a32), symmetric=True)
+    rng = np.random.default_rng(50)
+    B64 = np.stack([a64 @ rng.standard_normal(n) for _ in range(4)],
+                   axis=1)
+    B = jnp.asarray(B64, jnp.float32)
+    B64 = np.asarray(B, np.float64)
+    res = minres_batched(op, B, rtol=1e-6, atol=0.0, itnlim=4000,
+                         replace_every=100)
+    assert bool(jnp.all(res.converged)), (np.asarray(res.istop),
+                                          np.asarray(res.resid_norm))
+    X = (np.asarray(res.x, np.float64)
+         + np.asarray(res.info["x_lo"], np.float64))
+    for j in range(4):
+        rel = (np.linalg.norm(a64 @ X[:, j] - B64[:, j])
+               / np.linalg.norm(B64[:, j]))
+        assert rel < 2.5e-6, (j, rel)
+        # the reported residual IS the verified one
+        reported = float(res.resid_norm[j]) / np.linalg.norm(B64[:, j])
+        assert abs(reported - rel) <= 0.05 * max(rel, 1e-12), (j,)
+    assert int(jnp.min(res.info["n_replacements"])) >= 1
+    # columns track the single-RHS verified solver
+    for j in range(2):
+        single = minres(op, B[:, j], rtol=1e-6, atol=0.0, itnlim=4000,
+                        replace_every=100)
+        assert abs(int(res.info["n_iter_columns"][j])
+                   - int(single.n_iter)) <= 0.05 * int(single.n_iter) + 3
+
+
+def test_verified_minres_batched_exact_arithmetic():
+    # in f64 the verified mode must agree with the plain batched MINRES
+    # answers (no replacements change converged results materially)
+    from pykrylov_tpu.solvers import minres_batched
+    a = _spd(n=120, cond=1e3, seed=51)
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    rng = np.random.default_rng(52)
+    B = jnp.asarray(rng.standard_normal((120, 3)))
+    r0 = minres_batched(op, B, rtol=1e-10, itnlim=2000)
+    r1 = minres_batched(op, B, rtol=1e-10, atol=0.0, itnlim=2000,
+                        replace_every=25)
+    assert bool(jnp.all(r1.converged)), np.asarray(r1.istop)
+    # the two modes STOP on different rules (scaled test1/test2 vs the
+    # verified plain-2-norm true residual), so compare each against the
+    # direct oracle at its own guarantee instead of to each other
+    x_ref = np.linalg.solve(a, np.asarray(B))
+    nrm = np.linalg.norm(x_ref, axis=0)
+    assert np.all(np.linalg.norm(np.asarray(r1.x) - x_ref, axis=0)
+                  < 1e-6 * nrm)
+    assert np.all(np.linalg.norm(np.asarray(r0.x) - x_ref, axis=0)
+                  < 1e-4 * nrm)
+    with pytest.raises(ValueError, match="store_history"):
+        minres_batched(op, B, replace_every=25, store_history=True)
+
+
+def test_verified_minres_block_front_door():
+    from pykrylov_tpu import solve
+    a32 = _indef_f32()
+    a64 = a32.astype(np.float64)
+    n = a32.shape[0]
+    op = linop_from_ndarray(jnp.asarray(a32), symmetric=True)
+    rng = np.random.default_rng(53)
+    B64 = np.stack([a64 @ rng.standard_normal(n) for _ in range(3)],
+                   axis=1)
+    B = jnp.asarray(B64, jnp.float32)
+    B64 = np.asarray(B, np.float64)
+    res = solve(op, B, verified=True, method="minres", rtol=1e-6,
+                atol=0.0, itnlim=4000, replace_every=100)
+    assert bool(jnp.all(res.converged)), np.asarray(res.istop)
+    X = (np.asarray(res.x, np.float64)
+         + np.asarray(res.info["x_lo"], np.float64))
+    for j in range(3):
+        rel = (np.linalg.norm(a64 @ X[:, j] - B64[:, j])
+               / np.linalg.norm(B64[:, j]))
+        assert rel < 2.5e-6, (j, rel)
