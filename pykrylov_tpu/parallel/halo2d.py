@@ -79,46 +79,12 @@ def shard_vector_2d(x, mesh):
 
 @functools.lru_cache(maxsize=None)
 def _halo2d_mv_factory(n, rz, ry, az, ay, mesh):
-    nzl, nyl = n // rz, n // ry
-    fwd_z = [(i, (i + 1) % rz) for i in range(rz)]
-    bwd_z = [(i, (i - 1) % rz) for i in range(rz)]
-    fwd_y = [(i, (i + 1) % ry) for i in range(ry)]
-    bwd_y = [(i, (i - 1) % ry) for i in range(ry)]
-
-    def local_mv(scale_ref, v):
-        # v: flat local shard -> (nzl, nyl, n) brick
-        u = v.reshape(nzl, nyl, n)
-        zi = jax.lax.axis_index(az)
-        yi = jax.lax.axis_index(ay)
-
-        # z faces (nyl, n)
-        zlo = jax.lax.ppermute(u[-1], az, perm=fwd_z)
-        zhi = jax.lax.ppermute(u[0], az, perm=bwd_z)
-        zlo = jnp.where(zi == 0, jnp.zeros_like(zlo), zlo)
-        zhi = jnp.where(zi == rz - 1, jnp.zeros_like(zhi), zhi)
-        # y faces (nzl, n)
-        ylo = jax.lax.ppermute(u[:, -1], ay, perm=fwd_y)
-        yhi = jax.lax.ppermute(u[:, 0], ay, perm=bwd_y)
-        ylo = jnp.where(yi == 0, jnp.zeros_like(ylo), ylo)
-        yhi = jnp.where(yi == ry - 1, jnp.zeros_like(yhi), yhi)
-
-        up = jnp.pad(u, ((1, 1), (1, 1), (1, 1)))
-        up = up.at[0, 1:-1, 1:-1].set(zlo).at[-1, 1:-1, 1:-1].set(zhi)
-        up = up.at[1:-1, 0, 1:-1].set(ylo).at[1:-1, -1, 1:-1].set(yhi)
-
-        c = up[1:-1, 1:-1, 1:-1]
-        y = (6.0 * c
-             - up[:-2, 1:-1, 1:-1] - up[2:, 1:-1, 1:-1]
-             - up[1:-1, :-2, 1:-1] - up[1:-1, 2:, 1:-1]
-             - up[1:-1, 1:-1, :-2] - up[1:-1, 1:-1, 2:])
-        return (scale_ref * y).reshape(-1)
-
-    mapped = shard_map(local_mv, mesh=mesh,
-                       in_specs=(P(), P((az, ay))),
-                       out_specs=P((az, ay)))
+    """Matvec as the K=1 case of the block factory (one stencil
+    implementation to maintain; the broadcasting mm reduces to it)."""
+    mm = _halo2d_mm_factory(n, rz, ry, az, ay, mesh)
 
     def mv(params, x):
-        return mapped(params, x)
+        return mm(params, x[:, None])[:, 0]
 
     return mv
 

@@ -40,31 +40,12 @@ __all__ = ["HaloStencilPoisson3DOperator"]
 
 @functools.lru_cache(maxsize=None)
 def _stencil_mv_factory(n, n_dev, axis, mesh):
-    nzl = n // n_dev
-    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-
-    def local_mv(scale_ref, v):
-        u = v.reshape(nzl, n, n)
-        idx = jax.lax.axis_index(axis)
-        zlo = jax.lax.ppermute(u[-1], axis, perm=fwd)   # (n, n)
-        zhi = jax.lax.ppermute(u[0], axis, perm=bwd)
-        zlo = jnp.where(idx == 0, jnp.zeros_like(zlo), zlo)
-        zhi = jnp.where(idx == n_dev - 1, jnp.zeros_like(zhi), zhi)
-        up = jnp.pad(u, ((1, 1), (1, 1), (1, 1)))
-        up = up.at[0, 1:-1, 1:-1].set(zlo).at[-1, 1:-1, 1:-1].set(zhi)
-        c = up[1:-1, 1:-1, 1:-1]
-        y = (6.0 * c
-             - up[:-2, 1:-1, 1:-1] - up[2:, 1:-1, 1:-1]
-             - up[1:-1, :-2, 1:-1] - up[1:-1, 2:, 1:-1]
-             - up[1:-1, 1:-1, :-2] - up[1:-1, 1:-1, 2:])
-        return (scale_ref * y).reshape(-1)
-
-    mapped = shard_map(local_mv, mesh=mesh,
-                       in_specs=(P(), P(axis)), out_specs=P(axis))
+    """Matvec as the K=1 case of the block factory (one stencil
+    implementation to maintain; the broadcasting mm reduces to it)."""
+    mm = _stencil_mm_factory(n, n_dev, axis, mesh)
 
     def mv(params, x):
-        return mapped(params, x)
+        return mm(params, x[:, None])[:, 0]
 
     return mv
 

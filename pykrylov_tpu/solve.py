@@ -175,6 +175,10 @@ def _solve_block(A, B, method, verified, opts):
         if (method in (None, "cg")) and sym and A.shape[0] == A.shape[1]:
             copts = dict(opts)
             copts.setdefault("replace_every", 50)
+            if not copts["replace_every"]:
+                raise ValueError(
+                    "verified=True requires replace_every >= 1 (0/None "
+                    "would silently run the unverified batched solver)")
             # same indefinite safety net as the 1-D verified path: an
             # indefinite operator must fail loud per column (istop 2,
             # definite=False), not grind to maxiter claiming progress
@@ -185,6 +189,10 @@ def _solve_block(A, B, method, verified, opts):
             # double-f32 ff-MINRES per column
             mopts = dict(opts)
             mopts.setdefault("replace_every", 50)
+            if not mopts["replace_every"]:
+                raise ValueError(
+                    "verified=True requires replace_every >= 1 (0/None "
+                    "would silently run the unverified batched solver)")
             mopts.setdefault("rtol", 1e-6)
             return _S.minres_batched(A, B, **mopts)
         raise ValueError(

@@ -185,8 +185,10 @@ def _cg_batched(A, B, X0, M, rtol, atol, maxiter, check_curvature,
                 if ff_mm is not None:
                     Sh, Sl = ff_mm(A._params, X2, Xl2)
                 else:
-                    Sh = _apply_block(A, X2)
-                    Sl = _apply_block(A, Xl2)
+                    # one fused (n, 2K) product instead of two A streams
+                    SS = _apply_block(A, jnp.concatenate([X2, Xl2],
+                                                         axis=1))
+                    Sh, Sl = SS[:, :K], SS[:, K:]
                 D, De = two_sum(B, -Sh)
                 Rt, Rtl = two_sum(D, De - Sl)
                 R3 = jnp.where(do_rep, Rt, R2)
@@ -926,7 +928,8 @@ def _minres_batched(A, B, M, shift, rtol, etol, itnlim, window,
             anorm=mc(anorm, s["anorm"]), acond=mc(acond, s["acond"]),
             ynorm=mc(ynorm, s["ynorm"]), arnorm=mc(arnorm, s["arnorm"]),
             rnorm=mc(rnorm, s["rnorm"]), istop=istop, itn=itn,
-            done=s["done"] | (istop > 0),
+            # != 0: a -1 (eigenvector-rhs) column must freeze, not grind
+            done=s["done"] | (istop != 0),
             iters=s["iters"] + act.astype(jnp.int32), hist=h2)
 
     s = jax.lax.while_loop(cond, body, state0)
@@ -943,9 +946,9 @@ def _minres_batched(A, B, M, shift, rtol, etol, itnlim, window,
         resid_norm0=beta1, resid_history=s["hist"], info=info)
 
 
-def minres_batched(A, B, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
-                   window=5, itnlim=None, store_history=False,
-                   replace_every=None, atol=0.0):
+def minres_batched(A, B, *, M=None, shift=0.0, rtol=1.0e-12, etol=None,
+                   window=None, itnlim=None, store_history=False,
+                   replace_every=None, atol=None):
     """Solve symmetric (possibly indefinite) ``(A - shift I) X = B`` for
     an (n, K) block of right-hand sides by MINRES in ONE fused
     while-loop.
@@ -975,10 +978,15 @@ def minres_batched(A, B, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
 
     Returns :class:`SolveResult` with per-column fields: ``x`` (n, K);
     ``converged``/``istop``/``resid_norm`` (K,) arrays (istop codes in
-    :data:`ISTOP_MSG_MINRES`); ``info`` carries per-column
-    Anorm/Acond/Arnorm/ynorm and ``n_iter_columns``.  ``resid_norm``
-    columns are the recurrence's ``phibar`` estimates, as in the
-    single-RHS solver.
+    :data:`ISTOP_MSG_MINRES`).  In the DEFAULT (estimate-stopping)
+    mode, ``info`` carries per-column Anorm/Acond/Arnorm/ynorm and
+    ``n_iter_columns``, and ``resid_norm`` columns are the
+    recurrence's ``phibar`` estimates, as in the single-RHS solver.
+    In VERIFIED mode (``replace_every``), ``resid_norm`` columns are
+    the last recomputed TRUE residual 2-norms and ``info`` carries
+    ``n_replacements``/``x_lo``/``n_iter_columns`` instead of the norm
+    estimates; ``etol``/``window``/``store_history`` are unsupported
+    there (``atol`` is supported ONLY there).
     """
     A = as_operator(A)
     M = as_operator(M) if M is not None else None
@@ -998,13 +1006,25 @@ def minres_batched(A, B, *, M=None, shift=0.0, rtol=1.0e-12, etol=1.0e-6,
             raise ValueError("minres_batched: store_history is "
                              "unsupported with replace_every (verified "
                              "mode keeps no history buffers)")
+        if etol is not None or window is not None:
+            raise ValueError("minres_batched: the etol/window "
+                             "direct-error stop does not exist in "
+                             "verified mode (istop 1 fires only on "
+                             "recomputed true residuals)")
         from .ffmv import resolve_ff_matmat
-        ff_mm = resolve_ff_matmat(A)
         return _minres_batched_ff(A, B, M, float(shift), float(rtol),
-                                  float(atol), int(itnlim),
-                                  replace_every, ff_mm)
+                                   float(atol if atol is not None
+                                         else 0.0), int(itnlim),
+                                   replace_every, resolve_ff_matmat(A))
+    if atol is not None:
+        raise ValueError("minres_batched: atol is only used by the "
+                         "verified (replace_every) stopping rule; the "
+                         "estimate-stopping mode has no absolute test "
+                         "(reference minres.py has none either)")
     return _minres_batched(A, B, M, float(shift), float(rtol),
-                           float(etol), int(itnlim), int(window),
+                           float(etol if etol is not None else 1e-6),
+                           int(itnlim),
+                           int(window if window is not None else 5),
                            bool(store_history))
 
 
@@ -2087,7 +2107,10 @@ def _minres_batched_ff(A, B, M, shift, rtol, atol, itnlim,
         if ff_mm is not None:
             y, ylo = ff_mm(A._params, v, vl)
         else:
-            y, ylo = _apply_block(A, v), _apply_block(A, vl)
+            # one fused (n, 2K) product instead of two A streams — the
+            # SpMM amortization is the whole point of the block family
+            YY = _apply_block(A, jnp.concatenate([v, vl], axis=1))
+            y, ylo = YY[:, :K], YY[:, K:]
         ph0, pe0 = two_prod(-shift, v)
         y, ylo = ff_add_ff(y, ylo, ph0, pe0 - shift * vl)
         c1, c1l = ff_div(s["beta"], s["betal"], s["oldb"], s["oldbl"])
@@ -2171,8 +2194,8 @@ def _minres_batched_ff(A, B, M, shift, rtol, atol, itnlim,
             if ff_mm is not None:
                 sh2, sl2 = ff_mm(A._params, x, xl)
             else:
-                sh2 = _apply_block(A, x)
-                sl2 = _apply_block(A, xl)
+                SS = _apply_block(A, jnp.concatenate([x, xl], axis=1))
+                sh2, sl2 = SS[:, :K], SS[:, K:]
             ph, pe = two_prod(shift, x)
             d, de = two_sum(B, -sh2)
             d2, de2 = two_sum(d, ph)
@@ -2213,7 +2236,7 @@ def _minres_batched_ff(A, B, M, shift, rtol, atol, itnlim,
             lastv=mc(jnp.where(do_ver, itn, s["lastv"]), s["lastv"]),
             nrep=s["nrep"] + do_ver.astype(jnp.int32),
             nrep_evts=s["nrep_evts"] + jnp.any(do_ver).astype(jnp.int32),
-            istop=istop, itn=itn, done=s["done"] | (istop > 0),
+            istop=istop, itn=itn, done=s["done"] | (istop != 0),
             iters=s["iters"] + act.astype(jnp.int32))
 
     s = jax.lax.while_loop(cond, body, s0)

@@ -378,7 +378,11 @@ def _minres(A, b, M, shift, rtol, etol, itnlim, window, store_history,
                 tnorm2=tnorm2, ynorm2=ynorm2, cs=cs, sn=sn,
                 gmax=gmax, gmin=gmin, x_nrg2=x_nrg2, d_err=d_err,
                 anorm=anorm, acond=acond, ynorm=ynorm, arnorm=arnorm,
-                rnorm=rnorm, istop=istop, itn=itn, done=istop > 0,
+                # stop on ANY nonzero code, incl. -1 (eigenvector rhs) —
+                # the reference breaks on istop != 0; `> 0` left a -1
+                # column grinding to itnlim (round-4 review finding)
+                rnorm=rnorm, istop=istop, itn=itn,
+                done=istop != 0,
                 hist=history_push(s["hist"], itn, rnorm),
                 iters=iters2, derrs=derrs,
                 tab=table_push(s["tab"], itn, x[0].real, test1, test2,

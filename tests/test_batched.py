@@ -925,3 +925,43 @@ def test_verified_minres_block_front_door():
         rel = (np.linalg.norm(a64 @ X[:, j] - B64[:, j])
                / np.linalg.norm(B64[:, j]))
         assert rel < 2.5e-6, (j, rel)
+
+
+def test_minres_eigenvector_rhs_stops_immediately():
+    # istop -1 (b is an eigenvector) must FREEZE the column at once —
+    # the reference breaks on istop != 0; `> 0` left it grinding to
+    # itnlim (round-4 review finding, single and batched)
+    from pykrylov_tpu.solvers import minres, minres_batched
+    n = 64
+    op = linop_from_ndarray(jnp.asarray(2.0 * np.eye(n)), symmetric=True)
+    rng = np.random.default_rng(60)
+    B = jnp.asarray(rng.standard_normal((n, 3)))
+    res = minres_batched(op, B, rtol=1e-10, itnlim=5 * n)
+    assert bool(jnp.all(res.istop == -1)), np.asarray(res.istop)
+    assert int(jnp.max(res.info["n_iter_columns"])) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(B) / 2.0,
+                               rtol=1e-7, atol=1e-9)
+    single = minres(op, B[:, 0], rtol=1e-10)
+    assert int(single.istop) == -1 and int(single.n_iter) <= 2
+    # verified mode: same freeze
+    resv = minres_batched(op, B, rtol=1e-10, itnlim=5 * n,
+                          replace_every=10)
+    assert int(jnp.max(resv.info["n_iter_columns"])) <= 2
+
+
+def test_minres_batched_mode_option_guards():
+    from pykrylov_tpu import solve
+    from pykrylov_tpu.solvers import minres_batched
+    a = _spd(n=30, cond=10, seed=61)
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+    B = jnp.ones((30, 2))
+    # verified=True must not silently degrade on replace_every=0
+    with pytest.raises(ValueError, match="replace_every"):
+        solve(op, B, verified=True, replace_every=0)
+    with pytest.raises(ValueError, match="replace_every"):
+        solve(op, B, verified=True, method="minres", replace_every=0)
+    # options that don't exist in the chosen mode fail loud
+    with pytest.raises(ValueError, match="etol"):
+        minres_batched(op, B, replace_every=10, etol=1e-8)
+    with pytest.raises(ValueError, match="atol"):
+        minres_batched(op, B, atol=1e-8)
