@@ -184,6 +184,16 @@ def _solve_block(A, B, method, verified, opts):
             # definite=False), not grind to maxiter claiming progress
             copts.setdefault("check_curvature", True)
             return _S.cg_batched(A, B, **copts)
+        if (method in (None, "bicgstab", "cgs", "tfqmr")
+                and not sym and A.shape[0] == A.shape[1]):
+            # GENERAL square verified blocks: per-column iterative
+            # refinement with ONE fused batched leg solver per leg
+            leg = {None: "bicgstab_batched",
+                   "bicgstab": "bicgstab_batched",
+                   "cgs": "cgs_batched",
+                   "tfqmr": "tfqmr_batched"}[method]
+            return _S.refined_solve_batched(getattr(_S, leg), A, B,
+                                            **opts)
         if method == "minres" and sym and A.shape[0] == A.shape[1]:
             # indefinite-capable verified blocks: restart-free
             # double-f32 ff-MINRES per column
@@ -197,10 +207,12 @@ def _solve_block(A, B, method, verified, opts):
             return _S.minres_batched(A, B, **mopts)
         raise ValueError(
             "verified=True for (n, K) right-hand-side blocks is "
-            "supported for symmetric square systems via the batched CG "
-            "path (method=None or 'cg') or the ff-MINRES path "
-            "(method='minres', indefinite-capable); solve columns "
-            "individually for verified stops with other methods")
+            "supported for square systems: symmetric via the batched "
+            "CG path (method=None or 'cg') or the ff-MINRES path "
+            "(method='minres', indefinite-capable), general via "
+            "block iterative refinement (method=None/'bicgstab'/"
+            "'cgs'/'tfqmr'); solve rectangular blocks column by "
+            "column for verified stops")
     if method is not None:
         if method not in _METHODS:
             raise ValueError("unknown method %r (have %s)"

@@ -34,7 +34,7 @@ from .craig import craig
 from .craigmr import craigmr
 from .pipelined import cg_pipelined
 from .diff import make_differentiable, cg_solve, bicgstab_solve, lsqr_solve
-from .refine import refined_solve, refined_lls
+from .refine import refined_solve, refined_solve_batched, refined_lls
 from .batched import (cg_batched, bicgstab_batched, cgs_batched,
                       tfqmr_batched, minres_batched, symmlq_batched,
                       lsqr_batched, lsmr_batched, craig_batched,
@@ -43,7 +43,8 @@ from .batched import (cg_batched, bicgstab_batched, cgs_batched,
 __all__ = ["SolveResult", "cg", "minres", "symmlq", "bicgstab", "cgs",
            "tfqmr", "lsqr", "lsmr", "craig", "craigmr", "cg_pipelined",
            "make_differentiable", "cg_solve", "bicgstab_solve",
-           "lsqr_solve", "refined_solve", "refined_lls", "cg_batched",
+           "lsqr_solve", "refined_solve", "refined_solve_batched",
+           "refined_lls", "cg_batched",
            "lsqr_batched", "bicgstab_batched", "cgs_batched",
            "tfqmr_batched", "minres_batched", "symmlq_batched",
            "lsmr_batched", "craig_batched", "craigmr_batched",

@@ -46,7 +46,7 @@ from .common import (as_operator, apply_op, apply_op_T, promote_rhs,
 from .ffmv import resolve_ff_matvec
 from .result import SolveResult
 
-__all__ = ["refined_solve", "refined_lls", "ISTOP_MSG"]
+__all__ = ["refined_solve", "refined_solve_batched", "refined_lls", "ISTOP_MSG"]
 
 ISTOP_MSG = {
     0: "verified residual small enough (relative/absolute tolerance "
@@ -574,4 +574,184 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
         n_matvec=jnp.asarray(n_matvec, jnp.int32),
         resid_norm=resid, resid_norm0=resid0,
         resid_history=jnp.asarray(leg_resids, jnp.result_type(resid)),
+        info=info)
+
+
+# ---------------------------------------------------------------------------
+# Block (multi-RHS) refinement driver (round 4)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _verifier_block(ff_mm):
+    """Jitted per-column verified-residual evaluation on (n, K) blocks,
+    memoized per compensated block product.  Returns ``(R, ||R||_cols)``
+    with R the compensated ``B - A X`` (one fused (n, 2K) plain product
+    when no compensated storage path exists)."""
+    from ..utils.ff import two_sum
+    from .batched import _apply_block
+
+    if ff_mm is None:
+        def rt_of(A, B, Xh, Xl):
+            K = Xh.shape[1]
+            SS = _apply_block(A, jnp.concatenate([Xh, Xl], axis=1))
+            d, de = two_sum(B, -SS[:, :K])
+            return d + (de - SS[:, K:])
+    else:
+        def rt_of(A, B, Xh, Xl):
+            sh, sl = ff_mm(A._params, Xh, Xl)
+            d, de = two_sum(B, -sh)
+            return d + (de - sl)
+
+    @jax.jit
+    def verify(A, B, Xh, Xl):
+        rt = rt_of(A, B, Xh, Xl)
+        return rt, jnp.linalg.norm(rt, axis=0)
+    return verify
+
+
+def refined_solve_batched(solver, A, B, *, rtol=1.0e-6, atol=0.0,
+                          M=None, leg_rtol=1.0e-2, max_legs=40,
+                          stall_factor=0.9, leg_maxiter=None,
+                          **solver_kwargs):
+    """Block counterpart of :func:`refined_solve`: verified iterative
+    refinement where every leg is ONE fused multi-RHS solve.
+
+    ``solver`` is a *batched* square-system solver
+    (``bicgstab_batched``, ``cgs_batched``, ``tfqmr_batched``,
+    ``cg_batched``, ``minres_batched``) with the
+    ``solver(A, B, rtol=..., **kw) -> SolveResult`` block contract;
+    this is the verified path for GENERAL (nonsymmetric) rhs blocks,
+    which have no in-loop ff machinery (symmetric blocks prefer
+    ``cg_batched``/``minres_batched`` with ``replace_every`` — in-loop
+    verification keeps Krylov momentum).
+
+    Per-column semantics mirror the single-RHS driver: each column has
+    its own verified threshold ``max(atol, rtol * ||b_k||)``, its own
+    progress/stall accounting and istop (0 converged / 1 legs
+    exhausted / 2 inner breakdown / 3 precision floor); converged and
+    frozen columns ride zero leg right-hand sides (the batched freeze
+    masks stop them at leg iteration 0).  One DELIBERATE deviation:
+    the adaptive leg tolerance is shared across columns (batched
+    solvers take one ``rtol``), tightened when ANY active column fails
+    its ``stall_factor`` reduction — per-column floors still trip
+    individually via their own no-progress streaks.
+
+    Returns :class:`SolveResult` with per-column fields; ``x`` (n, K)
+    is the double-f32 high part (``info["x_lo"]`` the low part),
+    ``resid_norm`` the per-column VERIFIED true residuals,
+    ``resid_history`` the (legs+1, K) per-leg verified norms.
+    """
+    import numpy as _np
+
+    from .batched import _apply_block  # noqa: F401 (verifier dependency)
+    from .ffmv import resolve_ff_matmat
+
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        B = B[:, None]
+    if B.ndim != 2 or B.shape[0] != A.shape[1] \
+            or A.shape[0] != A.shape[1]:
+        from ..ops.base import ShapeError
+        raise ShapeError("refined_solve_batched: operator %r with rhs "
+                         "block %s" % (A, B.shape))
+    B = promote_rhs(B, A, M)
+    n, K = B.shape
+
+    ff = resolve_ff_matmat(A)
+    verify = _verifier_block(ff)
+    verify_cost = 1 if ff is not None else 2
+
+    Xh = jnp.zeros((n, K), B.dtype)
+    Xl = jnp.zeros((n, K), B.dtype)
+    R = B
+    Rnorm = jnp.linalg.norm(B, axis=0)
+    resid = _np.asarray(Rnorm, _np.float64)
+    resid0 = resid.copy()
+    thresh = _np.maximum(float(atol), float(rtol) * resid0)
+
+    active = resid > thresh
+    istop = _np.where(active, 1, 0).astype(_np.int32)
+    tightens = _np.zeros(K, _np.int32)
+    leg_resids = [resid.copy()]
+    inner_istops, inner_conv = [], []
+    n_matvec = 0
+    n_iter = 0
+
+    kwargs = dict(solver_kwargs)
+    kwargs.pop("verify_final", None)
+    if M is not None:
+        kwargs["M"] = M
+    if leg_maxiter is not None:
+        cap = _leg_cap_kwarg(solver)
+        if cap is not None:
+            kwargs.setdefault(cap, int(leg_maxiter))
+    if _accepts_kwarg(solver, "atol"):
+        kwargs.setdefault("atol", 0.0)
+
+    _MAX_TIGHTENS = 4
+    inner_rtol = float(leg_rtol)
+    for _ in range(int(max_legs)):
+        if not active.any():
+            break
+        Ract = jnp.where(jnp.asarray(active)[None, :], R,
+                         jnp.zeros_like(R))
+        res = solver(A, Ract, rtol=inner_rtol, **kwargs)
+        n_matvec += int(res.n_matvec)
+        n_iter += int(res.n_iter)
+        inner_istops.append(_np.asarray(res.istop, _np.int32))
+        inner_conv.append(_np.asarray(res.converged))
+        Dl = (res.info or {}).get("x_lo")
+        Xh2, Xl2 = _accumulate(Xh, Xl, res.x, Dl)
+        R2, new_norm = verify(A, B, Xh2, Xl2)
+        n_matvec += verify_cost
+        nr = _np.asarray(new_norm, _np.float64)
+        leg_resids.append(_np.where(active, nr, resid))
+        finite = _np.isfinite(nr)
+        improved = active & finite & (nr < resid)
+        good = improved & (nr <= stall_factor * resid)
+        keep = jnp.asarray(improved)[None, :]
+        Xh = jnp.where(keep, Xh2, Xh)
+        Xl = jnp.where(keep, Xl2, Xl)
+        R = jnp.where(keep, R2, R)
+        resid = _np.where(improved, nr, resid)
+        # inner breakdown that produced garbage: freeze with istop 2
+        broke = active & ~finite & ~_np.asarray(res.converged)
+        istop[broke] = 2
+        active &= ~broke
+        # stall accounting per column; shared leg-tolerance adaptation
+        not_good = active & ~good
+        tightens = _np.where(good, 0,
+                             _np.where(active, tightens + 1, tightens))
+        floor = active & (tightens > _MAX_TIGHTENS)
+        istop[floor] = 3
+        active &= ~floor
+        if not_good.any():
+            inner_rtol *= 0.1
+        done_cols = active & (resid <= thresh)
+        istop[done_cols] = 0
+        active &= ~done_cols
+    done_cols = (resid <= thresh) & (istop != 2) & (istop != 3)
+    istop[done_cols] = 0
+
+    info = {
+        "x_lo": Xl,
+        "n_legs": len(inner_istops),
+        "inner_istop": jnp.asarray(
+            _np.stack(inner_istops) if inner_istops
+            else _np.zeros((1, K), _np.int32)),
+        "inner_converged": jnp.asarray(
+            _np.stack(inner_conv) if inner_conv
+            else _np.zeros((1, K), bool)),
+        "true_resid_norm": jnp.asarray(resid, B.dtype),
+    }
+    return SolveResult(
+        x=Xh, converged=jnp.asarray(istop == 0),
+        istop=jnp.asarray(istop),
+        n_iter=jnp.asarray(n_iter, jnp.int32),
+        n_matvec=jnp.asarray(n_matvec, jnp.int32),
+        resid_norm=jnp.asarray(resid, B.dtype),
+        resid_norm0=jnp.asarray(resid0, B.dtype),
+        resid_history=jnp.asarray(_np.stack(leg_resids), B.dtype),
         info=info)

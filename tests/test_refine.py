@@ -6,7 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pykrylov_tpu.io.datasets import load_bundled
-from pykrylov_tpu.ops.base import DiagonalOperator
+from pykrylov_tpu.ops.base import DiagonalOperator, linop_from_ndarray
 from pykrylov_tpu.sparse import sparse_operator
 from pykrylov_tpu.solvers import (bicgstab, cg, cgs, minres, refined_solve,
                                   symmlq, tfqmr)
@@ -407,3 +407,67 @@ def test_refined_lls_initial_matvec_count_is_exact():
     legs = int(res.info["n_legs"])
     # dense operator resolves a compensated matvec -> verify cost 2
     assert int(res.n_matvec) == 1 + inner + 2 * legs
+
+
+# ---------------------------------------------------------------------------
+# Block refinement driver (round 4)
+# ---------------------------------------------------------------------------
+
+def test_refined_solve_batched_general_f32_per_column():
+    # GENERAL (nonsymmetric) verified blocks: each column certified at
+    # a true relative residual <= rtol via fused bicgstab_batched legs
+    from pykrylov_tpu.solvers import bicgstab_batched, refined_solve_batched
+    rng = np.random.default_rng(70)
+    n = 300
+    # Ginibre radius 0.1*sqrt(300) ~ 1.7 keeps the spectrum well
+    # inside the +4 shift (0.3 would cover the origin)
+    a64 = rng.standard_normal((n, n)) * 0.1 + 4.0 * np.eye(n)
+    a32 = a64.astype(np.float32)
+    a64 = a32.astype(np.float64)
+    op = linop_from_ndarray(jnp.asarray(a32))
+    B64 = np.stack([a64 @ rng.standard_normal(n) for _ in range(4)],
+                   axis=1)
+    B = jnp.asarray(B64, jnp.float32)
+    B64 = np.asarray(B, np.float64)
+    res = refined_solve_batched(bicgstab_batched, op, B, rtol=1e-6,
+                                atol=0.0, max_legs=20)
+    assert bool(jnp.all(res.converged)), (np.asarray(res.istop),
+                                          np.asarray(res.resid_norm))
+    X = (np.asarray(res.x, np.float64)
+         + np.asarray(res.info["x_lo"], np.float64))
+    for j in range(4):
+        rel = (np.linalg.norm(a64 @ X[:, j] - B64[:, j])
+               / np.linalg.norm(B64[:, j]))
+        assert rel < 2.5e-6, (j, rel)
+        # reported residual IS the verified one
+        reported = float(res.resid_norm[j]) / np.linalg.norm(B64[:, j])
+        assert abs(reported - rel) <= 0.05 * max(rel, 1e-12)
+    assert res.info["n_legs"] >= 2
+    # history rows are per-leg verified norms
+    h = np.asarray(res.resid_history)
+    assert h.shape == (res.info["n_legs"] + 1, 4)
+    assert np.all(h[0] == np.asarray(res.resid_norm0))
+
+
+def test_refined_solve_batched_front_door_and_mixed_columns():
+    from pykrylov_tpu import solve as front
+    rng = np.random.default_rng(71)
+    n = 200
+    a64 = rng.standard_normal((n, n)) * 0.1 + 3.0 * np.eye(n)
+    a32 = a64.astype(np.float32)
+    a64 = a32.astype(np.float64)
+    op = linop_from_ndarray(jnp.asarray(a32))
+    # one trivial column (already converged at x=0 threshold) + two live
+    B64 = np.stack([np.zeros(n), a64 @ np.ones(n),
+                    a64 @ rng.standard_normal(n)], axis=1)
+    B = jnp.asarray(B64, jnp.float32)
+    B64 = np.asarray(B, np.float64)
+    res = front(op, B, verified=True, rtol=1e-6, atol=0.0, max_legs=20)
+    assert bool(jnp.all(res.converged)), np.asarray(res.istop)
+    X = (np.asarray(res.x, np.float64)
+         + np.asarray(res.info["x_lo"], np.float64))
+    np.testing.assert_array_equal(X[:, 0], 0.0)
+    for j in (1, 2):
+        rel = (np.linalg.norm(a64 @ X[:, j] - B64[:, j])
+               / np.linalg.norm(B64[:, j]))
+        assert rel < 2.5e-6, (j, rel)

@@ -289,10 +289,12 @@ def test_solve_block_dispatch():
     res = solve(A, jnp.asarray(spd @ Xs), verified=True, rtol=1e-8)
     assert res.x.shape == (n, K) and bool(res.converged.all())
     assert "n_replacements" in res.info
-    # ...and still raise for methods/shapes without a verified twin
-    import pytest
-    with pytest.raises(ValueError):
-        solve(Ag, jnp.asarray(gen @ Xs), verified=True)
+    # ...and GENERAL square verified blocks ride the block refinement
+    # driver (round 4)
+    res = solve(Ag, jnp.asarray(gen @ Xs), verified=True, rtol=1e-8,
+                max_legs=15)
+    assert res.x.shape == (n, K) and bool(res.converged.all())
+    assert "x_lo" in res.info and res.info["n_legs"] >= 1
 
 
 def test_fused_fallback_promotes_mixed_dtype_rhs():
