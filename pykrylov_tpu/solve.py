@@ -83,12 +83,16 @@ def solve(A, b, method=None, verified=False, **opts):
     shares one compilation across columns but amortizes nothing else:
     A streams once per column per iteration, i.e. K times the fused
     path's traffic.
-    ``verified=True`` with a block routes symmetric square systems to
-    ``cg_batched(replace_every=...)`` — per-column double-f32 carries
-    and per-column verified stops on recomputed true residuals — or,
-    with ``method="minres"``, to the indefinite-capable verified
-    ff-MINRES block path (``minres_batched(replace_every=...)``);
-    other methods/shapes raise (solve columns individually).
+    ``verified=True`` with a block covers every square class:
+    symmetric systems ride ``cg_batched(replace_every=...)`` (per-
+    column double-f32 carries, per-column verified stops on recomputed
+    true residuals), ``method="minres"`` the indefinite-capable
+    verified ff-MINRES block path, and GENERAL square systems
+    (method=None/'bicgstab'/'cgs'/'tfqmr') the block iterative-
+    refinement driver :func:`~pykrylov_tpu.solvers.
+    refined_solve_batched` (fused batched legs, per-column verified
+    thresholds); remaining methods/shapes raise (solve columns
+    individually).
     """
     A = as_operator(A)
     b_arr = jnp.asarray(b)
