@@ -188,8 +188,9 @@ def _solve_block(A, B, method, verified, opts):
             # definite=False), not grind to maxiter claiming progress
             copts.setdefault("check_curvature", True)
             return _S.cg_batched(A, B, **copts)
-        if (method in (None, "bicgstab", "cgs", "tfqmr")
-                and not sym and A.shape[0] == A.shape[1]):
+        if ((method in ("bicgstab", "cgs", "tfqmr")
+             or (method is None and not sym))
+                and A.shape[0] == A.shape[1]):
             # GENERAL square verified blocks: per-column iterative
             # refinement with ONE fused batched leg solver per leg
             leg = {None: "bicgstab_batched",

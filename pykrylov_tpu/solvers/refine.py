@@ -59,23 +59,32 @@ ISTOP_MSG = {
 }
 
 
-def _true_residual(ff_mv):
+def _true_residual(ff_mv, block=False):
     """Compensated ``b - A x`` of a double-f32 iterate ``(xh, xl)``,
-    rounded to the working dtype: the (hi, lo) matvec when the operator
-    storage supports one, two plain applications otherwise, combined
-    through an error-free ``two_sum``.  Shared body of the square and
-    least-squares verifiers."""
+    rounded to the working dtype: the (hi, lo) apply when the operator
+    storage supports one, plain applications otherwise (fused into one
+    (n, 2K) product for blocks), combined through an error-free
+    ``two_sum``.  Shared body of the square, least-squares and BLOCK
+    verifiers (the compensated branch is shape-agnostic)."""
     from ..utils.ff import two_sum
 
-    if ff_mv is None:
+    if ff_mv is not None:
+        def rt_of(A, b, xh, xl):
+            sh, sl = ff_mv(A._params, xh, xl)
+            d, de = two_sum(b, -sh)
+            return d + (de - sl)
+    elif block:
+        from .batched import _apply_block
+
+        def rt_of(A, B, Xh, Xl):
+            K = Xh.shape[1]
+            SS = _apply_block(A, jnp.concatenate([Xh, Xl], axis=1))
+            d, de = two_sum(B, -SS[:, :K])
+            return d + (de - SS[:, K:])
+    else:
         def rt_of(A, b, xh, xl):
             sh = apply_op(A, xh)
             sl = apply_op(A, xl)
-            d, de = two_sum(b, -sh)
-            return d + (de - sl)
-    else:
-        def rt_of(A, b, xh, xl):
-            sh, sl = ff_mv(A._params, xh, xl)
             d, de = two_sum(b, -sh)
             return d + (de - sl)
     return rt_of
@@ -122,6 +131,27 @@ def _leg_cap_kwarg(solver):
         if name in _solver_params(solver):
             return name
     return None
+
+
+
+def _prepare_leg_kwargs(solver, solver_kwargs, M, leg_maxiter):
+    """Shared leg-kwargs preparation for both refinement drivers:
+    strip verify_final (the outer loop is the certificate), forward M,
+    map the leg cap onto the solver's own kwarg, and default atol=0.0
+    where accepted (inheriting the solvers' absolute default would stop
+    small-norm legs immediately and misreport a reachable outer target
+    as a precision floor)."""
+    kwargs = dict(solver_kwargs)
+    kwargs.pop("verify_final", None)
+    if M is not None:
+        kwargs["M"] = M
+    if leg_maxiter is not None:
+        cap = _leg_cap_kwarg(solver)
+        if cap is not None:
+            kwargs.setdefault(cap, int(leg_maxiter))
+    if _accepts_kwarg(solver, "atol"):
+        kwargs.setdefault("atol", 0.0)
+    return kwargs
 
 
 def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
@@ -225,21 +255,7 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
     inner_nmv = []
     istop = 1
     n_iter = 0
-    kwargs = dict(solver_kwargs)
-    # the outer loop IS the certificate — per-leg certificates would be
-    # discarded at extra matvec cost per leg
-    kwargs.pop("verify_final", None)
-    if M is not None:
-        kwargs["M"] = M
-    if leg_maxiter is not None:
-        cap = _leg_cap_kwarg(solver)
-        if cap is not None:
-            kwargs.setdefault(cap, int(leg_maxiter))
-    if _accepts_kwarg(solver, "atol"):
-        # legs are rtol-driven: inheriting the solvers' absolute
-        # atol=1e-8 default would stop small-norm legs immediately and
-        # misreport a reachable outer target as a precision floor
-        kwargs.setdefault("atol", 0.0)
+    kwargs = _prepare_leg_kwargs(solver, solver_kwargs, M, leg_maxiter)
     if leg_replace_every is not None and \
             _accepts_kwarg(solver, "replace_every"):
         # ff MINRES legs by default: minres(replace_every=) carries its
@@ -585,22 +601,8 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
 def _verifier_block(ff_mm):
     """Jitted per-column verified-residual evaluation on (n, K) blocks,
     memoized per compensated block product.  Returns ``(R, ||R||_cols)``
-    with R the compensated ``B - A X`` (one fused (n, 2K) plain product
-    when no compensated storage path exists)."""
-    from ..utils.ff import two_sum
-    from .batched import _apply_block
-
-    if ff_mm is None:
-        def rt_of(A, B, Xh, Xl):
-            K = Xh.shape[1]
-            SS = _apply_block(A, jnp.concatenate([Xh, Xl], axis=1))
-            d, de = two_sum(B, -SS[:, :K])
-            return d + (de - SS[:, K:])
-    else:
-        def rt_of(A, B, Xh, Xl):
-            sh, sl = ff_mm(A._params, Xh, Xl)
-            d, de = two_sum(B, -sh)
-            return d + (de - sl)
+    with R the compensated ``B - A X``."""
+    rt_of = _true_residual(ff_mm, block=True)
 
     @jax.jit
     def verify(A, B, Xh, Xl):
@@ -610,7 +612,7 @@ def _verifier_block(ff_mm):
 
 
 def refined_solve_batched(solver, A, B, *, rtol=1.0e-6, atol=0.0,
-                          M=None, leg_rtol=1.0e-2, max_legs=40,
+                          x0=None, M=None, leg_rtol=1.0e-2, max_legs=40,
                           stall_factor=0.9, leg_maxiter=None,
                           **solver_kwargs):
     """Block counterpart of :func:`refined_solve`: verified iterative
@@ -643,7 +645,6 @@ def refined_solve_batched(solver, A, B, *, rtol=1.0e-6, atol=0.0,
     """
     import numpy as _np
 
-    from .batched import _apply_block  # noqa: F401 (verifier dependency)
     from .ffmv import resolve_ff_matmat
 
     A = as_operator(A)
@@ -663,10 +664,23 @@ def refined_solve_batched(solver, A, B, *, rtol=1.0e-6, atol=0.0,
     verify = _verifier_block(ff)
     verify_cost = 1 if ff is not None else 2
 
-    Xh = jnp.zeros((n, K), B.dtype)
-    Xl = jnp.zeros((n, K), B.dtype)
-    R = B
-    Rnorm = jnp.linalg.norm(B, axis=0)
+    n_matvec0 = 0
+    if x0 is None:
+        Xh = jnp.zeros((n, K), B.dtype)
+        Xl = jnp.zeros((n, K), B.dtype)
+        R = B
+        Rnorm = jnp.linalg.norm(B, axis=0)
+    else:
+        # the initial iterate is the OUTER accumulator, verified before
+        # the first leg — forwarding it as every leg's inner guess
+        # would make leg 2+'s rtol stop relative to ||R - A x0||
+        # instead of the correction system (round-4 review finding)
+        Xh = jnp.asarray(x0, B.dtype)
+        if Xh.ndim == 1:
+            Xh = jnp.broadcast_to(Xh[:, None], (n, K))
+        Xl = jnp.zeros((n, K), B.dtype)
+        R, Rnorm = verify(A, B, Xh, Xl)
+        n_matvec0 = verify_cost
     resid = _np.asarray(Rnorm, _np.float64)
     resid0 = resid.copy()
     thresh = _np.maximum(float(atol), float(rtol) * resid0)
@@ -676,19 +690,10 @@ def refined_solve_batched(solver, A, B, *, rtol=1.0e-6, atol=0.0,
     tightens = _np.zeros(K, _np.int32)
     leg_resids = [resid.copy()]
     inner_istops, inner_conv = [], []
-    n_matvec = 0
+    n_matvec = n_matvec0
     n_iter = 0
 
-    kwargs = dict(solver_kwargs)
-    kwargs.pop("verify_final", None)
-    if M is not None:
-        kwargs["M"] = M
-    if leg_maxiter is not None:
-        cap = _leg_cap_kwarg(solver)
-        if cap is not None:
-            kwargs.setdefault(cap, int(leg_maxiter))
-    if _accepts_kwarg(solver, "atol"):
-        kwargs.setdefault("atol", 0.0)
+    kwargs = _prepare_leg_kwargs(solver, solver_kwargs, M, leg_maxiter)
 
     _MAX_TIGHTENS = 4
     inner_rtol = float(leg_rtol)
@@ -720,6 +725,12 @@ def refined_solve_batched(solver, A, B, *, rtol=1.0e-6, atol=0.0,
         broke = active & ~finite & ~_np.asarray(res.converged)
         istop[broke] = 2
         active &= ~broke
+        # convergence FIRST: a slow leg that nevertheless crosses the
+        # threshold is converged, not a floor (the single driver's
+        # unconditional post-loop promotion has the same effect)
+        done_cols = active & (resid <= thresh)
+        istop[done_cols] = 0
+        active &= ~done_cols
         # stall accounting per column; shared leg-tolerance adaptation
         not_good = active & ~good
         tightens = _np.where(good, 0,
@@ -729,10 +740,7 @@ def refined_solve_batched(solver, A, B, *, rtol=1.0e-6, atol=0.0,
         active &= ~floor
         if not_good.any():
             inner_rtol *= 0.1
-        done_cols = active & (resid <= thresh)
-        istop[done_cols] = 0
-        active &= ~done_cols
-    done_cols = (resid <= thresh) & (istop != 2) & (istop != 3)
+    done_cols = resid <= thresh
     istop[done_cols] = 0
 
     info = {

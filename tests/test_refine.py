@@ -471,3 +471,51 @@ def test_refined_solve_batched_front_door_and_mixed_columns():
         rel = (np.linalg.norm(a64 @ X[:, j] - B64[:, j])
                / np.linalg.norm(B64[:, j]))
         assert rel < 2.5e-6, (j, rel)
+
+
+def test_refined_solve_batched_slow_but_converging_is_converged():
+    # a column crossing the threshold on a slow leg is CONVERGED, not a
+    # floor; and x0 is the outer accumulator, not every leg's guess
+    # (round-4 review findings)
+    from pykrylov_tpu.solvers import bicgstab_batched, refined_solve_batched
+    rng = np.random.default_rng(80)
+    n = 150
+    a64 = rng.standard_normal((n, n)) * 0.1 + 4.0 * np.eye(n)
+    a32 = a64.astype(np.float32)
+    a64 = a32.astype(np.float64)
+    op = linop_from_ndarray(jnp.asarray(a32))
+    B64 = np.stack([a64 @ rng.standard_normal(n) for _ in range(2)],
+                   axis=1)
+    B = jnp.asarray(B64, jnp.float32)
+    B64 = np.asarray(B, np.float64)
+    # stall_factor ~1: every leg counts as "slow" yet convergence must
+    # still be promoted to istop 0
+    res = refined_solve_batched(bicgstab_batched, op, B, rtol=1e-6,
+                                atol=0.0, max_legs=20,
+                                stall_factor=1.0 - 1e-12)
+    assert bool(jnp.all(res.converged)), np.asarray(res.istop)
+    # x0 is the verified OUTER accumulator: the threshold is relative
+    # to ||B - A x0|| (the single driver's documented contract), so a
+    # warm start refines BELOW it rather than feeding legs a big guess
+    X0 = np.linalg.solve(a64, B64) + 1e-9
+    res2 = refined_solve_batched(bicgstab_batched, op, B, rtol=1e-6,
+                                 atol=0.0, max_legs=20,
+                                 x0=jnp.asarray(X0, jnp.float32))
+    assert bool(jnp.all(res2.converged))
+    r0 = np.asarray(res2.resid_norm0)
+    assert np.all(r0 < 1e-5)                   # verified at the warm x0
+    assert np.all(np.asarray(res2.resid_norm) <= 1e-6 * r0 * (1 + 1e-6))
+    assert res2.info["n_legs"] <= 6
+
+
+def test_verified_blocks_symmetric_explicit_tf_method():
+    # explicit method='bicgstab' verified blocks on a SYMMETRIC operator
+    # must route through block refinement, like the 1-D path
+    from pykrylov_tpu import solve as front
+    a = np.diag(np.linspace(1.0, 10.0, 80))
+    op = linop_from_ndarray(jnp.asarray(a.astype(np.float32)),
+                            symmetric=True)
+    B = jnp.asarray((a @ np.ones((80, 2))).astype(np.float32))
+    res = front(op, B, verified=True, method="bicgstab", rtol=1e-6)
+    assert bool(jnp.all(res.converged))
+    assert "n_legs" in res.info
