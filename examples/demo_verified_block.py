@@ -53,6 +53,34 @@ def main(K=4):
                   int(res.info["n_replacements"][j]), rel))
 
 
+def general(K=3):
+    # GENERAL (nonsymmetric) verified blocks: block iterative
+    # refinement — every leg is ONE fused bicgstab_batched solve
+    rng = np.random.default_rng(1)
+    n = 400
+    a64 = rng.standard_normal((n, n)) * 0.08 + 4.0 * np.eye(n)
+    a32 = a64.astype(np.float32)
+    a64 = a32.astype(np.float64)
+    op_params = jnp.asarray(a32)
+    from pykrylov_tpu.ops import linop_from_ndarray
+    op = linop_from_ndarray(op_params)
+    B64 = np.stack([a64 @ rng.standard_normal(n) for _ in range(K)],
+                   axis=1)
+    B = jnp.asarray(B64, jnp.float32)
+    B64 = np.asarray(B, np.float64)
+    res = solve(op, B, verified=True, rtol=1e-6, atol=0.0, max_legs=20)
+    X = (np.asarray(res.x, np.float64)
+         + np.asarray(res.info["x_lo"], np.float64))
+    print("verified GENERAL block solve (nonsymmetric, n=%d, K=%d): "
+          "legs=%d" % (n, K, res.info["n_legs"]))
+    for j in range(K):
+        rel = (np.linalg.norm(a64 @ X[:, j] - B64[:, j])
+               / np.linalg.norm(B64[:, j]))
+        print("  col %d: converged=%-5s TRUE relres=%.2e"
+              % (j, bool(res.converged[j]), rel))
+
+
 if __name__ == "__main__":
     import sys
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 4)
+    general()
