@@ -134,6 +134,21 @@ def _leg_cap_kwarg(solver):
 
 
 
+
+def _reject_tracers(b, what):
+    """The refinement drivers are HOST loops (per-leg verified pulls and
+    adaptive tolerances); under jit/vmap they would die deep inside with
+    an opaque concretization error — fail at the door instead."""
+    import jax.core as _core
+    if isinstance(b, _core.Tracer):
+        raise ValueError(
+            "%s is a host-side driver (per-leg verified residual pulls "
+            "+ adaptive leg tolerances) and cannot run inside jit/vmap; "
+            "call it outside the traced region, or use the in-loop "
+            "verified solvers (cg/minres replace_every=...) which are "
+            "single fused programs" % what)
+
+
 def _prepare_leg_kwargs(solver, solver_kwargs, M, leg_maxiter):
     """Shared leg-kwargs preparation for both refinement drivers:
     strip verify_final (the outer loop is the certificate), forward M,
@@ -226,6 +241,7 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
     ``n_legs``, ``inner_istop``, ``inner_converged`` and
     ``inner_n_iter`` telemetry.
     """
+    _reject_tracers(jnp.asarray(b), "refined_solve")
     A = as_operator(A)
     M = as_operator(M) if M is not None else None
     b = promote_rhs(b, A, M)
@@ -647,6 +663,7 @@ def refined_solve_batched(solver, A, B, *, rtol=1.0e-6, atol=0.0,
 
     from .ffmv import resolve_ff_matmat
 
+    _reject_tracers(jnp.asarray(B), "refined_solve_batched")
     A = as_operator(A)
     M = as_operator(M) if M is not None else None
     B = jnp.asarray(B)

@@ -4,6 +4,7 @@ match residual histories in f32").  All oracles are f64 dense."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from pykrylov_tpu.io.datasets import load_bundled
 from pykrylov_tpu.ops.base import DiagonalOperator, linop_from_ndarray
@@ -519,3 +520,25 @@ def test_verified_blocks_symmetric_explicit_tf_method():
     res = front(op, B, verified=True, method="bicgstab", rtol=1e-6)
     assert bool(jnp.all(res.converged))
     assert "n_legs" in res.info
+
+
+def test_refinement_drivers_fail_loud_under_jit():
+    import jax
+    from pykrylov_tpu.solvers import (bicgstab_batched, cg, refined_solve,
+                                      refined_solve_batched)
+    a = np.diag(np.linspace(1.0, 5.0, 20))
+    op = linop_from_ndarray(jnp.asarray(a), symmetric=True)
+
+    @jax.jit
+    def run1(b):
+        return refined_solve(cg, op, b).x
+
+    with pytest.raises(ValueError, match="host-side driver"):
+        run1(jnp.ones(20))
+
+    @jax.jit
+    def run2(B):
+        return refined_solve_batched(bicgstab_batched, op, B).x
+
+    with pytest.raises(ValueError, match="host-side driver"):
+        run2(jnp.ones((20, 2)))
