@@ -469,6 +469,7 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
     # the outer loop IS the certificate — per-leg certificates would be
     # discarded at 2 extra matvecs per leg
     solver_kwargs.pop("verify_final", None)
+    _reject_tracers(jnp.asarray(b), "refined_lls")
     A = as_operator(A)
     b = promote_rhs(b, A, None)
     m, n = A.shape
