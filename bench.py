@@ -329,7 +329,7 @@ def bench_matrix_classes():
     import sys
     from pykrylov_tpu.gallery.convdiff import convdiff2d_coo
     from pykrylov_tpu.sparse.linop import operator_from_coo
-    from pykrylov_tpu.sparse.bell import _SLOT_COST_PS
+    from pykrylov_tpu.sparse.bell import _slot_cost_ps
 
     def note(msg):
         print("[bench_classes] %s" % msg, file=sys.stderr, flush=True)
@@ -362,9 +362,13 @@ def bench_matrix_classes():
             levels = op._params[0]
             slots = sum(int(np.prod(b.data.shape)) for b in levels)
             model_ms = sum(
-                int(np.prod(b.data.shape)) * _SLOT_COST_PS[b.window]
+                int(np.prod(b.data.shape)) * _slot_cost_ps(b)
                 for b in levels) * 1e-9
-            extra = {"slots_per_nnz": round(slots / nnz, 2)}
+            extra = {"slots_per_nnz": round(slots / nnz, 2),
+                     "segmented": [None if b.seg is None else
+                                   [int(b.seg_bands), int(b.seg_mixed),
+                                    int(np.prod(b.seg.shape))]
+                                   for b in levels]}
         elif isinstance(op, SparseOperator):    # XLA container path
             fmt = type(op.container).__name__.lower()
             if fmt == "dia":

@@ -63,6 +63,8 @@ LANES = 128     # matrix rows per block (lane dimension)
 NB_MAX = 1024   # window budget: 1024 bands = 512 KB of x in VMEM
 GS_TARGET = 1024  # sublane rows per grid step the packer aims for
 WIN_AHEAD = 4   # x-window prefetch depth (ring buffer slots)
+SEG_ROWS = 256   # sublane rows per staging segment (segmented mode)
+SEG_BANDS = 256  # x bands staged per segment (segmented mode)
 
 
 class SpanError(ValueError):
@@ -103,6 +105,15 @@ class BELL(NamedTuple):
                sizes; ``nb``: window bands; ``nblk``: blocks per step;
                ``nnz``: true nonzeros (incl. ``nnz_spill`` in the
                remainder).
+    ``seg``:   ``None`` (monolithic staging) or an (nsteps, nseg) int32
+               array of per-segment window starts (window-relative
+               bands, 8-aligned) for SEGMENTED staging: each step's
+               sublane rows are pack-time sorted by base band and split
+               into ``SEG_ROWS``-row segments; segment s of step st
+               stages only x bands [seg[st,s], seg[st,s]+SEG_BANDS), so
+               the one-hot staging cost scales with SEG_BANDS instead
+               of the packing-wide ``nb``.  ``bands`` is then stored
+               SEGMENT-relative (base − band_lo − seg[st, s]).
     """
     data: jnp.ndarray
     lanes: jnp.ndarray
@@ -120,17 +131,22 @@ class BELL(NamedTuple):
     nnz_spill: int
     window: int = 2
     idx_fmt: str = "packed"
+    seg: object = None
+    seg_mixed: int = 0        # count of segments with the wide sentinel
+    seg_bands: int = SEG_BANDS  # narrow-segment window width (bands)
 
 
 def _reg():
     def flatten(v):
         return ((v.data, v.lanes, v.bands, v.blocks, v.band_lo,
-                 v.sp_row, v.sp_col, v.sp_val),
+                 v.sp_row, v.sp_col, v.sp_val, v.seg),
                 (v.shape, v.padded_shape, v.nb, v.nblk, v.nnz,
-                 v.nnz_spill, v.window, v.idx_fmt))
+                 v.nnz_spill, v.window, v.idx_fmt, v.seg_mixed,
+                 v.seg_bands))
 
     def unflatten(aux, children):
-        return BELL(*children, *aux)
+        return BELL(*children[:8], *aux[:8], seg=children[8],
+                    seg_mixed=aux[8], seg_bands=aux[9])
 
     jax.tree_util.register_pytree_node(BELL, flatten, unflatten)
 
@@ -425,7 +441,7 @@ def _plan_bands_sorted(rows, bs, blk, nblocks, spill_cost):
 def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
                   min_cols: int = 0, spill_cost: float = _SPILL_BYTES,
                   device: bool = True, window: int = 2,
-                  idx_fmt: str = "packed") -> BELL:
+                  idx_fmt: str = "packed", segment: bool = False) -> BELL:
     """Pack COO triples into BELL v2 (host-side).
 
     ``spill_cost`` is the per-entry byte cost charged for routing an
@@ -444,6 +460,19 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     a ~1.2-1.5x slot (stream) cost.  Faster whenever the kernel is
     MXU-bound rather than HBM-bound (scattered sparsity); the banded /
     high-fill regime keeps v2.
+
+    ``segment=True`` enables SEGMENTED staging for wide windows
+    (``window=1`` packings whose span exceeds ``SEG_BANDS``): each
+    step's 4-row scatter groups are sorted by base band and split into
+    ``SEG_ROWS``-row segments, each staging only a ``SEG_BANDS``-band
+    slice of the step's x window — the one-hot staging matmuls (whose
+    (nb, GS) operands made wide-window packings run ~3x their per-slot
+    cost model in round 4) then cost the same as an nb=256 packing
+    regardless of the true window width.  Falls back to monolithic
+    staging when some sorted segment still spans more than
+    ``SEG_BANDS`` bands (the container's ``seg`` field stays None).
+    The 4-row group order is free to permute: the grouped scatter map
+    is arbitrary per group and the depth fold is group-local.
 
     Raises :class:`SpanError` when some step's column span exceeds
     ``nb_max`` bands.
@@ -590,12 +619,37 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
         nblk = max(8, -(-int(nblk) // 8) * 8)
         # fewer blocks per step ⇒ narrower per-step column span; shrink
         # until the x window fits the budget (the final check still
-        # raises if even 8 blocks/step cannot fit).
-        while nblk > 8 and _step_span(nblk) > nb_max:
-            nblk = max(8, nblk // 2)
+        # raises if even 8 blocks/step cannot fit).  When the WHOLE
+        # column space fits one window (full-width matrices like the
+        # 131k power-law class: exactly nb_max bands), shrinking buys
+        # nothing — the conservative +2 margin here otherwise forces
+        # nblk=8 and fragments the grid into tiny steps (r5).
+        if -(-n // LANES) > nb_max:
+            while nblk > 8 and _step_span(nblk) > nb_max:
+                nblk = max(8, nblk // 2)
     nblk = max(8, -(-int(nblk) // 8) * 8)
     # more blocks per step than exist just inflates the scatter matmul
     nblk = min(nblk, max(8, -(-nblocks // 8) * 8))
+
+    def _gs_for(nblk_c):
+        ns = -(-nblocks // nblk_c)
+        d = np.zeros(ns * nblk_c, dtype=np.int64)
+        d[:nblocks] = depth_per_block
+        return max(32, -(-int(d.reshape(ns, nblk_c).sum(1).max())
+                         // 32) * 32)
+
+    # scoped-VMEM feasibility cap: the kernel's stack transients scale
+    # with GS (~10 slots of (GS, 128) f32) next to >= 2 ring slots —
+    # a packing the acceptance guard (linop._try_bell) would reject
+    # must not be generated when a smaller nblk avoids it
+    nbE = min(nb_max, max(8, -(-n // LANES)))
+    while nblk > 8:
+        GS_e = _gs_for(nblk)
+        ring_e = (nbE * LANES * 4 + GS_e * LANES * 4
+                  + (GS_e // 4) * LANES * 4)
+        if 10 * GS_e * LANES * 4 + 2 * ring_e <= (15 << 20):
+            break
+        nblk = max(8, nblk - 8)
     nsteps = -(-nblocks // nblk)
     nblocks_p = nsteps * nblk
 
@@ -655,6 +709,58 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     band_lo = np.minimum(band_lo_raw, ncb - nb).astype(np.int32)
     assert not band_lo.size or not (band_lo % 8).any()
 
+    # --- segmented staging (wide single-band windows) ------------------
+    # Sort each step's 4-row scatter groups by base band, split rows
+    # into SEG_ROWS segments, give each its own SEG_BANDS sub-window:
+    # the staging one-hots then cost O(SEG_BANDS · GS) per step instead
+    # of O(nb · GS).  Group order is free (the scatter map is per-group
+    # and the fold is group-local); kept-entry placement just rides the
+    # permuted sublane-row positions.
+    seg = None
+    seg_mixed = 0
+    seg_bands = SEG_BANDS
+    base_rel = base_k - band_lo[e_step].astype(np.int64)
+    gperm = None
+    if segment and window == 1 and nb > SEG_BANDS and len(e_q):
+        gsg = GS // 4
+        gmin = np.full((nsteps, gsg), np.iinfo(np.int64).max)
+        np.minimum.at(gmin, (e_step, e_q // 4), base_rel)
+        order = np.argsort(gmin, axis=1, kind="stable")  # new pos -> old g
+        inv = np.argsort(order, axis=1, kind="stable")   # old g -> new pos
+        e_q2 = inv[e_step, e_q // 4] * 4 + (e_q % 4)
+        nseg = -(-GS // SEG_ROWS)
+        eseg = e_q2 // SEG_ROWS
+        big = np.iinfo(np.int64).max
+        smin = np.full((nsteps, nseg), big)
+        smax = np.full((nsteps, nseg), -1)
+        np.minimum.at(smin, (e_step, eseg), base_rel)
+        np.maximum.at(smax, (e_step, eseg), base_rel)
+        smin0 = np.where(smin == big, 0, smin)
+        # Candidate narrow widths: pick the one minimizing the measured
+        # two-term staging model (3.2 ps per staged (band, row) pair —
+        # probe_ablate_r5); segments whose sorted span exceeds even the
+        # widest candidate stage against the FULL window in-kernel
+        # (sentinel -8, bands stay window-relative).  Monolithic staging
+        # (nsteps · nb · GS) stays when it models cheaper.
+        best = (nsteps * nb * GS, None)   # (staged band·rows, plan)
+        for W in (256, 384, 512):
+            if W >= nb:
+                break
+            sloW = np.minimum(smin0 // 8 * 8, nb - W)
+            narW = smax - sloW <= W - window
+            nwide = int((~narW).sum())
+            cost = ((narW.size - nwide) * W + nwide * nb) * SEG_ROWS
+            if cost < best[0]:
+                best = (cost, (W, sloW, narW, nwide))
+        if best[1] is not None:
+            seg_bands, slo, narrow, seg_mixed = best[1]
+            e_nar = narrow[e_step, eseg]
+            base_rel = np.where(e_nar, base_rel - slo[e_step, eseg],
+                                base_rel)
+            e_q = e_q2
+            seg = np.where(narrow, slo, -8).astype(np.int32)
+            gperm = order
+
     # --- emit arrays ---------------------------------------------------
     data = np.zeros((nsteps, GS, LANES), dtype=vals.dtype)
     # idx fits a byte by construction (window-local < 128*window); the
@@ -669,7 +775,7 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
     # (all entries at a row agree on base and block).
     np.add.at(data, (e_step, e_q, e_lane), vs_k)
     idx8[e_step, e_q, e_lane] = e_idx
-    bands[e_step, 0, e_q] = (base_k - band_lo[e_step]).astype(np.int32)
+    bands[e_step, 0, e_q] = base_rel.astype(np.int32)
 
     # grouped scatter map (both window modes): one block id per
     # 4-sublane-row group (depths are 4-aligned so groups never straddle
@@ -687,8 +793,21 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
                                             ngrp)
         blocksN[gstep, gpos0 + within] = np.repeat(
             np.arange(nblocks_p) % nblk, ngrp).astype(np.int32)
+    if gperm is not None:
+        # new group position p holds old group gperm[st, p]
+        blocksN = np.take_along_axis(blocksN, gperm, axis=1)
     blocks = np.concatenate([blocksN[:, 0::2], blocksN[:, 1::2]],
                             axis=1)[:, None, :]
+
+    if seg is not None:
+        # segmented layout stores bands (nsteps, nseg, SEG_ROWS), tail
+        # zero-padded: each kernel segment reads its bands at lane
+        # offset 0 (a lane-offset slice of a (1, GS) row cannot be
+        # sublane-broadcast by Mosaic)
+        nseg = seg.shape[1]
+        bpad = np.zeros((nsteps, nseg * SEG_ROWS), dtype=np.int32)
+        bpad[:, :GS] = bands[:, 0, :]
+        bands = bpad.reshape(nsteps, nseg, SEG_ROWS)
 
     if idx_fmt == "int8":
         lanes_packed = idx8  # stored directly (uint8, zero-extended load)
@@ -710,12 +829,15 @@ def bell_from_coo(coo: F.COO, nblk=None, nb_max: int = NB_MAX,
                 cvt(band_lo), cvt(sp_row), cvt(sp_col), cvt(sp_val),
                 (m, n), (nsteps * nblk * LANES, ncb * LANES),
                 int(nb), int(nblk), nnz, nnz_spill, int(window),
-                str(idx_fmt))
+                str(idx_fmt), seg=None if seg is None else cvt(seg),
+                seg_mixed=int(seg_mixed), seg_bands=int(seg_bands))
 
 
 def bell_to_device(b: BELL) -> BELL:
     """Ship a host-resident (NumPy) BELL's arrays to the device."""
-    return BELL(*(jnp.asarray(c) for c in b[:8]), *b[8:])
+    return BELL(*(jnp.asarray(c) for c in b[:8]), *b[8:16],
+                seg=None if b.seg is None else jnp.asarray(b.seg),
+                seg_mixed=b.seg_mixed, seg_bands=b.seg_bands)
 
 
 def bell_fill(b: BELL) -> float:
@@ -798,9 +920,12 @@ def bell_to_dense(b: BELL):
     out = np.zeros((mp, npad), dtype=np.asarray(b.data).dtype)
     data = np.asarray(b.data)
     idx = _unpack_idx(b)
-    bands = np.asarray(b.bands)[:, 0, :]
+    nst = np.asarray(b.data).shape[0]
+    # (nsteps, 1, GS) monolithic or (nsteps, nseg, SEG_ROWS) segmented
+    bands = np.asarray(b.bands).reshape(nst, -1)[:, :b.data.shape[1]]
     blocks = np.asarray(b.blocks)[:, 0, :]
     band_lo = np.asarray(b.band_lo)
+    seg = None if b.seg is None else np.asarray(b.seg)
     nsteps, GS, L = data.shape
     for st in range(nsteps):
         for q in range(GS):
@@ -809,7 +934,13 @@ def bell_to_dense(b: BELL):
             if blko >= b.nblk:
                 continue
             blkrow = (st * b.nblk + blko) * LANES
-            col0 = (band_lo[st] + bands[st, q]) * LANES
+            base = bands[st, q]
+            if seg is not None:
+                s = seg[st, q // SEG_ROWS]
+                if s >= 0:        # narrow segment: segment-relative
+                    base = base + s
+                # wide sentinel (-8): bands stay window-relative
+            col0 = (band_lo[st] + base) * LANES
             for r in range(L):
                 v = data[st, q, r]
                 if v != 0:
@@ -888,8 +1019,9 @@ def _select_int8(ohs, w, transposed=False):
 
 
 def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window, nring,
-                 band_lo_ref, data_hbm, lanes_hbm, bands_ref, blocks_ref,
-                 x_hbm, y_ref, win, sems, dbuf, dsems, lbuf, lsems):
+                 seg_sizes, seg_mixed, seg_bands, band_lo_ref, seg_ref,
+                 data_hbm, lanes_hbm, bands_ref, blocks_ref, x_hbm,
+                 y_ref, win, sems, dbuf, dsems, lbuf, lsems, *scr):
     st = pl.program_id(0)
     L = LANES
     GQ = GS // 4
@@ -940,9 +1072,67 @@ def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window, nring,
         dat_dma(st + AHEAD).start()
         lan_dma(st + AHEAD).start()
 
-    w = win[st % nslots]                                   # (nb, 128)
-    dat = dbuf[st % nslots]                                # (GS, 128)
-    p = lbuf[st % nslots]                                  # (GQ, 128)
+    slot = st % nslots
+    dat = dbuf[slot]                                       # (GS, 128)
+    p = lbuf[slot]                                         # (GQ, 128)
+
+    nseg = len(seg_sizes)
+    if seg_sizes and seg_mixed:
+        # SEGMENTED staging, mixed mode: narrow segments (seg >= 0)
+        # stage a SEG_BANDS-band slice of the x window; wide segments
+        # (sentinel -1 in /8 units — sorted scatter tails that fit no
+        # 256-band window) stage against the full (nb, rows) window.
+        # Predicated writes land in a VMEM scratch because each branch
+        # must only PAY when taken.  bands is stored (1, nseg,
+        # SEG_ROWS) so every segment's row reads at lane offset 0.
+        xs = scr[0]
+        for si in range(nseg):
+            sb = seg_ref[st, si]
+            bseg = bands_ref[0, si:si + 1, :]             # (1, SEG_ROWS)
+            r0 = si * SEG_ROWS
+
+            @pl.when(sb >= 0)
+            def _(r0=r0, sb=sb, bseg=bseg):
+                iot_s = jax.lax.broadcasted_iota(
+                    jnp.int32, (seg_bands, SEG_ROWS), 0)
+                wseg = win[slot, pl.ds(sb * 8, seg_bands), :]
+                xs[r0:r0 + SEG_ROWS, :] = _dot_onehot(
+                    iot_s == bseg, wseg, passes, transposed=True)
+
+            @pl.when(sb < 0)
+            def _(r0=r0, bseg=bseg):
+                iot_w = jax.lax.broadcasted_iota(
+                    jnp.int32, (nb, SEG_ROWS), 0)
+                xs[r0:r0 + SEG_ROWS, :] = _dot_onehot(
+                    iot_w == bseg, win[slot], passes, transposed=True)
+
+        xsel = xs[:GS, :]
+        w = xsel  # dtype witness for the cast below
+    elif seg_sizes:
+        # SEGMENTED staging (window=1 only): sublane rows were pack-time
+        # sorted by base band and split into SEG_ROWS segments; segment
+        # si stages only the SEG_BANDS-band slice of the x window at
+        # seg_ref[st, si] (stored /8 so the dynamic VMEM sublane start
+        # is syntactically 8-aligned).  Staging cost per step is
+        # O(SEG_BANDS · GS) whatever the packing-wide nb — the wide-
+        # window fix of round 5 (BENCH_r04 measured ~40 ps/slot at
+        # nb=1024 vs the 12.5 ps model; the (nb, GS) one-hots were the
+        # cost).  `bands` holds SEGMENT-relative bases.
+        parts = []
+        for si in range(nseg):
+            sb = seg_ref[st, si] * 8
+            wseg = win[slot, pl.ds(sb, seg_bands), :]
+            bseg = bands_ref[0, si:si + 1, :]             # (1, SEG_ROWS)
+            iot_s = jax.lax.broadcasted_iota(
+                jnp.int32, (seg_bands, SEG_ROWS), 0)
+            parts.append(_dot_onehot(iot_s == bseg, wseg, passes,
+                                     transposed=True))    # (SEG_ROWS, 128)
+        xsel = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                else parts[0])[:GS, :]
+        w = xsel  # dtype witness for the cast below
+    else:
+        base = bands_ref[0]                                # (1, GS)
+        w = win[slot]                                      # (nb, 128)
 
     # Stage each sublane row's candidate band(s): base (+ base+1 for
     # two-band windows).  The one-hot is built TRANSPOSED, (nb, GS):
@@ -950,9 +1140,11 @@ def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window, nring,
     # wastes a full (8,128) VMEM tile per 8 values and its strided DMA
     # measurably stalls the stream); the MXU contracts dim 0 of both
     # operands at identical cost.
-    iot = jax.lax.broadcasted_iota(jnp.int32, (nb, GS), 0)
-    base = bands_ref[0]                                    # (1, GS)
-    if stage == "bf16s" and w.dtype == jnp.float32:
+    iot = None if seg_sizes else \
+        jax.lax.broadcasted_iota(jnp.int32, (nb, GS), 0)
+    if seg_sizes:
+        pass
+    elif stage == "bf16s" and w.dtype == jnp.float32:
         # Stacked-contraction staging: put the three exact bf16
         # components of w along the CONTRACTION dim so the MXU
         # accumulates them internally — one dot, one f32 output, no
@@ -1044,13 +1236,24 @@ def _default_stage(window):
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "nblk", "interpret",
-                                             "passes", "stage", "window"))
+                                             "passes", "stage", "window",
+                                             "seg_mixed", "seg_bands"))
 def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
                       sp_row, sp_col, sp_val, nb, nblk, interpret,
-                      passes=3, stage=None, window=2):
+                      passes=3, stage=None, window=2, seg=None,
+                      seg_mixed=0, seg_bands=SEG_BANDS):
     if stage is None:
         stage = _default_stage(window)
     nsteps, GS, L = data.shape
+    if seg is None:
+        seg_sizes = ()
+        seg8 = jnp.zeros((nsteps, 1), jnp.int32)
+    else:
+        nseg = seg.shape[1]
+        seg_sizes = (SEG_ROWS,) * (nseg - 1) \
+            + (GS - SEG_ROWS * (nseg - 1),)
+        # narrow starts stay 8-aligned; the wide sentinel -8 becomes -1
+        seg8 = seg // 8
     gsc = GS // 4                          # grouped scatter-map rows
     # mixed-precision storage: bf16 values with an f32 x keep the value
     # stream at 2 B/slot while every accumulation runs in f32 (the
@@ -1097,12 +1300,13 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
             "window budget, more levels, or use the XLA ELL path"
             % (GS, nb, (transient_bytes + 2 * ring_bytes) / 2**20))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,           # band_lo
+        num_scalar_prefetch=2,           # band_lo, seg (/8)
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # data: manual ring
             pl.BlockSpec(memory_space=pl.ANY),      # lanes: manual ring
-            pl.BlockSpec((1, 1, GS), lambda s, *_: (s, 0, 0),
+            # bands: (1, 1, GS) monolithic / (1, nseg, SEG_ROWS) segmented
+            pl.BlockSpec((1,) + bands.shape[1:], lambda s, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, gsc), lambda s, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1118,10 +1322,12 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
             # idx ring: (GS/4,128) int32 packed or (GS,128) uint8 direct
             pltpu.VMEM((nring,) + lanes.shape[1:], lanes.dtype),
             pltpu.SemaphoreType.DMA((nring,)),
-        ],
+        ] + ([pltpu.VMEM((len(seg_sizes) * SEG_ROWS, L), ct)]
+             if seg_mixed else []),
     )
     kernel = functools.partial(_bell_kernel, nb, nblk, GS, nsteps, passes,
-                               stage, window, nring)
+                               stage, window, nring, seg_sizes,
+                               seg_mixed, seg_bands)
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nsteps * nblk, L), ct),
@@ -1131,7 +1337,7 @@ def _bell_matvec_call(data, lanes, bands, blocks, band_lo, x2,
             bytes_accessed=5 * data.size * data.dtype.itemsize // 4,
             transcendentals=0),
         interpret=interpret,
-    )(band_lo, data, lanes, bands, blocks, x2)
+    )(band_lo, seg8, data, lanes, bands, blocks, x2)
     y = y.reshape(-1)
     if sp_val.shape[0]:
         # COO remainder: small gather + scatter-add handled by XLA; the
@@ -1158,7 +1364,9 @@ def bell_matvec_pallas(b: BELL, x, interpret: bool = False, passes=3,
                              b.nb, b.nblk, bool(interpret),
                              None if passes is None else int(passes),
                              None if stage is None else str(stage),
-                             int(b.window))
+                             int(b.window), seg=b.seg,
+                             seg_mixed=int(b.seg_mixed),
+                             seg_bands=int(b.seg_bands))
 
 
 _MM_AHEAD = 3     # SpMM max ring depth (adaptive below it): per-step
@@ -1191,9 +1399,9 @@ def _mm_kmax(nb, GS, lanes_shape, lanes_size):
 
 
 def _bell_mm_kernel(nb, nblk, GS, nsteps, K, passes, window, nring,
-                    band_lo_ref, data_hbm, lanes_hbm, bands_ref,
-                    blocks_ref, x_hbm, y_ref, win, sems, dbuf, dsems,
-                    lbuf, lsems):
+                    seg_sizes, seg_mixed, seg_bands, band_lo_ref, seg_ref,
+                    data_hbm, lanes_hbm, bands_ref, blocks_ref, x_hbm,
+                    y_ref, win, sems, dbuf, dsems, lbuf, lsems, *scr):
     """Block-product (SpMM) kernel: same slot stream as the matvec, K
     right-hand sides ride the lane dimension (x window (nb, K*128),
     staging dots over <=_MM_KCHUNK-column chunks, K lane gathers, one
@@ -1242,9 +1450,9 @@ def _bell_mm_kernel(nb, nblk, GS, nsteps, K, passes, window, nring,
         dat_dma(st + _MM_AHEAD).start()
         lan_dma(st + _MM_AHEAD).start()
 
-    w = win[st % nslots]                               # (nb, K*128)
-    dat = dbuf[st % nslots]                            # (GS, 128)
-    p = lbuf[st % nslots]
+    slot = st % nslots
+    dat = dbuf[slot]                                   # (GS, 128)
+    p = lbuf[slot]
 
     if p.dtype == jnp.uint8:
         idx = p.astype(jnp.int32)
@@ -1252,17 +1460,62 @@ def _bell_mm_kernel(nb, nblk, GS, nsteps, K, passes, window, nring,
         idx = jnp.concatenate(
             [(p >> (8 * j)) & 255 for j in range(4)], axis=0)
 
-    iot = jax.lax.broadcasted_iota(jnp.int32, (nb, GS), 0)
-    base = bands_ref[0]                                # (1, GS)
-    oh0 = iot == base
-    oh1 = None if window == 1 else (iot == base + 1)
+    nseg = len(seg_sizes)
+    if seg_sizes:
+        iot = None
+        oh0 = oh1 = None
+    else:
+        base = bands_ref[0]                            # (1, GS)
+        iot = jax.lax.broadcasted_iota(jnp.int32, (nb, GS), 0)
+        oh0 = iot == base
+        oh1 = None if window == 1 else (iot == base + 1)
+        w = win[slot]                                  # (nb, K*128)
     datc = None
     parts = []
     for klo in range(0, K, _MM_KCHUNK):
         khi = min(K, klo + _MM_KCHUNK)
-        wc = w[:, klo * L:khi * L]
-        xsel0 = _dot_onehot(oh0, wc, passes,
-                            transposed=True)           # (GS, kc*128)
+        kc = khi - klo
+        if seg_sizes and seg_mixed:
+            xs = scr[0]
+            for si in range(nseg):
+                sb = seg_ref[st, si]
+                bseg = bands_ref[0, si:si + 1, :]      # (1, SEG_ROWS)
+                r0 = si * SEG_ROWS
+
+                @pl.when(sb >= 0)
+                def _(r0=r0, sb=sb, bseg=bseg):
+                    iot_s = jax.lax.broadcasted_iota(
+                        jnp.int32, (seg_bands, SEG_ROWS), 0)
+                    wseg = win[slot, pl.ds(sb * 8, seg_bands),
+                               klo * L:khi * L]
+                    xs[r0:r0 + SEG_ROWS, :kc * L] = _dot_onehot(
+                        iot_s == bseg, wseg, passes, transposed=True)
+
+                @pl.when(sb < 0)
+                def _(r0=r0, bseg=bseg):
+                    iot_w = jax.lax.broadcasted_iota(
+                        jnp.int32, (nb, SEG_ROWS), 0)
+                    xs[r0:r0 + SEG_ROWS, :kc * L] = _dot_onehot(
+                        iot_w == bseg, win[slot, :, klo * L:khi * L],
+                        passes, transposed=True)
+
+            xsel0 = xs[:GS, :kc * L]                   # (GS, kc*128)
+        elif seg_sizes:
+            xparts = [
+                _dot_onehot(
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (seg_bands, SEG_ROWS), 0)
+                    == bands_ref[0, si:si + 1, :],
+                    win[slot, pl.ds(seg_ref[st, si] * 8, seg_bands),
+                        klo * L:khi * L],
+                    passes, transposed=True)
+                for si in range(nseg)]
+            xsel0 = (jnp.concatenate(xparts, axis=0) if len(xparts) > 1
+                     else xparts[0])[:GS, :]           # (GS, kc*128)
+        else:
+            wc = w[:, klo * L:khi * L]
+            xsel0 = _dot_onehot(oh0, wc, passes,
+                                transposed=True)       # (GS, kc*128)
         if oh1 is not None:
             xsel1 = _dot_onehot(oh1, wc, passes, transposed=True)
         if datc is None:
@@ -1290,15 +1543,25 @@ def _bell_mm_kernel(nb, nblk, GS, nsteps, K, passes, window, nring,
 
 @functools.partial(jax.jit, static_argnames=("nb", "nblk", "K",
                                              "interpret", "passes",
-                                             "window"))
+                                             "window", "seg_mixed",
+                                             "seg_bands"))
 def _bell_matmat_call(data, lanes, bands, blocks, band_lo, Xb,
                       sp_row, sp_col, sp_val, X, nb, nblk, K, interpret,
-                      passes=3, window=2):
+                      passes=3, window=2, seg=None, seg_mixed=0,
+                      seg_bands=SEG_BANDS):
     """Fused SpMM: ``Xb`` is the band-major RHS block
     (nbands, K*LANES) with ``Xb[b, k*128+l] = X[b*128+l, k]``; ``X`` is
     the original (n_pad, K) block (used only for the COO remainder).
     Returns (rows_pad, K)."""
     nsteps, GS, L = data.shape
+    if seg is None:
+        seg_sizes = ()
+        seg8 = jnp.zeros((nsteps, 1), jnp.int32)
+    else:
+        nseg = seg.shape[1]
+        seg_sizes = (SEG_ROWS,) * (nseg - 1) \
+            + (GS - SEG_ROWS * (nseg - 1),)
+        seg8 = seg // 8
     ct = jnp.promote_types(data.dtype, Xb.dtype)
     if Xb.dtype != ct:
         Xb = Xb.astype(ct)
@@ -1315,12 +1578,12 @@ def _bell_matmat_call(data, lanes, bands, blocks, band_lo, Xb,
                         np.dtype(data.dtype).itemsize, lanes_bytes)
     nring = int(max(2, min(_MM_AHEAD + 1, (9 << 20) // max(1, rb))))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, GS), lambda s, *_: (s, 0, 0),
+            pl.BlockSpec((1,) + bands.shape[1:], lambda s, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, GS // 4), lambda s, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1335,10 +1598,12 @@ def _bell_matmat_call(data, lanes, bands, blocks, band_lo, Xb,
             pltpu.SemaphoreType.DMA((nring,)),
             pltpu.VMEM((nring,) + lanes.shape[1:], lanes.dtype),
             pltpu.SemaphoreType.DMA((nring,)),
-        ],
+        ] + ([pltpu.VMEM((len(seg_sizes) * SEG_ROWS, _MM_KCHUNK * L),
+                         ct)] if seg_mixed else []),
     )
     kernel = functools.partial(_bell_mm_kernel, nb, nblk, GS, nsteps, K,
-                               passes, window, nring)
+                               passes, window, nring, seg_sizes,
+                               seg_mixed, seg_bands)
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nsteps * nblk, K * L), ct),
@@ -1349,7 +1614,7 @@ def _bell_matmat_call(data, lanes, bands, blocks, band_lo, Xb,
                             + X.size * 4),
             transcendentals=0),
         interpret=interpret,
-    )(band_lo // 8, data, lanes, bands, blocks, Xb)
+    )(band_lo // 8, seg8, data, lanes, bands, blocks, Xb)
     # (srows, K*128) -> (K, m) -> (m, K).  Only MAJOR-dim transposes
     # (the 128-lane minor dim stays in place): a minor-dim transpose
     # measured 3.2 ms on 4 MB (5 GB/s — tile-shuffle pathology,
@@ -1384,7 +1649,9 @@ def bell_matmat_pallas(b: BELL, X, interpret: bool = False, passes=3):
                              b.band_lo, Xb, b.sp_row, b.sp_col, b.sp_val,
                              X, b.nb, b.nblk, int(K), bool(interpret),
                              None if passes is None else int(passes),
-                             int(b.window))
+                             int(b.window), seg=b.seg,
+                             seg_mixed=int(b.seg_mixed),
+                             seg_bands=int(b.seg_bands))
 
 
 def reorder_rcm(coo: F.COO):
@@ -1436,7 +1703,9 @@ def _bell_mv_factory(slot, cfg, rows_out, interpret):
             y = _bell_matvec_call(c.data, c.lanes, c.bands, c.blocks,
                                   c.band_lo, xp.reshape(-1, LANES),
                                   c.sp_row, c.sp_col, c.sp_val,
-                                  nb, nblk, interpret, window=window)
+                                  nb, nblk, interpret, window=window,
+                                  seg=c.seg, seg_mixed=int(c.seg_mixed),
+                                  seg_bands=int(c.seg_bands))
             y = y if y.shape[0] == rows_out else y[:rows_out]
             out = y if out is None else out + y
         return out
@@ -1481,7 +1750,9 @@ def _bell_mm_factory(slot, cfg, rows_out, interpret):
             Y = _bell_matmat_call(c.data, c.lanes, c.bands, c.blocks,
                                   c.band_lo, Xb, c.sp_row, c.sp_col,
                                   c.sp_val, Xp, nb, nblk, int(K),
-                                  interpret, window=window)
+                                  interpret, window=window, seg=c.seg,
+                                  seg_mixed=int(c.seg_mixed),
+                                  seg_bands=int(c.seg_bands))
             Y = Y if Y.shape[0] == rows_out else Y[:rows_out]
             out = Y if out is None else out + Y
         return out
@@ -1529,10 +1800,50 @@ def _strip_spill(b: BELL) -> BELL:
 # overhead): idx packing, value dtype and staging-precision changes all
 # measured time-neutral — see tools/probes/probe_ablate_r3*.py.
 _SLOT_COST_PS = {1: 12.5, 2: 16.1}
+# Two-term kernel cost model, measured on v5e (probe_ablate_r5,
+# 2026-08-20): time = slots · BASE + staged_band_rows · STAGE where
+# BASE covers stream + unpack + gather + fold + scatter (the `nostage`
+# ablation: 12.6 ps/slot on power_law incl. its window DMA; the bench
+# matrix backs out ~10 ps once its small staging term is separated)
+# and STAGE is the one-hot staging cost per (band, sublane-row) pair
+# (build + 3 bf16 MXU passes).  Validates within 8% on the bench
+# matrix (pred 0.247 / meas 0.245 ms), power_law (0.65 / 0.70) and
+# stencil_scatter (0.186 / 0.202).
+_SLOT_BASE_PS = {1: 10.0, 2: 13.5}
+_STAGE_PS_PER_BR = 3.2
+# mixed segmented staging adds ~0.35 us per segment (xsel scratch
+# round trip + two predicated regions; fitted on power_law 137 us /
+# 440 segs and stencil_scatter 68 us / 176 segs, on-chip r5)
+_SEG_OVERHEAD_PS = 0.35e6
+
+
+def _staged_band_rows(b: BELL) -> int:
+    """Total (band, sublane-row) pairs the packing's staging one-hots
+    cover across all steps — the second term of the cost model."""
+    nsteps, GS, _ = (int(s) for s in b.data.shape)
+    if b.seg is not None:
+        nseg_tot = int(np.prod(b.seg.shape))
+        narrow = nseg_tot - b.seg_mixed
+        return (narrow * b.seg_bands + b.seg_mixed * b.nb) * SEG_ROWS
+    return nsteps * b.nb * GS
+
+
+def _slot_cost_ps(b: BELL) -> float:
+    """Predicted kernel cost per stored slot (ps, v5e two-term model);
+    see _SLOT_BASE_PS.  window=2 keeps the legacy flat fit (two
+    staging one-hots; never segmented) plus the wide-window scaling."""
+    slots = max(1, int(np.prod(b.data.shape)))
+    if b.window == 2:
+        return _SLOT_COST_PS[2] * max(1.0, b.nb / 256.0)
+    seg_oh = 0.0
+    if b.seg is not None and b.seg_mixed:
+        seg_oh = _SEG_OVERHEAD_PS * int(np.prod(b.seg.shape)) / slots
+    return _SLOT_BASE_PS[1] + seg_oh \
+        + _STAGE_PS_PER_BR * _staged_band_rows(b) / slots
 
 
 def _pack_window_auto(coo, nb_max, spill_cost, levels, device=True,
-                      idx_fmt="packed"):
+                      idx_fmt="packed", segment=True):
     """Pack with both window modes (host-side) and keep the one the
     measured per-slot cost model predicts faster.  The w2 pair-DP
     packing is only attempted when the native planner is available or
@@ -1540,7 +1851,8 @@ def _pack_window_auto(coo, nb_max, spill_cost, levels, device=True,
     loop at 1M rows, and w1 wins on every scattered matrix measured."""
     try:
         lv1 = _pack_levels(coo, nb_max, spill_cost, levels,
-                           device=False, window=1, idx_fmt=idx_fmt)
+                           device=False, window=1, idx_fmt=idx_fmt,
+                           segment=segment)
     except SpanError:
         lv1 = None
     lv2 = None
@@ -1566,7 +1878,7 @@ def _pack_window_auto(coo, nb_max, spill_cost, levels, device=True,
         # an XLA scatter remainder costs ~16 ns/entry on-chip — three
         # orders of magnitude above a kernel slot — so spilly packings
         # must lose to clean ones of any window mode
-        return (sum(int(np.prod(b.data.shape)) * _SLOT_COST_PS[b.window]
+        return (sum(int(np.prod(b.data.shape)) * _slot_cost_ps(b)
                     for b in lv)
                 + sum(b.nnz_spill for b in lv) * 16000.0)
 
@@ -1575,7 +1887,7 @@ def _pack_window_auto(coo, nb_max, spill_cost, levels, device=True,
 
 
 def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2,
-                 idx_fmt="packed"):
+                 idx_fmt="packed", segment=True):
     """Pack a COO matrix into up to ``levels`` BELL levels: all but the
     last are depth-capped and their overflow feeds the next level's
     (much smaller) packing; the last level is uncapped.  A thin overflow
@@ -1588,12 +1900,12 @@ def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2,
     the cost-model winner)."""
     if window == "auto":
         return _pack_window_auto(coo, nb_max, spill_cost, levels, device,
-                                 idx_fmt)
+                                 idx_fmt, segment=segment)
     # candidate packings stay host-resident (NumPy) — only the winner
     # rides the device transport
     cvt = bell_to_device if device else (lambda b: b)
     b1 = bell_from_coo(coo, nb_max=nb_max, device=False, window=window,
-                       idx_fmt=idx_fmt,
+                       idx_fmt=idx_fmt, segment=segment,
                        spill_cost=spill_cost if levels > 1 else None)
     if levels <= 1 or b1.nnz_spill == 0:
         return (cvt(b1),)
@@ -1608,6 +1920,7 @@ def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2,
         try:
             b = bell_from_coo(nxt_coo, nb_max=nb_max, device=False,
                               window=window, idx_fmt=idx_fmt,
+                              segment=segment,
                               spill_cost=None if last else spill_cost)
         except SpanError:
             # the overflow is too scattered to window: keep it as the
@@ -1632,13 +1945,139 @@ def _pack_levels(coo, nb_max, spill_cost, levels, device=True, window=2,
         try:
             b1u = bell_from_coo(coo, nb_max=nb_max, spill_cost=None,
                                 device=False, window=window,
-                                idx_fmt=idx_fmt)
+                                idx_fmt=idx_fmt, segment=segment)
         except SpanError:
             b1u = None
         if b1u is not None and \
                 int(np.prod(b1u.data.shape)) <= 1.1 * multi_slots:
             return (cvt(b1u),)
     return tuple(cvt(b) for b in out)
+
+
+ROW_SPLIT_DEG = 64   # rows at least this dense get a private block
+
+
+def _row_split_plan(coo, thresh=ROW_SPLIT_DEG):
+    """Detect pathologically heavy rows and split each into a private
+    128-lane virtual block appended past the row space.
+
+    The w1 layout prices a row by its per-lane depth: a deg-d row keeps
+    all d entries in ONE lane, so its windows cap at depth ~d/bands and
+    the block stores 128 lanes per depth row — measured 422 slots/nnz
+    on the power-law class (69% of all slots from 273 rows, round 5).
+    Splitting gives row h a virtual block whose 128 lanes hold its
+    column-sorted entries in contiguous chunks (few bands per lane, so
+    per-lane depth ~d/128); the matvec sums the block's 128 lane
+    outputs back into y[h] (an (H, 128) fold + H-element scatter-add —
+    O(heavy rows), not O(nnz)).
+
+    Returns ``(split_coo, heavy_rows, M0)`` with the virtual blocks at
+    rows ``M0 + i*128 .. +127`` (``M0`` = row space padded to a block
+    boundary), or None when no row qualifies.  The transpose identity:
+    with ``B = [[L], [Av]]`` (light part stacked over virtual part) and
+    ``S`` the lane-summing selector, ``A = L + S Av`` and
+    ``A^T x = B^T [x; S^T x]`` where ``S^T x`` replicates ``x[heavy]``
+    over each virtual block's lanes.
+    """
+    m, n = coo.shape
+    rows = np.asarray(coo.row).astype(np.int64)
+    cols = np.asarray(coo.col).astype(np.int64)
+    vals = np.asarray(coo.data)
+    deg = np.bincount(rows, minlength=m)
+    heavy = np.flatnonzero(deg >= thresh)
+    if len(heavy) == 0 or deg[heavy].sum() < max(256, 0.005 * len(rows)):
+        return None
+    M0 = -(-m // LANES) * LANES
+    hidx = np.full(m, -1, np.int64)
+    hidx[heavy] = np.arange(len(heavy))
+    is_h = hidx[rows] >= 0
+    hr, hc, hv = rows[is_h], cols[is_h], vals[is_h]
+    order = np.lexsort((hc, hr))
+    hr, hc, hv = hr[order], hc[order], hv[order]
+    starts = np.flatnonzero(np.r_[True, hr[1:] != hr[:-1]])
+    sizes = np.diff(np.r_[starts, len(hr)])
+    posin = np.arange(len(hr)) - np.repeat(starts, sizes)
+    lane = posin * LANES // np.repeat(sizes, sizes)
+    vrow = M0 + hidx[hr] * LANES + lane
+    rows2 = np.concatenate([rows[~is_h], vrow])
+    cols2 = np.concatenate([cols[~is_h], hc])
+    vals2 = np.concatenate([vals[~is_h], hv])
+    shape2 = (int(M0 + len(heavy) * LANES), n)
+    return (F.coo_from_arrays(vals2, rows2, cols2, shape2, device=False),
+            heavy.astype(np.int32), int(M0))
+
+
+@functools.lru_cache(maxsize=None)
+def _bell_split_mv_factory(slot, cfg, m, M0, H, interpret):
+    """Row-split forward matvec: kernel product over the split matrix
+    B, then fold each heavy row's 128 virtual lanes back into y."""
+    inner = _bell_mv_factory(slot, cfg, M0 + H * LANES, interpret)
+
+    def mv(params, x):
+        y = inner(params, x)
+        hv = y[M0:].reshape(H, LANES).sum(axis=1)
+        return y[:m].at[params[2]].add(hv)
+    return mv
+
+
+@functools.lru_cache(maxsize=None)
+def _bell_split_rmv_factory(cfgL, cfgA, n, interpret):
+    """Row-split transpose matvec as two kernel products:
+    ``A^T x = L^T x + Av^T (S^T x)`` — the stacked B^T would put the
+    virtual columns past the window budget, so the light and virtual
+    transposes are packed separately (``params[1] = (bwdL, bwdA)``)."""
+    innerL = _bell_mv_factory(0, cfgL, n, interpret)
+    innerA = _bell_mv_factory(0, cfgA, n, interpret)
+
+    def rmv(params, x):
+        bwdL, bwdA = params[1]
+        z = jnp.repeat(x[params[2]], LANES)
+        return innerL((bwdL,), x) + innerA((bwdA,), z)
+    return rmv
+
+
+@functools.lru_cache(maxsize=None)
+def _bell_split_mm_factory(slot, cfg, m, M0, H, interpret):
+    inner = _bell_mm_factory(slot, cfg, M0 + H * LANES, interpret)
+
+    def mm(params, X):
+        Y = inner(params, X)
+        hv = Y[M0:].reshape(H, LANES, -1).sum(axis=1)
+        return Y[:m].at[params[2], :].add(hv)
+    return mm
+
+
+@functools.lru_cache(maxsize=None)
+def _bell_split_rmm_factory(cfgL, cfgA, n, interpret):
+    innerL = _bell_mm_factory(0, cfgL, n, interpret)
+    innerA = _bell_mm_factory(0, cfgA, n, interpret)
+
+    def rmm(params, X):
+        bwdL, bwdA = params[1]
+        Z = jnp.repeat(X[params[2], :], LANES, axis=0)
+        return innerL((bwdL,), X) + innerA((bwdA,), Z)
+    return rmm
+
+
+def _split_transpose_levels(coo_k, M0, nb_max, sc, levels, window,
+                            idx_fmt, segment):
+    """Pack ``(L^T, Av^T)`` from the row-split matrix ``coo_k`` (light
+    entries at rows < M0, virtual entries at rows >= M0)."""
+    rows = np.asarray(coo_k.row)
+    cols = np.asarray(coo_k.col)
+    vals = np.asarray(coo_k.data)
+    n = coo_k.shape[1]
+    light = rows < M0
+    cooLT = F.coo_from_arrays(vals[light], cols[light], rows[light],
+                              (n, M0), device=False)
+    cooAT = F.coo_from_arrays(vals[~light], cols[~light],
+                              rows[~light] - M0,
+                              (n, coo_k.shape[0] - M0), device=False)
+    lvL = _pack_levels(cooLT, nb_max, sc, levels, window=window,
+                       idx_fmt=idx_fmt, segment=segment)
+    lvA = _pack_levels(cooAT, nb_max, sc, levels, window=window,
+                       idx_fmt=idx_fmt, segment=segment)
+    return (lvL, lvA)
 
 
 def _pad_blocks_w1(bl, gs_old, gs_new, nblk, nsteps_new):
@@ -1663,10 +2102,75 @@ def _ensure_device_levels(lv):
                  for b in lv)
 
 
+def _build_split_operator(split, m, n, symmetric, with_transpose,
+                          interpret, nb_max, sc, levels, window, idx_fmt,
+                          segment, prepacked):
+    """Assemble the row-split LinearOperator (see _row_split_plan):
+    forward = one kernel product over B = [[L], [Av]] + lane fold;
+    transpose = two kernel products (L^T, Av^T)."""
+    from ..ops.base import LinearOperator
+
+    coo_k, heavy, M0 = split
+    H = int(len(heavy))
+    if prepacked is not None:
+        fwd, bwd = prepacked
+        fwd = _ensure_device_levels(fwd)
+        bwd = None if bwd is None else tuple(
+            _ensure_device_levels(p) for p in bwd)
+    else:
+        fwd = _pack_levels(coo_k, nb_max, sc, levels, window=window,
+                           idx_fmt=idx_fmt, segment=segment)
+        if symmetric or not with_transpose:
+            bwd = None
+        else:
+            bwd = _split_transpose_levels(coo_k, M0, nb_max, sc, levels,
+                                          window, idx_fmt, segment)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    interpret = bool(interpret)
+
+    def _cfg(lv):
+        return tuple((b.nb, b.nblk, b.padded_shape[1], b.window)
+                     for b in lv)
+
+    mv = _bell_split_mv_factory(0, _cfg(fwd), m, M0, H, interpret)
+    mm = _bell_split_mm_factory(0, _cfg(fwd), m, M0, H, interpret)
+    if symmetric:
+        rmv, rmm = mv, mm
+    elif bwd is None:
+        rmv = rmm = None
+    else:
+        rmv = _bell_split_rmv_factory(_cfg(bwd[0]), _cfg(bwd[1]), n,
+                                      interpret)
+        rmm = _bell_split_rmm_factory(_cfg(bwd[0]), _cfg(bwd[1]), n,
+                                      interpret)
+    params = (fwd, bwd, jnp.asarray(np.asarray(heavy, dtype=np.int32)))
+    dtype = np.dtype(fwd[0].data.dtype)
+    op = LinearOperator(n, m, matvec=mv, matvec_transp=rmv,
+                        matmat=mm, matmat_transp=rmm,
+                        params=params, _takes_params=True,
+                        symmetric=symmetric,
+                        hermitian=symmetric and not np.issubdtype(
+                            dtype, np.complexfloating),
+                        dtype=dtype)
+    nnz_tot = sum(b.nnz for b in fwd)
+    op.fill = bell_fill(fwd[0])
+    op.spill_frac = (nnz_tot - fwd[0].nnz + fwd[0].nnz_spill) / max(
+        1, nnz_tot)
+    op.stream_bytes = sum(bell_stream_bytes(b) for b in fwd)
+    op.bytes_per_nnz = op.stream_bytes / max(1, nnz_tot)
+    op.xla_remainder = sum(b.nnz_spill for b in fwd)
+    op.nb_max_level = max(b.nb for b in fwd)
+    op.split_rows = H
+    return op
+
+
 def bell_operator(source, shape=None, symmetric=False, interpret=None,
                   nb_max: int = NB_MAX, spill_cost: float = None,
                   reorder=False, levels: int = 2, with_transpose=True,
-                  window="auto", idx_fmt="packed", _prepacked=None):
+                  window="auto", idx_fmt="packed", segment=True,
+                  split_rows="auto", _prepacked=None, _split=None):
     """Wrap a matrix as a LinearOperator whose matvec is the BELL kernel.
 
     ``source``: COO container or ``(vals, rows, cols, shape)`` triples or
@@ -1711,6 +2215,15 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
     perm = None
     if reorder:
         coo, perm = reorder_rcm(coo)
+    split = _split
+    if split is None and split_rows and perm is None \
+            and _prepacked is None:
+        split = _row_split_plan(coo)
+    if split is not None:
+        sc = _SPILL_BYTES if spill_cost is None else spill_cost
+        return _build_split_operator(
+            split, m, n, symmetric, with_transpose, interpret, nb_max,
+            sc, levels, window, idx_fmt, segment, _prepacked)
     if _prepacked is not None:
         # host-planned candidates from the auto-format policy: only the
         # accepted packing rides the device transport, here
@@ -1722,18 +2235,20 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
         skip_bwd = symmetric or not with_transpose
         if levels <= 1 and window != "auto":
             fwd = (bell_from_coo(coo, nb_max=nb_max, window=window,
-                                 spill_cost=spill_cost, idx_fmt=idx_fmt),)
+                                 spill_cost=spill_cost, idx_fmt=idx_fmt,
+                                 segment=segment),)
             bwd = None if skip_bwd else (bell_from_coo(
                 F.transpose_coo(coo), nb_max=nb_max, window=window,
-                spill_cost=spill_cost, idx_fmt=idx_fmt),)
+                spill_cost=spill_cost, idx_fmt=idx_fmt,
+                segment=segment),)
         else:
             if levels <= 1:
                 sc = spill_cost   # keep the explicit no-spill request
             fwd = _pack_levels(coo, nb_max, sc, levels, window=window,
-                               idx_fmt=idx_fmt)
+                               idx_fmt=idx_fmt, segment=segment)
             bwd = None if skip_bwd else _pack_levels(
                 F.transpose_coo(coo), nb_max, sc, levels, window=window,
-                idx_fmt=idx_fmt)
+                idx_fmt=idx_fmt, segment=segment)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -101,8 +101,9 @@ def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256,
     Tries the raw ordering first, then RCM (square only).  Returns None
     when neither packing qualifies."""
     import numpy as _np
-    from .bell import (NB_MAX, SpanError, _SPILL_BYTES, _pack_levels,
-                       bell_operator, reorder_rcm)
+    from .bell import (NB_MAX, SEG_BANDS, SpanError, _SPILL_BYTES,
+                       _pack_levels, _slot_cost_ps, bell_operator,
+                       reorder_rcm)
 
     _ELL_NS_PER_NNZ = 24.0   # measured on-chip (ROADMAP r2)
 
@@ -125,7 +126,9 @@ def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256,
                     * b.lanes.dtype.itemsize)
             if 10 * GS * 128 * 4 + 2 * ring > (15 << 20):
                 return False
-        nb = max(b.nb for b in lv)
+        # segmented packings stage SEG_BANDS sub-windows whatever the
+        # packing-wide nb is — their EFFECTIVE staging width is SEG_BANDS
+        nb = max((SEG_BANDS if b.seg is not None else b.nb) for b in lv)
         nnz = max(1, sum(b.nnz for b in lv))
         # normalize padding by per-slot kernel cost so the budget means
         # the same predicted time whichever window mode auto picked
@@ -136,13 +139,13 @@ def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256,
                 and cost_ps / (_SLOT_COST_PS[2] * nnz)
                 <= max_slots_per_nnz):
             return True
-        # cost-based escape; wide windows (nb > max_nb) are admitted
-        # here too, with the per-level slot cost scaled by nb/max_nb —
-        # the one-hot staging matmuls are (nb, GS) per output pass, so
-        # the 12.5 ps/slot model (measured at nb ~ 100) undercharges
-        # wide-window packings roughly linearly in nb
-        cost_adj = sum(int(_np.prod(b.data.shape)) * _SLOT_COST_PS[b.window]
-                       * max(1.0, b.nb / max_nb) for b in lv)
+        # cost-based escape; MONOLITHIC wide windows (nb > max_nb) are
+        # admitted here too, with the per-level slot cost scaled by
+        # nb/256 (_slot_cost_ps) — their (nb, GS) one-hot staging
+        # undercharges the 12.5 ps/slot model roughly linearly in nb.
+        # Segmented packings keep the base cost.
+        cost_adj = sum(int(_np.prod(b.data.shape)) * _slot_cost_ps(b)
+                       for b in lv)
         # exact packed storage (values + lane indices at their actual
         # dtypes) — the escape caps total HBM footprint, not an 8 B/slot
         # guess that double-charged bf16 values
@@ -161,6 +164,29 @@ def _try_bell(coo, symmetric, max_slots_per_nnz=8.0, max_nb=256,
                                 window="auto")
         except SpanError:
             return None
+
+    # heavy-row split first: rows with pathological per-lane depth get
+    # private virtual blocks (see bell._row_split_plan) — measured to
+    # carry 69% of the power-law class's slots in 273 rows (round 5)
+    from .bell import _row_split_plan, _split_transpose_levels
+    split = _row_split_plan(coo)
+    if split is not None:
+        coo_k, heavy, M0 = split
+        fwd = _plan(coo_k)
+        if fwd is not None and _ok(fwd):
+            bwd = None
+            if not symmetric:
+                try:
+                    bwd = _split_transpose_levels(
+                        coo_k, M0, NB_MAX, _SPILL_BYTES, 2, "auto",
+                        "packed", True)
+                except SpanError:
+                    bwd = None
+            if symmetric or (bwd is not None and _ok(bwd[0])
+                             and _ok(bwd[1])):
+                return bell_operator(coo, symmetric=symmetric,
+                                     _prepacked=(fwd, bwd),
+                                     _split=(None, heavy, M0))
 
     for reorder in (False, True):
         c = coo

@@ -563,3 +563,140 @@ def test_vectorized_w2_planner_matches_loop_oracle():
             ref = _plan_blocks_loop(rs, cs, bs, bounds, nblocks, sc)
             for a, b in zip(vec, ref):
                 np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# round 5: segmented staging + heavy-row split
+
+
+def _wide_window_coo(m=2048, n=90000, far_frac=0.05, heavy=0, hot=None,
+                     seed=11):
+    """Banded locality + scatter tail: spans exceed SEG_BANDS so the
+    packer segments (mixed narrow/wide when the tail is uniform)."""
+    rng = np.random.default_rng(seed)
+    deg = rng.integers(3, 12, m)
+    if heavy:
+        deg[rng.integers(0, m, heavy)] = 300
+    rows = np.repeat(np.arange(m), deg)
+    if hot:
+        hb = rng.integers(0, n // 128, hot)
+        fc = hb[rng.integers(0, hot, rows.shape)] * 128 \
+            + rng.integers(0, 128, rows.shape)
+    else:
+        fc = rng.integers(0, n, rows.shape)
+    far = rng.random(rows.shape) < far_frac
+    cols = np.where(far, fc,
+                    (rows * (n // m) + rng.integers(-300, 301,
+                                                    rows.shape)) % n)
+    vals = rng.standard_normal(rows.shape)
+    key = rows.astype(np.int64) * n + cols
+    _, first = np.unique(key, return_index=True)
+    return F.coo_from_arrays(vals[first], rows[first], cols[first],
+                             (m, n), device=False)
+
+
+@pytest.mark.parametrize("far_frac,heavy,hot", [
+    (0.002, 0, None),     # nearly all segments narrow
+    (0.08, 10, None),     # mixed: uniform tail forces wide sentinels
+    (0.06, 0, 24),        # clustered tail (hot bands)
+])
+def test_segmented_matvec_matches_dense(far_frac, heavy, hot):
+    coo = _wide_window_coo(far_frac=far_frac, heavy=heavy, hot=hot)
+    a = _dense(coo)
+    b = bell_from_coo(coo, spill_cost=None, window=1, segment=True,
+                      device=False)
+    assert b.seg is not None and b.nb > 256
+    # oracle reconstruction understands segment-relative bands
+    np.testing.assert_allclose(bell_to_dense(b), a, rtol=0, atol=0)
+    from pykrylov_tpu.sparse.bell import bell_to_device
+    bd = bell_to_device(b)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(b.padded_shape[1])
+    y = np.asarray(bell_matvec_pallas(bd, jnp.asarray(x),
+                                      interpret=True))[:coo.shape[0]]
+    np.testing.assert_allclose(y, a @ x[:coo.shape[1]], rtol=1e-9,
+                               atol=1e-9 * np.abs(a @ x[:coo.shape[1]]).max())
+    # segmented and monolithic kernels agree to rounding (the pack-time
+    # group permutation changes scatter accumulation order only)
+    bm = bell_to_device(bell_from_coo(coo, spill_cost=None, window=1,
+                                      segment=False, device=False))
+    y2 = np.asarray(bell_matvec_pallas(bm, jnp.asarray(x),
+                                       interpret=True))[:coo.shape[0]]
+    np.testing.assert_allclose(y, y2, rtol=1e-12,
+                               atol=1e-12 * np.abs(y2).max())
+
+
+def test_segmented_matmat_matches_dense():
+    from pykrylov_tpu.sparse.bell import bell_matmat_pallas, bell_to_device
+    coo = _wide_window_coo(far_frac=0.08, heavy=10)
+    a = _dense(coo)
+    b = bell_from_coo(coo, spill_cost=None, window=1, segment=True,
+                      device=False)
+    assert b.seg is not None and b.seg_mixed > 0
+    X = np.random.default_rng(6).standard_normal((b.padded_shape[1], 3))
+    Y = np.asarray(bell_matmat_pallas(bell_to_device(b), jnp.asarray(X),
+                                      interpret=True))[:coo.shape[0]]
+    ref = a @ X[:coo.shape[1]]
+    np.testing.assert_allclose(Y, ref, rtol=1e-9,
+                               atol=1e-9 * np.abs(ref).max())
+
+
+def test_row_split_operator_all_products():
+    from pykrylov_tpu.sparse.bell import bell_operator, _row_split_plan
+    rng = np.random.default_rng(3)
+    m = n = 4096
+    deg = rng.integers(2, 6, m)
+    deg[rng.integers(0, m, 12)] = 300
+    rows = np.repeat(np.arange(m), deg)
+    cols = np.where(rng.random(rows.shape) < 0.2,
+                    rng.integers(0, n, rows.shape),
+                    np.clip(rows + rng.integers(-100, 101, rows.shape),
+                            0, n - 1))
+    vals = rng.standard_normal(rows.shape)
+    key = rows.astype(np.int64) * n + cols
+    _, first = np.unique(key, return_index=True)
+    coo = F.coo_from_arrays(vals[first], rows[first], cols[first],
+                            (m, n), device=False)
+    assert _row_split_plan(coo) is not None
+    a = _dense(coo)
+    op = bell_operator(coo, split_rows="auto")
+    assert op.split_rows == 12
+    x = rng.standard_normal(n)
+    xt = rng.standard_normal(m)
+    X = rng.standard_normal((n, 4))
+    Xt = rng.standard_normal((m, 4))
+    sc = np.abs(a @ x).max()
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(x)), a @ x,
+                               rtol=1e-9, atol=1e-9 * sc)
+    np.testing.assert_allclose(np.asarray(op.T @ jnp.asarray(xt)),
+                               a.T @ xt, rtol=1e-9, atol=1e-9 * sc)
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(X)), a @ X,
+                               rtol=1e-9, atol=1e-9 * sc)
+    np.testing.assert_allclose(np.asarray(op.T @ jnp.asarray(Xt)),
+                               a.T @ Xt, rtol=1e-9, atol=1e-9 * sc)
+
+
+def test_row_split_symmetric_solve():
+    from pykrylov_tpu.sparse.bell import bell_operator
+    from pykrylov_tpu.solvers import cg
+    rng = np.random.default_rng(9)
+    m = 2048
+    deg = rng.integers(2, 5, m)
+    deg[rng.integers(0, m, 6)] = 200
+    rows = np.repeat(np.arange(m), deg)
+    cols = rng.integers(0, m, rows.shape)
+    vals = 0.05 * rng.standard_normal(rows.shape)
+    allr = np.concatenate([rows, cols, np.arange(m)])
+    allc = np.concatenate([cols, rows, np.arange(m)])
+    d = np.zeros(m)
+    np.add.at(d, rows, np.abs(vals)); np.add.at(d, cols, np.abs(vals))
+    allv = np.concatenate([vals, vals, d + 1.0])
+    coo = F.coo_from_arrays(allv, allr, allc, (m, m), device=False)
+    op = bell_operator(coo, symmetric=True, split_rows="auto")
+    assert op.split_rows > 0
+    xstar = rng.standard_normal(m)
+    b = op @ jnp.asarray(xstar)
+    res = cg(op, b, rtol=1e-10)
+    assert res.converged
+    r = np.asarray(b) - np.asarray(op @ res.x)
+    assert np.linalg.norm(r) <= 1e-8 * np.linalg.norm(np.asarray(b))
