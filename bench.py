@@ -335,7 +335,6 @@ def bench_matrix_classes():
         print("[bench_classes] %s" % msg, file=sys.stderr, flush=True)
 
     on_tpu = jax.default_backend() == "tpu"
-    iters = 500 if on_tpu else 2
     nc = 575 if on_tpu else 24
     cv, cr, cc, cs = convdiff2d_coo(nc)
     classes = [
@@ -381,12 +380,29 @@ def bench_matrix_classes():
         elif hasattr(op, "container"):          # pallas-DIA wrapper
             fmt = "pallas-dia"
             ndiag = len(op.container.offsets)
-            model_ms = (ndiag + 2) * m * 4 / 685e9 * 1e3
-            extra = {"ndiag": ndiag}
+            inner = op._params[0]
+            mp = inner.nargin
+            nstep = mp // getattr(inner, "block", mp)
+            # stream at the PADDED size + the measured per-call pallas
+            # dispatch (~6.7 us) and per-grid-step (~0.2 us) overheads
+            # (r5 probe_small_dia_r5: irreducible for small single
+            # matvecs; the 13.9M-row headline amortizes both away)
+            model_ms = ((ndiag + 2) * mp * 4 / 685e9
+                        + 6.7e-6 + 0.2e-6 * nstep) * 1e3
+            extra = {"ndiag": ndiag, "rows_padded": mp}
         else:
             fmt = type(op).__name__
             model_ms = float("nan")
             extra = {}
+        # amortize the fixed per-dispatch overhead (~20-30 ms through the
+        # remote tunnel) to <10%: chain enough matvecs for ~250 ms of
+        # modeled device work per timed call (r5: convdiff at 500 iters
+        # measured 66 us/mv of which 43 us was dispatch; 4000+ iters
+        # measure 23 us)
+        iters = 2
+        if on_tpu:
+            est = model_ms if model_ms == model_ms else 0.1
+            iters = int(min(8000, max(500, 250.0 / max(est, 1e-3))))
         ms = _chain_ms_per_mv(op, shape[1], iters, name, note)
         rows.append({
             "class": name, "m": m, "nnz": nnz, "format": fmt,

@@ -277,7 +277,8 @@ class HaloDiaOperator(LinearOperator):
             ndiag = data.shape[0]
             try:
                 block = choose_block(ndiag, offsets_t,
-                                     itemsize=data.dtype.itemsize)
+                                     itemsize=data.dtype.itemsize,
+                                     m=L + 2 * w)
             except ValueError:
                 # bandwidth exceeds every supported kernel block (e.g.
                 # |offset| >= 262144): "auto" degrades to the XLA path

@@ -50,8 +50,9 @@ LANES = 128
 DEFAULT_BLOCK = 65536  # elements per grid step: 512 rows x 128 lanes
 
 
-def choose_block(ndiag, offsets, vmem_budget=14 << 20, itemsize=4):
-    """Largest supported block size for a diagonal structure.
+def choose_block(ndiag, offsets, vmem_budget=14 << 20, itemsize=4,
+                 m=None, max_pad=0.04):
+    """Pick a block size for a diagonal structure.
 
     Bigger blocks amortize per-step costs, bounded by (a) every
     |offset| < block and (b) the VMEM footprint of the (default)
@@ -63,20 +64,37 @@ def choose_block(ndiag, offsets, vmem_budget=14 << 20, itemsize=4):
     the bandwidth; falls back to the smallest supported block when
     every candidate overshoots the budget (the compile may still be
     tight — shrink the stencil or the budget caller-side).
+
+    When the row count ``m`` is given, padded rows count against the
+    choice: the kernel streams ``(ndiag+2)·mp`` bytes, so a 330k-row
+    system padded to a 131072 multiple paid 19% extra (round-5 probe).
+    The LARGEST VMEM-feasible block whose padding stays under
+    ``max_pad`` wins; if none qualifies, the minimum-padding one.
     """
     w = max((abs(int(o)) for o in offsets), default=0)
     feasible = [b for b in (262144, 131072, 65536, 32768, 16384, 8192)
                 if w < b]
     if not feasible:
         raise ValueError("offset %d exceeds every supported block" % w)
-    for block in feasible:
+
+    def vmem_ok(block):
         brows = block // LANES
         data_b = ndiag * brows * LANES * itemsize * 2
         ring_b = _RING * brows * LANES * 4
         out_b = brows * LANES * 4 * 2
-        if data_b + ring_b + out_b <= vmem_budget:
+        return data_b + ring_b + out_b <= vmem_budget
+
+    fits = [b for b in feasible if vmem_ok(b)] or [feasible[-1]]
+    if m is None:
+        return fits[0]
+
+    def pad_frac(block):
+        return (-(-m // block) * block - m) / m
+
+    for block in fits:           # largest-first
+        if pad_frac(block) <= max_pad:
             return block
-    return feasible[-1]
+    return min(fits, key=pad_frac)
 
 
 def ensure_dia_padded(dia: F.DIA, block: int = DEFAULT_BLOCK):
@@ -555,7 +573,8 @@ def pallas_dia_operator(dia: F.DIA, symmetric=False,
     m0 = dia.shape[0]
     if block is None:
         block = choose_block(dia.data.shape[0], dia.offsets,
-                             itemsize=np.dtype(dia.data.dtype).itemsize)
+                             itemsize=np.dtype(dia.data.dtype).itemsize,
+                             m=m0)
     dia_p, pad = ensure_dia_padded(dia, block)
     d3, offsets = pack_dia(dia_p, block)
     if symmetric:
@@ -587,4 +606,5 @@ def pallas_dia_operator(dia: F.DIA, symmetric=False,
                         dtype=dtype)
     op.pad = pad
     op.rows_unpadded = m0
+    op.block = block
     return op
