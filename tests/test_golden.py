@@ -129,3 +129,62 @@ class TestMinresF32Parity:
             assert int(r32.istop) == int(r64.istop)
             assert float(r32.resid_norm) == pytest.approx(
                 float(r64.resid_norm), rel=2e-2)
+
+
+class TestResidualHistoryShape:
+    """BASELINE row 1 tightened past final counts (VERDICT r4 #7): the
+    FULL residual histories of the golden configs are pinned by their
+    decade-crossing iteration indices against the checked-in f64 oracle
+    (``data/golden_histories.json``, generated by this build's own f64
+    run — the Python-2 reference cannot execute).  A regression that
+    changes the convergence TRAJECTORY (not just the final count) moves
+    these crossings."""
+
+    @staticmethod
+    def _decades(hist, n_iter, resid0):
+        h = np.asarray(hist)[:n_iter + 1]
+        out = {}
+        for d in range(int(np.floor(np.log10(resid0))), -14, -1):
+            idx = np.flatnonzero(h < 10.0 ** d)
+            if len(idx) == 0:
+                break
+            out[d] = int(idx[0])
+        return out
+
+    @staticmethod
+    def _oracle():
+        import json
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "data",
+                            "golden_histories.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def _check(self, key, res):
+        ref = self._oracle()[key]
+        assert float(res.resid_norm0) == pytest.approx(ref["resid0"],
+                                                       rel=1e-6)
+        got = self._decades(res.resid_history, int(res.n_iter),
+                            float(res.resid_norm0))
+        for d, it in ref["decades"]:
+            assert d in got, (key, d, got)
+            # same crossing iteration within a small re-ordering band
+            tol = max(2, int(0.05 * it))
+            assert abs(got[d] - it) <= tol, (key, d, got[d], it)
+
+    def test_cg_1138bus_history(self):
+        op = sparse_operator("1138bus", symmetric=True)
+        b = op * jnp.ones(1138, dtype=jnp.float64)
+        res = cg(op, b, rtol=1e-6, matvec_max=2 * 1138,
+                 store_history=True)
+        assert bool(res.converged)
+        self._check("cg_1138bus_rtol1e-6", res)
+
+    @pytest.mark.parametrize("name,solver", [
+        ("cgs", cgs), ("tfqmr", tfqmr), ("bicgstab", bicgstab)])
+    def test_jpwh991_histories(self, jpwh, name, solver):
+        op, b, e, guess, n = jpwh
+        res = solver(op, b, x0=guess, rtol=1e-8, matvec_max=2 * n,
+                     store_history=True)
+        assert bool(res.converged)
+        self._check("%s_jpwh991_rtol1e-8" % name, res)

@@ -71,3 +71,32 @@ def test_warm_start_and_history():
     h = res.history()
     assert len(h) == int(res.n_iter) + 1
     assert h[-1] <= 1e-10 * h[0] + 1e-8
+
+
+def test_pipelined_single_fused_reduction_in_hlo():
+    """The solver's reason to exist (communication hiding): classic CG
+    compiles TWO all-reduces per iteration (r'u and p'Ap barriers),
+    pipelined CG's shared-operand dots fuse into ONE (VERDICT r4 #6).
+    Counted in the SPMD-partitioned HLO on an 8-device mesh: one more
+    all-reduce outside the loop (resid0) in both."""
+    import re
+    import jax
+    from pykrylov_tpu.parallel import sharded_poisson3d
+    from pykrylov_tpu.parallel.mesh import make_mesh
+    from pykrylov_tpu.solvers import cg as cg_fn
+    from pykrylov_tpu.solvers.pipelined import cg_pipelined
+
+    mesh = make_mesh(8)
+    op, b, e, pad = sharded_poisson3d(16, mesh, dtype=np.float32,
+                                      halo=True)
+
+    def n_allreduce(fn):
+        lowered = jax.jit(lambda bb: fn(op, bb, rtol=1e-5, maxiter=30).x)
+        txt = lowered.lower(b).compile().as_text()
+        return txt.count("all-reduce(") + txt.count("all-reduce-start(")
+
+    n_cg = n_allreduce(cg_fn)
+    n_pl = n_allreduce(cg_pipelined)
+    # 1 outside the loop (resid0) + per-iteration reductions
+    assert n_cg == 3, n_cg
+    assert n_pl == 2, n_pl
