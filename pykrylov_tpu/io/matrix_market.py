@@ -21,7 +21,7 @@ from dataclasses import dataclass
 import numpy as np
 
 __all__ = ["MMInfo", "read_matrix_market", "write_matrix_market",
-           "mm_to_coo"]
+           "mm_to_coo", "read_matrix_market_partitioned"]
 
 
 @dataclass
@@ -140,6 +140,111 @@ def mm_to_coo(path, dtype=np.float64):
     """Convenience: load a .mtx file as expanded COO triples."""
     vals, rows, cols, shape, _ = read_matrix_market(path, dtype=dtype)
     return vals, rows, cols, shape
+
+
+def read_matrix_market_partitioned(path, n_parts, keep=None,
+                                   chunk_entries=1 << 20,
+                                   expand_symmetric=True, dtype=None):
+    """Stream-parse a coordinate MatrixMarket file into row-block
+    partitions WITHOUT materializing the full COO (SURVEY §2.5
+    "host-sharded ingestion"; VERDICT r4 #4).
+
+    The coordinate section is read in ``chunk_entries``-sized chunks;
+    each chunk's entries (plus their symmetric-expansion mirrors) are
+    routed to the row-block owner ``row // Lrow`` with ``Lrow =
+    pad_to_multiple(m, n_parts) // n_parts`` — the SAME partition the
+    sharded operators (:mod:`pykrylov_tpu.parallel`) use, so part k is
+    exactly shard k's slab.
+
+    ``keep=k`` retains only part ``k`` while streaming and discards the
+    rest chunk by chunk: per-process peak memory is one chunk plus the
+    kept slab (~nnz/n_parts) — the multi-host ingestion mode, where
+    process k calls with ``keep=jax.process_index()``-owned parts.
+    ``keep=None`` returns all parts (single-host construction of a
+    sharded operator: ship each part to its device).
+
+    Returns ``(parts, shape, info)`` where ``parts`` is a list of
+    ``(vals, rows, cols)`` triples with GLOBAL row indices (the single
+    kept part when ``keep`` is given).  Entry order within a part is
+    file order (mirrors appended per chunk).
+    """
+    from ..parallel.sharded import pad_to_multiple
+
+    with _open(path) as f:
+        header = f.readline()
+        if not header.startswith("%%MatrixMarket"):
+            raise ValueError("not a MatrixMarket file: %s" % path)
+        parts_h = header.strip().split()
+        fmt, field, symmetry = (parts_h[2].lower(), parts_h[3].lower(),
+                                parts_h[4].lower())
+        if fmt != "coordinate":
+            raise ValueError("partitioned ingestion supports the "
+                             "coordinate format only (got %r)" % fmt)
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        size = line.split()
+        m, n, nnz = int(size[0]), int(size[1]), int(size[2])
+        info = MMInfo((m, n), nnz, fmt, field, symmetry)
+        Lrow = pad_to_multiple(m, n_parts) // n_parts
+
+        buckets = [([], [], []) for _ in range(n_parts)]
+
+        def route(vv, rr, cc):
+            owner = rr // Lrow
+            for k in (range(n_parts) if keep is None else (keep,)):
+                sel = owner == k
+                if sel.any():
+                    bv, br, bc = buckets[k]
+                    bv.append(vv[sel])
+                    br.append(rr[sel])
+                    bc.append(cc[sel])
+
+        remaining = nnz
+        ncols_file = 4 if field == "complex" else (
+            2 if field == "pattern" else 3)
+        while remaining > 0:
+            take = min(remaining, int(chunk_entries))
+            data = np.loadtxt(f, max_rows=take, ndmin=2)
+            if data.shape[0] != take:
+                raise ValueError("expected %d more entries, found %d"
+                                 % (take, data.shape[0]))
+            if data.shape[1] != ncols_file:
+                raise ValueError("bad column count %d for field %r"
+                                 % (data.shape[1], field))
+            rr = data[:, 0].astype(np.int64) - 1
+            cc = data[:, 1].astype(np.int64) - 1
+            if field == "pattern":
+                vv = np.ones(take, dtype=np.float64)
+            elif field == "complex":
+                vv = data[:, 2] + 1j * data[:, 3]
+            else:
+                vv = data[:, 2]
+            if dtype is not None:
+                vv = vv.astype(dtype)
+            route(vv, rr, cc)
+            if expand_symmetric and symmetry in (
+                    "symmetric", "skew-symmetric", "hermitian"):
+                off = rr != cc
+                mv = vv[off]
+                if symmetry == "skew-symmetric":
+                    mv = -mv
+                elif symmetry == "hermitian":
+                    mv = np.conj(mv)
+                route(mv, cc[off], rr[off])
+            remaining -= take
+
+    def cat(b):
+        if not b[0]:
+            dt = np.float64 if dtype is None else dtype
+            return (np.zeros(0, dt), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64))
+        return (np.concatenate(b[0]), np.concatenate(b[1]),
+                np.concatenate(b[2]))
+
+    if keep is not None:
+        return [cat(buckets[keep])], (m, n), info
+    return [cat(b) for b in buckets], (m, n), info
 
 
 def write_matrix_market(path, vals, rows, cols, shape, symmetry="general",

@@ -41,7 +41,40 @@ from ..sparse import formats as F
 from .mesh import ROW_AXIS
 from .sharded import pad_to_multiple
 
-__all__ = ["GatherEllOperator", "build_gather_schedule"]
+__all__ = ["GatherEllOperator", "build_gather_schedule",
+           "gather_ell_from_mtx"]
+
+
+def gather_ell_from_mtx(path, mesh, symmetric=False, axis=ROW_AXIS,
+                        dtype=None, chunk_entries=1 << 20, **kwargs):
+    """Build a :class:`GatherEllOperator` from a MatrixMarket file via
+    the PARTITIONED streaming loader (SURVEY §2.5 "host-sharded
+    ingestion"): the coordinate section is parsed in bounded chunks and
+    routed straight to the operator's own row-block partition — the
+    full COO is never built as a single parse product.  On a
+    multi-host mesh each process would stream with
+    ``keep=<its row blocks>`` (see
+    :func:`~pykrylov_tpu.io.matrix_market.read_matrix_market_partitioned`);
+    on one host the parts are assembled into the (mp, K) ELL arrays the
+    schedule builder consumes (the device-upload working set, which is
+    needed regardless).
+
+    Produces bit-identical operators to the monolithic
+    ``GatherEllOperator(read_matrix_market(path))`` path: the ELL
+    conversion sorts entries, erasing the routing order.
+    """
+    from ..io.matrix_market import read_matrix_market_partitioned
+    d = mesh.shape[axis]
+    parts, shape, info = read_matrix_market_partitioned(
+        path, d, chunk_entries=chunk_entries, dtype=dtype)
+    vals = np.concatenate([p[0] for p in parts])
+    rows = np.concatenate([p[1] for p in parts])
+    cols = np.concatenate([p[2] for p in parts])
+    coo = F.coo_from_arrays(vals, rows, cols, shape, device=False)
+    if symmetric is None:
+        symmetric = info.symmetry in ("symmetric", "hermitian")
+    return GatherEllOperator(coo, mesh, axis=axis, symmetric=symmetric,
+                             **kwargs)
 
 
 def build_gather_schedule(cols, data, d, L, Lrow=None):
@@ -193,6 +226,58 @@ def _gather_mvT_factory(axis, n_dev, round_lens, L, mesh):
     return mv_t
 
 
+@functools.lru_cache(maxsize=None)
+def _gather_ff_factory(axis, n_dev, round_lens, mesh):
+    """Compensated (double-f32) scheduled-gather ELL matvec
+    ``(params, xh, xl) -> (yh, yl)`` (VERDICT r4 #3): the (hi, lo)
+    request slices ride ONE stacked ppermute per round, the local
+    product is the TwoProd/TwoSum cascade of
+    :func:`~pykrylov_tpu.sparse.formats.ell_matvec_ff` over the
+    private address space."""
+    from ..utils.ff import two_prod, two_sum
+
+    perms = [tuple((j, (j - k) % n_dev) for j in range(n_dev))
+             for k in range(1, n_dev)]
+
+    def local_ff(data_blk, cols_blk, xh_blk, xl_blk, *send_blks):
+        bufs_h, bufs_l = [xh_blk], [xl_blk]
+        for k, Lk in enumerate(round_lens):
+            if Lk == 0:
+                continue
+            sl = jnp.stack([xh_blk[send_blks[k][0]],
+                            xl_blk[send_blks[k][0]]])
+            out = jax.lax.ppermute(sl, axis, perm=list(perms[k]))
+            bufs_h.append(out[0])
+            bufs_l.append(out[1])
+        xfh = jnp.concatenate(bufs_h) if len(bufs_h) > 1 else bufs_h[0]
+        xfl = jnp.concatenate(bufs_l) if len(bufs_l) > 1 else bufs_l[0]
+        db = data_blk.astype(xh_blk.dtype)
+        gh = xfh[cols_blk]
+        gl = xfl[cols_blk]
+        p, pe = two_prod(db, gh)
+        pe = pe + db * gl
+        mloc, K = p.shape
+        yh = jnp.zeros(mloc, dtype=p.dtype)
+        yl = jnp.zeros(mloc, dtype=p.dtype)
+        for k in range(K):   # static unroll over the padded row width
+            s, e = two_sum(yh, p[:, k])
+            yh, yl = two_sum(s, yl + e + pe[:, k])
+        return yh, yl
+
+    nsend = len(round_lens)
+    mapped = shard_map(
+        local_ff, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(axis))
+        + (P(axis, None),) * nsend,
+        out_specs=(P(axis), P(axis)))
+
+    def ff(params, xh, xl):
+        data, cols, send = params
+        return mapped(data, cols, xh, xl, *send)
+
+    return ff
+
+
 class GatherEllOperator(LinearOperator):
     """Row-sharded general-sparsity operator with a partition-time gather
     schedule instead of the all-gather fallback.
@@ -255,6 +340,9 @@ class GatherEllOperator(LinearOperator):
             rmv = mv
         else:
             rmv = _gather_mvT_factory(axis, d, round_lens, Lx, mesh)
+        from ..solvers.ffmv import register_ff_matvec
+        register_ff_matvec(mv, _gather_ff_factory(axis, d, round_lens,
+                                                  mesh))
 
         is_complex = np.issubdtype(data.dtype, np.complexfloating)
         super().__init__(np_, mp, matvec=mv,

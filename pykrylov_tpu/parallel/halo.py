@@ -222,6 +222,68 @@ def _halo_matvec_factory(offsets, axis, n_dev):
     return local_mv
 
 
+@functools.lru_cache(maxsize=None)
+def _halo_ff_factory(offsets, axis, n_dev, mesh, packed, w_k=0, L_k=0,
+                     m_loc=0):
+    """Compensated (double-f32) halo matvec ``(params, xh, xl) ->
+    (yh, yl)`` — full-strength verified certificates on sharded
+    systems (VERDICT r4 #3): TwoProd/TwoSum shifted-slice local
+    product with the (hi, lo) halo slices riding ONE stacked ppermute
+    per direction.  Downstream dot products on the (hi, lo) parts are
+    plain sharded reductions (GSPMD psum) — exact in the compensated
+    PRODUCTS, eps-of-the-norm in the final reduction, which is what
+    the certificate needs (the plain f32 matvec floors at
+    ~eps·|A||x|, far above).  ``packed=True`` reads the flat local
+    diagonals out of the Pallas-path (ndiag, 1, m_loc/128, 128)
+    storage (rows live at [w, w+L))."""
+    from ..utils.ff import two_prod, two_sum
+
+    w = max((abs(o) for o in offsets), default=0)
+    fwd_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def local_ff(data_blk, xh_blk, xl_blk):
+        if packed:
+            ndiag = data_blk.shape[0]
+            data_blk = data_blk[:, 0].reshape(ndiag, m_loc)[
+                :, w_k:w_k + L_k]
+        L = xh_blk.shape[0]
+        idx = jax.lax.axis_index(axis)
+        if w > 0:
+            sl = jnp.stack([xh_blk[-w:], xl_blk[-w:]])
+            sr = jnp.stack([xh_blk[:w], xl_blk[:w]])
+            left = jax.lax.ppermute(sl, axis, perm=fwd_perm)
+            right = jax.lax.ppermute(sr, axis, perm=bwd_perm)
+            left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+            right = jnp.where(idx == n_dev - 1, jnp.zeros_like(right),
+                              right)
+            xph = jnp.concatenate([left[0], xh_blk, right[0]])
+            xpl = jnp.concatenate([left[1], xl_blk, right[1]])
+        else:
+            xph, xpl = xh_blk, xl_blk
+        yh = jnp.zeros(L, dtype=xh_blk.dtype)
+        yl = jnp.zeros(L, dtype=xh_blk.dtype)
+        for k, off in enumerate(offsets):   # static unroll
+            dk = data_blk[k].astype(xh_blk.dtype)
+            gh = jax.lax.dynamic_slice_in_dim(xph, w + off, L)
+            gl = jax.lax.dynamic_slice_in_dim(xpl, w + off, L)
+            p, pe = two_prod(dk, gh)
+            pe = pe + dk * gl
+            s, e = two_sum(yh, p)
+            yh, yl = two_sum(s, yl + e + pe)
+        return yh, yl
+
+    in_data = P(None, axis, None, None) if packed else P(None, axis)
+    mapped = shard_map(local_ff, mesh=mesh,
+                      in_specs=(in_data, P(axis), P(axis)),
+                      out_specs=(P(axis), P(axis)))
+
+    def ff(params, xh, xl):
+        return mapped(params, xh, xl)
+
+    return ff
+
+
 class HaloDiaOperator(LinearOperator):
     """Symmetric banded operator with ppermute halo-exchange matvec.
 
@@ -302,11 +364,16 @@ class HaloDiaOperator(LinearOperator):
             mm = _halo_mm_pallas_factory(offsets_t, axis, n_dev, mesh,
                                          w, L, m_loc, block, interpret)
             params = data3
+            ff = _halo_ff_factory(offsets_t, axis, n_dev, mesh, True,
+                                  w, L, m_loc)
         else:
             mv = _halo_mv_factory(offsets_t, axis, n_dev, mesh)
             mm = _halo_mm_factory(offsets_t, axis, n_dev, mesh)
             params = jax.device_put(jnp.asarray(data),
                                     NamedSharding(mesh, P(None, axis)))
+            ff = _halo_ff_factory(offsets_t, axis, n_dev, mesh, False)
+        from ..solvers.ffmv import register_ff_matvec
+        register_ff_matvec(mv, ff)
 
         is_complex = np.issubdtype(dia.data.dtype, np.complexfloating)
         # Structural symmetry of the *values* is the caller's contract

@@ -20,7 +20,25 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["resolve_ff_matvec", "resolve_ff_matmat"]
+__all__ = ["resolve_ff_matvec", "resolve_ff_matmat",
+           "register_ff_matvec"]
+
+# Sharded operators register their compensated matvec against the
+# (memoized, permanent) shard_map-wrapped matvec FUNCTION OBJECT their
+# pytree aux carries: the structural _params sniffs below cannot see a
+# mesh/schedule, but the mv function identity survives pytree
+# round-trips inside an outer jit (it IS aux data).  Keys are the
+# lru_cached factory outputs, so the dict stays bounded.
+_MV_REGISTRY = {}
+
+
+def register_ff_matvec(mv_fn, ff_fn, ff_mm=None):
+    """Associate a compensated matvec (and optional block product) with
+    an operator's matvec function object (see module docstring).  The
+    default block product is a column vmap of the matvec."""
+    if ff_mm is None:
+        ff_mm = _columns_of(ff_fn)
+    _MV_REGISTRY[mv_fn] = (ff_fn, ff_mm)
 
 
 def _ff_ell(params, xh, xl):
@@ -51,6 +69,9 @@ def resolve_ff_matvec(A):
     compensated path exists (callers then fall back to two plain
     applies, limited by the f32 matvec floor)."""
     from ..sparse import formats as SF
+    reg = _MV_REGISTRY.get(getattr(A, "_mv", None))
+    if reg is not None:
+        return reg[0]
     params = getattr(A, "_params", None)
     if (isinstance(params, tuple) and len(params) >= 1
             and isinstance(params[0], SF.ELL)):
@@ -82,12 +103,15 @@ def resolve_ff_matmat(A):
     ``None``.
 
     Implemented as a trace-time ``vmap`` of the compensated matvec over
-    columns — safe here because both compensated storages (ELL, dense)
-    are XLA-level code (the ~1000x vmap pathology is specific to the
-    manual-DMA Pallas kernels, which have no compensated path and
-    return ``None`` from the resolver anyway).  The verified batched
-    path therefore streams A's data per column; it trades the SpMM
-    amortization for the certificate."""
+    columns — safe here because all compensated storages (ELL, dense,
+    the registered sharded XLA paths) are XLA-level code (the ~1000x
+    vmap pathology is specific to the manual-DMA Pallas kernels, which
+    have no compensated path and return ``None`` from the resolver
+    anyway).  The verified batched path therefore streams A's data per
+    column; it trades the SpMM amortization for the certificate."""
+    reg = _MV_REGISTRY.get(getattr(A, "_mv", None))
+    if reg is not None:
+        return reg[1] if reg[1] is not None else _columns_of(reg[0])
     mv = resolve_ff_matvec(A)
     if mv is None:
         return None

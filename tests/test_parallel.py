@@ -236,26 +236,67 @@ class TestHaloDiaKernelPath:
         with pytest.raises(ValueError, match="block"):
             HaloDiaOperator(dia, mesh, kernel=True)
 
-    def test_ff_resolver_ignores_halo_params(self, mesh):
-        # the dense-storage sniff must not match HaloDiaOperator's
-        # (ndiag, m) diagonal array (round-4 review finding)
+    def test_ff_resolver_halo_compensated(self, mesh):
+        # round 5 (VERDICT r4 #3): HaloDiaOperator registers a
+        # COMPENSATED sharded matvec — (hi, lo) halo slices ride
+        # stacked ppermutes, the local product is TwoProd/TwoSum.
+        # Must also NOT fall into the dense sniff (its (ndiag, m)
+        # params array; round-4 review finding).
         from pykrylov_tpu.solvers.ffmv import (resolve_ff_matvec,
                                                resolve_ff_matmat)
         from pykrylov_tpu.gallery.poisson import poisson1d_coo
+        from pykrylov_tpu.parallel import shard_vector
         vals, rows, cols, shape = poisson1d_coo(64)
         dia = F.dia_from_coo(F.coo_from_arrays(vals, rows, cols, shape))
         op = HaloDiaOperator(dia, mesh)
-        assert resolve_ff_matvec(op) is None
-        assert resolve_ff_matmat(op) is None
-        # ...so the verified block front door runs (plain-product
-        # replacements) instead of crashing in the dense ff path
+        ff = resolve_ff_matvec(op)
+        assert ff is not None and resolve_ff_matmat(op) is not None
+        # exactness: (yh + yl) reproduces the f64 oracle product of the
+        # f32-stored matrix far below the plain f32 matvec floor
+        rng = np.random.default_rng(3)
+        d32 = np.asarray(dia.data).astype(np.float32)
+        x32 = rng.standard_normal(64).astype(np.float32)
+        xh = shard_vector(jnp.asarray(x32, jnp.float32), mesh)
+        yh, yl = ff(op._params, xh, jnp.zeros_like(xh))
+        dense = np.zeros((64, 64))
+        for k, off in enumerate(dia.offsets):
+            idx = np.arange(max(0, -off), min(64, 64 - off))
+            dense[idx, idx + off] = d32[k, idx]
+        oracle = dense @ x32.astype(np.float64)
+        got = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+        err = np.abs(got - oracle).max() / np.abs(oracle).max()
+        assert err < 1e-12, err
+        # the verified block front door rides it end to end
         from pykrylov_tpu import solve
-        from pykrylov_tpu.parallel import shard_vector
         e = shard_vector(jnp.ones(64), mesh)
         B2 = jnp.stack([op @ e, 2.0 * (op @ e)], axis=1)
         res = solve(op, B2, verified=True, rtol=1e-8,
                     replace_every=10, maxiter=3000)
         assert bool(res.converged.all())
+
+    def test_ff_halo_kernel_path_matches(self, mesh):
+        # the Pallas-local-path operator (packed diagonal storage)
+        # registers the same-compensation ff built from its packed
+        # params layout
+        from pykrylov_tpu.solvers.ffmv import resolve_ff_matvec
+        from pykrylov_tpu.gallery.poisson import poisson1d_coo
+        from pykrylov_tpu.parallel import shard_vector
+        vals, rows, cols, shape = poisson1d_coo(512)
+        dia = F.dia_from_coo(F.coo_from_arrays(
+            vals.astype(np.float32), rows, cols, shape))
+        op_k = HaloDiaOperator(dia, mesh, kernel=True)
+        op_x = HaloDiaOperator(dia, mesh, kernel=False)
+        ffk = resolve_ff_matvec(op_k)
+        ffx = resolve_ff_matvec(op_x)
+        assert ffk is not None and ffx is not None
+        rng = np.random.default_rng(5)
+        x = shard_vector(jnp.asarray(
+            rng.standard_normal(512).astype(np.float32)), mesh)
+        z = jnp.zeros_like(x)
+        yhk, ylk = ffk(op_k._params, x, z)
+        yhx, ylx = ffx(op_x._params, x, z)
+        np.testing.assert_array_equal(np.asarray(yhk), np.asarray(yhx))
+        np.testing.assert_array_equal(np.asarray(ylk), np.asarray(ylx))
 
 
 class TestHaloStencilMatrixFree:
