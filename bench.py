@@ -402,7 +402,7 @@ def bench_matrix_classes():
         iters = 2
         if on_tpu:
             est = model_ms if model_ms == model_ms else 0.1
-            iters = int(min(8000, max(500, 250.0 / max(est, 1e-3))))
+            iters = int(min(16000, max(500, 500.0 / max(est, 1e-3))))
         ms = _chain_ms_per_mv(op, shape[1], iters, name, note)
         rows.append({
             "class": name, "m": m, "nnz": nnz, "format": fmt,

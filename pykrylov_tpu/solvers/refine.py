@@ -172,7 +172,7 @@ def _prepare_leg_kwargs(solver, solver_kwargs, M, leg_maxiter):
 def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
                   leg_rtol=1.0e-2, max_legs=40, stall_factor=0.9,
                   leg_maxiter=None, leg_replace_every="auto",
-                  **solver_kwargs):
+                  show=False, logger=None, **solver_kwargs):
     """Solve ``A x = b`` to a VERIFIED tolerance by iterative refinement
     with ``solver`` as the inner correction solver.
 
@@ -188,6 +188,14 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
         ff-CG's ``replace_every`` path).
     x0 : optional initial iterate (verified before the first leg).
     M : preconditioner forwarded to every inner leg.
+    show, logger : LIVE per-leg progress — the refinement driver is a
+        HOST loop, so (unlike the fused while-loop solvers, whose
+        tables render post-hoc from device buffers via
+        :mod:`pykrylov_tpu.solvers.show`) it can stream a row per leg
+        as it completes, the analogue of the reference's per-iteration
+        ``logger.info`` lines (``/root/reference/pykrylov/cg/cg.py:
+        106-111``).  ``show=True`` prints to stdout; ``logger`` (a
+        ``logging.Logger``) receives the same rows at INFO level.
     leg_rtol : INITIAL per-leg tolerance; each leg solves ``A d = r``
         with this inner ``rtol``.  1e-2 is comfortably inside f32's
         reliable range; smaller values mean fewer legs but risk the
@@ -299,6 +307,19 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
     # 10x and a WORSENING leg is reverted; after ``_MAX_TIGHTENS``
     # consecutive no-progress legs the compensated evaluation's floor is
     # declared (istop 3).
+    def _emit(line):
+        if show:
+            print(line)
+        if logger is not None:
+            logger.info(line)
+
+    if show or logger is not None:
+        _emit("%4s  %10s  %6s  %6s  %12s  %9s"
+              % ("leg", "leg rtol", "iters", "istop", "verified resid",
+                 "ratio"))
+        _emit("%4d  %10s  %6s  %6s  %12.5e  %9s"
+              % (0, "-", "-", "-", float(resid), "-"))
+
     _MAX_TIGHTENS = 4
     inner_rtol = float(leg_rtol)
     tightens = 0
@@ -318,6 +339,11 @@ def refined_solve(solver, A, b, *, rtol=1.0e-6, atol=0.0, x0=None, M=None,
         r2, new_resid = verify(A, b, xh2, xl2)
         n_matvec += verify_cost
         leg_resids.append(float(new_resid))
+        if show or logger is not None:
+            _emit("%4d  %10.1e  %6d  %6d  %12.5e  %9.3e"
+                  % (len(inner_istops), inner_rtol, int(res.n_iter),
+                     int(res.istop), float(new_resid),
+                     float(new_resid) / max(float(resid), 1e-300)))
         bad = not bool(jnp.isfinite(new_resid))
         if bad or float(new_resid) >= float(resid):
             # worsening (or non-finite) correction: revert to the last
