@@ -1091,6 +1091,10 @@ def _bell_kernel(nb, nblk, GS, nsteps, passes, stage, window, nring,
             bseg = bands_ref[0, si:si + 1, :]             # (1, SEG_ROWS)
             r0 = si * SEG_ROWS
 
+            # two predicated branches per segment; an unconditional
+            # narrow pass + predicated wide OVERWRITE was measured
+            # SLOWER (power_law 0.451 -> 0.496 ms/mv: the wasted narrow
+            # staging on wide segments exceeds the branch savings)
             @pl.when(sb >= 0)
             def _(r0=r0, sb=sb, bseg=bseg):
                 iot_s = jax.lax.broadcasted_iota(
