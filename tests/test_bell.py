@@ -700,3 +700,84 @@ def test_row_split_symmetric_solve():
     assert res.converged
     r = np.asarray(b) - np.asarray(op @ res.x)
     assert np.linalg.norm(r) <= 1e-8 * np.linalg.norm(np.asarray(b))
+
+
+def test_segmented_with_bf16_and_int8idx():
+    # storage knobs compose with segmented staging
+    import ml_dtypes
+    from pykrylov_tpu.sparse.bell import (bell_with_values_dtype,
+                                          bell_with_idx_fmt,
+                                          bell_to_device)
+    coo = _wide_window_coo(far_frac=0.05, heavy=6)
+    a = _dense(coo)
+    b = bell_from_coo(coo, spill_cost=None, window=1, segment=True,
+                      device=False)
+    assert b.seg is not None
+    x = np.random.default_rng(2).standard_normal(b.padded_shape[1])
+    ref = a @ x[:coo.shape[1]]
+    for variant in (bell_with_idx_fmt(b, "int8"),
+                    bell_with_values_dtype(b, ml_dtypes.bfloat16)):
+        assert variant.seg is not None      # knobs preserve seg fields
+        assert variant.seg_bands == b.seg_bands
+        y = np.asarray(bell_matvec_pallas(
+            bell_to_device(variant), jnp.asarray(x, jnp.float32),
+            interpret=True))[:coo.shape[0]]
+        tol = 1e-5 if variant.data.dtype == np.dtype("float32") else 2e-2
+        np.testing.assert_allclose(y, ref, rtol=tol,
+                                   atol=tol * np.abs(ref).max())
+
+
+def test_segmented_multilevel_spill_levels():
+    # depth-capped level-1 + uncapped level-2 packings both segment
+    # (or fall back) independently and still sum to the exact matvec
+    from pykrylov_tpu.sparse.bell import _pack_levels, bell_to_device
+    from pykrylov_tpu.sparse.bell import _bell_matvec_call, LANES
+    coo = _wide_window_coo(far_frac=0.08, heavy=8)
+    a = _dense(coo)
+    lv = _pack_levels(coo, 1024, 12.0, 2, device=False, window=1,
+                      segment=True)
+    assert sum(b.nnz_spill for b in lv) == 0
+    x = np.random.default_rng(4).standard_normal(
+        max(b.padded_shape[1] for b in lv)).astype(np.float32)
+    y = None
+    for b in lv:
+        bd = bell_to_device(b)
+        xp = jnp.zeros(b.padded_shape[1], jnp.float32).at[
+            :coo.shape[1]].set(jnp.asarray(x[:coo.shape[1]]))
+        yk = np.asarray(_bell_matvec_call(
+            bd.data, bd.lanes, bd.bands, bd.blocks, bd.band_lo,
+            xp.reshape(-1, LANES), bd.sp_row, bd.sp_col, bd.sp_val,
+            bd.nb, bd.nblk, True, window=1, seg=bd.seg,
+            seg_mixed=int(bd.seg_mixed),
+            seg_bands=int(bd.seg_bands)))[:coo.shape[0]]
+        y = yk if y is None else y + yk
+    ref = a @ x[:coo.shape[1]].astype(np.float64)
+    np.testing.assert_allclose(y, ref, rtol=1e-5,
+                               atol=1e-5 * np.abs(ref).max())
+
+
+def test_row_split_rectangular():
+    # heavy rows in a RECTANGULAR operator: split + two-piece transpose
+    from pykrylov_tpu.sparse.bell import bell_operator
+    rng = np.random.default_rng(13)
+    m, n = 2048, 5000
+    deg = rng.integers(2, 5, m)
+    deg[rng.integers(0, m, 8)] = 250
+    rows = np.repeat(np.arange(m), deg)
+    cols = rng.integers(0, n, rows.shape)
+    vals = rng.standard_normal(rows.shape)
+    key = rows.astype(np.int64) * n + cols
+    _, first = np.unique(key, return_index=True)
+    coo = F.coo_from_arrays(vals[first], rows[first], cols[first],
+                            (m, n), device=False)
+    a = _dense(coo)
+    op = bell_operator(coo, split_rows="auto")
+    assert op.split_rows == 8
+    assert op.shape == (m, n)
+    x = rng.standard_normal(n)
+    xt = rng.standard_normal(m)
+    sc = np.abs(a @ x).max()
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(x)), a @ x,
+                               rtol=1e-9, atol=1e-9 * sc)
+    np.testing.assert_allclose(np.asarray(op.T @ jnp.asarray(xt)),
+                               a.T @ xt, rtol=1e-9, atol=1e-9 * sc)
