@@ -318,6 +318,27 @@ def _gen_stencil_scatter(n=1 << 17, spr=0.25, seed=1):
     return vls[first], rws[first], cls[first], (n, n)
 
 
+def _gen_permuted_blockdiag(n=1 << 17, blk=192, seed=2):
+    """Unstructured-ordering class: dense-ish coupling blocks scattered
+    across the index space by a random permutation (FEM-after-bad-
+    numbering shape).  The RAW ordering blows the window budget; the
+    auto policy's RCM rescue + segmentation must carry it."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    rws, cls, vls = [], [], []
+    for b0 in range(0, n, blk):
+        k = 6 * blk
+        rr = rng.integers(b0, min(b0 + blk, n), k)
+        cc = rng.integers(b0, min(b0 + blk, n), k)
+        rws.append(perm[rr]); cls.append(perm[cc])
+        vls.append(0.1 * rng.standard_normal(k).astype(np.float32))
+    rws = np.concatenate(rws); cls = np.concatenate(cls)
+    vls = np.concatenate(vls)
+    key = rws.astype(np.int64) * n + cls
+    _, first = np.unique(key, return_index=True)
+    return vls[first], rws[first], cls[first], (n, n)
+
+
 def bench_matrix_classes():
     """Matrix-class generality table (VERDICT r3 #2): the auto format
     policy + kernels measured over three sparsity classes beyond the
@@ -344,6 +365,7 @@ def bench_matrix_classes():
         classes += [
             ("power_law_131k", _gen_power_law()),
             ("stencil_scatter_131k", _gen_stencil_scatter()),
+            ("permuted_blockdiag_131k", _gen_permuted_blockdiag()),
         ]
     rows = []
     for name, (vals, rws, cls_, shape) in classes:
@@ -368,6 +390,17 @@ def bench_matrix_classes():
                                    [int(b.seg_bands), int(b.seg_mixed),
                                     int(np.prod(b.seg.shape))]
                                    for b in levels]}
+            if hasattr(op, "solve_permutation"):
+                # RCM-wrapped raw MATVEC pays two O(m) XLA gathers
+                # (measured 7.24 ns/element on v5e); SOLVES through
+                # the front door hoist them entirely (permuted-space
+                # solve) — the column reports the raw-matvec cost, the
+                # flag records that solve() avoids it
+                fmt = "bell-rcm"
+                model_ms += 2 * m * 7.24e-6
+                extra["perm_gathers_in_model_ms"] = round(
+                    2 * m * 7.24e-6, 4)
+                extra["solve_hoists_perm"] = True
         elif isinstance(op, SparseOperator):    # XLA container path
             fmt = type(op.container).__name__.lower()
             if fmt == "dia":

@@ -2306,4 +2306,29 @@ def bell_operator(source, shape=None, symmetric=False, interpret=None,
     op.bytes_per_nnz = op.stream_bytes / max(1, nnz_tot)
     op.xla_remainder = sum(b.nnz_spill for b in fwd)
     op.nb_max_level = max(b.nb for b in fwd)
+    if perm is not None:
+        # The permutation-wrapped matvec pays two O(m) XLA gathers per
+        # apply — measured GATHER-DOMINATED on-chip (a 131k-row
+        # RCM-rescued matrix: 1.92 ms/mv of which ~98% was the two
+        # jnp.take calls; the kernel core modeled 0.036 ms).  For
+        # SOLVES the gathers are avoidable entirely: solve in the
+        # permuted space and transform b/x once.  ``solve()`` consumes
+        # this attribute: ``A = P^T A' P`` with ``(P v)[i] = v[p[i]]``,
+        # so ``x = P^T x'`` where ``A' x' = P b``.
+        inner_mv = _bell_mv_factory(0, _cfg(fwd), m, interpret)
+        inner_mm = _bell_mm_factory(0, _cfg(fwd), m, interpret)
+        if symmetric:
+            inner_rmv, inner_rmm = inner_mv, inner_mm
+        elif bwd is None:
+            inner_rmv = inner_rmm = None
+        else:
+            inner_rmv = _bell_mv_factory(1, _cfg(bwd), n, interpret)
+            inner_rmm = _bell_mm_factory(1, _cfg(bwd), n, interpret)
+        inner = LinearOperator(n, m, matvec=inner_mv,
+                               matvec_transp=inner_rmv,
+                               matmat=inner_mm, matmat_transp=inner_rmm,
+                               params=(fwd, bwd), _takes_params=True,
+                               symmetric=symmetric,
+                               hermitian=op.hermitian, dtype=dtype)
+        op.solve_permutation = (params[2], params[3], inner)
     return op
