@@ -407,7 +407,8 @@ def _lls_verifier(ff_mv):
 
 def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
                 leg_tol=1.0e-3, max_legs=20, stall_factor=0.9,
-                leg_maxiter=None, **solver_kwargs):
+                leg_maxiter=None, show=False, logger=None,
+                **solver_kwargs):
     """Solve ``min ||A x - b||`` to a VERIFIED optimality tolerance by
     iterative refinement with ``solver`` (``lsqr`` or ``lsmr``) as the
     inner correction solver.
@@ -560,6 +561,20 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
         # would end legs early on an unrelated criterion
         kwargs.setdefault("etol", 0.0)
 
+    def _emit(line):
+        if show:
+            print(line)
+        if logger is not None:
+            logger.info(line)
+
+    if show or logger is not None:
+        # live per-leg rows (host-loop driver; see refined_solve)
+        _emit("%4s  %10s  %6s  %6s  %12s  %12s"
+              % ("leg", "leg tol", "iters", "istop", "||r||",
+                 "||A'r||"))
+        _emit("%4d  %10s  %6s  %6s  %12.5e  %12.5e"
+              % (0, "-", "-", "-", float(resid), float(normar)))
+
     _MAX_TIGHTENS = 4
     tighten_mult = 1.0
     tightens = 0
@@ -592,6 +607,11 @@ def refined_lls(solver, A, b, *, atol=1.0e-5, btol=1.0e-6, x0=None,
         n_matvec += verify_cost
         leg_resids.append(float(new_resid))
         normar_hist.append(float(new_normar))
+        if show or logger is not None:
+            _emit("%4d  %10.1e  %6d  %6d  %12.5e  %12.5e"
+                  % (len(inner_istops), inner_tol, int(res.n_iter),
+                     int(res.istop), float(new_resid),
+                     float(new_normar)))
         if bool(jnp.isfinite(new_normar)) and float(new_resid) > 0:
             absorb_anorm(float(new_normar) / float(new_resid))
         bad = not bool(jnp.isfinite(new_normar))
