@@ -368,3 +368,8 @@ def test_solve_permuted_space_rcm_operator():
     p, ip, inner = op.solve_permutation
     resI = solve(inner, b[jnp.asarray(p)], rtol=1e-10)
     assert int(resI.n_iter) == int(res.n_iter)
+    # verified=True rides the transform too (plain-replacement legs:
+    # the BELL storage has no compensated path)
+    resv = solve(op, b, verified=True, rtol=1e-8)
+    assert bool(resv.converged)
+    assert np.abs(np.asarray(resv.x) - xstar).max() < 1e-6
