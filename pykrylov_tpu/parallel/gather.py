@@ -227,13 +227,11 @@ def _gather_mvT_factory(axis, n_dev, round_lens, L, mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def _gather_ff_factory(axis, n_dev, round_lens, mesh):
-    """Compensated (double-f32) scheduled-gather ELL matvec
-    ``(params, xh, xl) -> (yh, yl)`` (VERDICT r4 #3): the (hi, lo)
-    request slices ride ONE stacked ppermute per round, the local
-    product is the TwoProd/TwoSum cascade of
-    :func:`~pykrylov_tpu.sparse.formats.ell_matvec_ff` over the
-    private address space."""
+def _gather_ff_mapped(axis, n_dev, round_lens, mesh):
+    """shard_map'd compensated scheduled-gather ELL matvec body
+    ``(data, cols_local, xh, xl, *send) -> (yh, yl)`` — shared by
+    :class:`GatherEllOperator`'s ff and the GatherBell verified-shadow
+    ff (same schedule, same remapped ELL arrays)."""
     from ..utils.ff import two_prod, two_sum
 
     perms = [tuple((j, (j - k) % n_dev) for j in range(n_dev))
@@ -265,11 +263,22 @@ def _gather_ff_factory(axis, n_dev, round_lens, mesh):
         return yh, yl
 
     nsend = len(round_lens)
-    mapped = shard_map(
+    return shard_map(
         local_ff, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis), P(axis))
         + (P(axis, None),) * nsend,
         out_specs=(P(axis), P(axis)))
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_ff_factory(axis, n_dev, round_lens, mesh):
+    """Compensated (double-f32) scheduled-gather ELL matvec
+    ``(params, xh, xl) -> (yh, yl)`` (VERDICT r4 #3): the (hi, lo)
+    request slices ride ONE stacked ppermute per round, the local
+    product is the TwoProd/TwoSum cascade of
+    :func:`~pykrylov_tpu.sparse.formats.ell_matvec_ff` over the
+    private address space."""
+    mapped = _gather_ff_mapped(axis, n_dev, round_lens, mesh)
 
     def ff(params, xh, xl):
         data, cols, send = params
