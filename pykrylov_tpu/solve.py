@@ -96,15 +96,11 @@ def solve(A, b, method=None, verified=False, **opts):
     A 2-D ``b`` of shape (n, K) dispatches to the fused multi-RHS
     family (``cg_batched`` for symmetric square, ``bicgstab_batched``
     for general square, ``lsqr_batched`` for rectangular; explicit
-    ``method=`` picks its ``*_batched`` twin when one exists — cg,
-    bicgstab, cgs, tfqmr, minres, symmlq, lsqr, lsmr, craig and
-    craigmr all have one) — the sparse operators' SpMM kernels then
-    stream A once per iteration for all K systems.  The one method
-    WITHOUT a fused twin (cg_pipelined) falls back to
-    :func:`~pykrylov_tpu.solvers.solve_columns`, a host loop that
-    shares one compilation across columns but amortizes nothing else:
-    A streams once per column per iteration, i.e. K times the fused
-    path's traffic.
+    ``method=`` picks its ``*_batched`` twin — EVERY method has one:
+    cg, cg_pipelined, bicgstab, cgs, tfqmr, minres, symmlq, lsqr,
+    lsmr, craig and craigmr (round 5 closed the last gap) — the
+    sparse operators' SpMM kernels then stream A once per iteration
+    for all K systems.
     ``verified=True`` with a block covers every square class:
     symmetric systems ride ``cg_batched(replace_every=...)`` (per-
     column double-f32 carries, per-column verified stops on recomputed
@@ -205,7 +201,9 @@ def solve(A, b, method=None, verified=False, **opts):
     return res
 
 
-_BATCHED = {"cg": "cg_batched", "bicgstab": "bicgstab_batched",
+_BATCHED = {"cg": "cg_batched",
+            "cg_pipelined": "cg_pipelined_batched",
+            "bicgstab": "bicgstab_batched",
             "cgs": "cgs_batched", "tfqmr": "tfqmr_batched",
             "minres": "minres_batched", "symmlq": "symmlq_batched",
             "lsqr": "lsqr_batched", "lsmr": "lsmr_batched",

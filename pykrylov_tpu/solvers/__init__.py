@@ -35,7 +35,8 @@ from .craigmr import craigmr
 from .pipelined import cg_pipelined
 from .diff import make_differentiable, cg_solve, bicgstab_solve, lsqr_solve
 from .refine import refined_solve, refined_solve_batched, refined_lls
-from .batched import (cg_batched, bicgstab_batched, cgs_batched,
+from .batched import (cg_batched, cg_pipelined_batched,
+                      bicgstab_batched, cgs_batched,
                       tfqmr_batched, minres_batched, symmlq_batched,
                       lsqr_batched, lsmr_batched, craig_batched,
                       craigmr_batched, solve_columns)
@@ -44,7 +45,7 @@ __all__ = ["SolveResult", "cg", "minres", "symmlq", "bicgstab", "cgs",
            "tfqmr", "lsqr", "lsmr", "craig", "craigmr", "cg_pipelined",
            "make_differentiable", "cg_solve", "bicgstab_solve",
            "lsqr_solve", "refined_solve", "refined_solve_batched",
-           "refined_lls", "cg_batched",
+           "refined_lls", "cg_batched", "cg_pipelined_batched",
            "lsqr_batched", "bicgstab_batched", "cgs_batched",
            "tfqmr_batched", "minres_batched", "symmlq_batched",
            "lsmr_batched", "craig_batched", "craigmr_batched",

@@ -39,7 +39,8 @@ from .common import (apply_op, as_operator, default_maxiter, promote_rhs,
                      threshold_of)
 from .result import SolveResult
 
-__all__ = ["cg_batched", "bicgstab_batched", "cgs_batched",
+__all__ = ["cg_batched", "cg_pipelined_batched",
+           "bicgstab_batched", "cgs_batched",
            "tfqmr_batched", "minres_batched", "symmlq_batched",
            "lsqr_batched", "lsmr_batched", "craig_batched",
            "craigmr_batched", "solve_columns", "ISTOP_MSG",
@@ -2252,3 +2253,148 @@ def _minres_batched_ff(A, B, M, shift, rtol, atol, itnlim,
         info={"n_replacements": s["nrep"], "x_lo": s["xl"],
               "n_iter_columns": s["iters"],
               "active_at_exit": ~s["done"]})
+
+
+@partial(jax.jit, static_argnames=("maxiter", "replace_every",
+                                  "store_history"))
+def _cg_pipelined_batched(A, B, X0, M, rtol, atol, maxiter,
+                          replace_every, store_history):
+    dtype = B.dtype
+    n, K = B.shape
+
+    def precon(V):
+        return _apply_block(M, V) if M is not None else V
+
+    if X0 is None:
+        X = jnp.zeros((n, K), dtype)
+        R = B
+        extra = 0
+    else:
+        X = X0.astype(dtype)
+        R = B - _apply_block(A, X)
+        extra = 1
+    U = precon(R)
+    W = _apply_block(A, U)
+    gamma = _col_dot(R, U)
+    resid0 = jnp.sqrt(jnp.abs(gamma))
+    thresh = threshold_of(resid0, rtol, atol)
+    hist = (jnp.full((maxiter + 1, K), jnp.nan, resid0.dtype)
+            .at[0].set(resid0) if store_history else None)
+
+    Zb = jnp.zeros((n, K), dtype)
+    active0 = resid0 > thresh
+    carry0 = (X, R, U, W, Zb, Zb, Zb, Zb, gamma, jnp.ones(K, dtype),
+              jnp.zeros((), jnp.int32), resid0, active0,
+              jnp.zeros(K, jnp.int32), hist)
+
+    def cond(carry):
+        k, active = carry[10], carry[12]
+        return jnp.any(active) & (k < maxiter)
+
+    def body(carry):
+        (X, R, U, W, Z, Q, S, P, gamma, alpha, k, resid, active,
+         iters, hist) = carry
+        # ONE fused per-column reduction pair (both dots share U) —
+        # the same communication shape as the single-RHS solver; the
+        # convergence test reuses gamma
+        gamma2 = _col_dot(R, U)
+        delta = _col_dot(W, U)
+        resid2 = jnp.where(active, jnp.sqrt(jnp.abs(gamma2)), resid)
+        done_now = active & (resid2 <= thresh)
+        act = active & ~done_now
+
+        Mw = precon(W)
+        Nv = _apply_block(A, Mw)
+        first = k == 0
+        g_old = jnp.where(gamma == 0, 1, gamma)
+        beta = jnp.where(first, jnp.zeros((), dtype), gamma2 / g_old)
+        a_old = jnp.where(alpha == 0, 1, alpha)
+        den = jnp.where(first, delta, delta - beta * gamma2 / a_old)
+        alpha2 = gamma2 / jnp.where(den == 0, 1, den)
+        alpha2 = jnp.where(act, alpha2, 0)
+        beta = jnp.where(act, beta, 0)
+
+        Z2 = Nv + beta * Z
+        Q2 = Mw + beta * Q
+        S2 = W + beta * S
+        P2 = U + beta * P
+        X2 = X + alpha2 * P2
+        R2 = R - alpha2 * S2
+        U2 = U - alpha2 * Q2
+        W2 = W - alpha2 * Z2
+
+        if replace_every:
+            # full per-column restoration (the single-RHS solver's
+            # replace branch, columnwise): every coupled recurrence is
+            # recomputed from X2/P2 on the cadence — partial
+            # replacements worsen the drift
+            def replace(ops):
+                X2, R2, U2, W2, S2, Q2, Z2 = ops
+                Rn = B - _apply_block(A, X2)
+                Un = precon(Rn)
+                Wn = _apply_block(A, Un)
+                Sn = _apply_block(A, P2)
+                Qn = precon(Sn)
+                Zn = _apply_block(A, Qn)
+                m2 = act[None, :]
+                return (X2, jnp.where(m2, Rn, R2),
+                        jnp.where(m2, Un, U2), jnp.where(m2, Wn, W2),
+                        jnp.where(m2, Sn, S2), jnp.where(m2, Qn, Q2),
+                        jnp.where(m2, Zn, Z2))
+
+            X2, R2, U2, W2, S2, Q2, Z2 = jax.lax.cond(
+                (k + 1) % replace_every == 0, replace,
+                lambda ops: ops, (X2, R2, U2, W2, S2, Q2, Z2))
+
+        m2 = act[None, :]
+        h2 = hist if hist is None else hist.at[k + 1].set(
+            jnp.where(active, resid2, jnp.nan))
+        return (jnp.where(m2, X2, X), jnp.where(m2, R2, R),
+                jnp.where(m2, U2, U), jnp.where(m2, W2, W),
+                jnp.where(m2, Z2, Z), jnp.where(m2, Q2, Q),
+                jnp.where(m2, S2, S), jnp.where(m2, P2, P),
+                jnp.where(act, gamma2, gamma),
+                jnp.where(act, alpha2, alpha), k + 1, resid2,
+                act, iters + active.astype(jnp.int32), h2)
+
+    (X, R, U, W, Z, Q, S, P, gamma, alpha, k, resid, active, iters,
+     hist) = jax.lax.while_loop(cond, body, carry0)
+    converged = resid <= thresh
+    istop = jnp.where(converged, 0, 1).astype(jnp.int32)
+    return SolveResult(
+        x=X, converged=converged, istop=istop,
+        n_iter=k, n_matvec=k + 1 + extra,
+        resid_norm=resid, resid_norm0=resid0, resid_history=hist,
+        info={"n_iter_columns": iters, "active_at_exit": active})
+
+
+def cg_pipelined_batched(A, B, *, x0=None, M=None, rtol=1.0e-6,
+                         atol=1.0e-8, maxiter=None, matvec_max=None,
+                         replace_every=0, store_history=False):
+    """Solve SPD ``A X = B`` by pipelined (communication-hiding) CG in
+    ONE fused while-loop — the block twin of
+    :func:`~pykrylov_tpu.solvers.cg_pipelined` (round 5: the last
+    method without one).
+
+    Each column runs the single-RHS pipelined recurrence independently
+    under a per-column freeze mask; the per-iteration reductions are
+    TWO fused (K,)-column dot blocks sharing operands (on a mesh, one
+    combined psum — the solver's reason to exist), and the operator
+    products stream A once per iteration for all K systems through the
+    block-product protocol.  ``replace_every`` restores all coupled
+    recurrences to their true values on a fixed cadence (4 extra block
+    products each time) — use ~10 in f32 for ill-conditioned systems,
+    exactly as the single-RHS docstring prescribes.
+    """
+    from .common import as_operator, default_maxiter, promote_rhs, \
+        require_square
+    A = as_operator(A)
+    M = as_operator(M) if M is not None else None
+    B = promote_rhs(B, A, M)
+    require_square(A, B[:, 0], "cg_pipelined_batched")
+    if maxiter is None:
+        maxiter = default_maxiter(B.shape[0], 1, matvec_max)
+    X0 = jnp.asarray(x0) if x0 is not None else None
+    return _cg_pipelined_batched(A, B, X0, M, rtol, atol, int(maxiter),
+                                 int(replace_every),
+                                 bool(store_history))

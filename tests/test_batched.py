@@ -963,3 +963,79 @@ def test_minres_batched_mode_option_guards():
         minres_batched(op, B, replace_every=10, etol=1e-8)
     with pytest.raises(ValueError, match="atol"):
         minres_batched(op, B, atol=1e-8)
+
+
+class TestCgPipelinedBatched:
+    """Round 5: the last method without a fused block twin."""
+
+    def _spd(self, n=256, seed=3):
+        rng = np.random.default_rng(seed)
+        a = np.zeros((n, n))
+        for off in (-2, -1, 0, 1, 2):
+            a += np.diag(0.1 * rng.standard_normal(n - abs(off)), off)
+        a = a @ a.T + 3.0 * np.eye(n)
+        return a, rng
+
+    def test_matches_single_rhs_columns(self):
+        from pykrylov_tpu.solvers import cg_pipelined
+        from pykrylov_tpu.solvers.batched import cg_pipelined_batched
+        a, rng = self._spd()
+        n = a.shape[0]
+        B = rng.standard_normal((n, 3))
+        res = cg_pipelined_batched(jnp.asarray(a), jnp.asarray(B),
+                                   rtol=1e-10)
+        assert bool(np.asarray(res.converged).all())
+        for k in range(3):
+            rk = cg_pipelined(jnp.asarray(a), jnp.asarray(B[:, k]),
+                              rtol=1e-10)
+            assert (abs(int(res.info["n_iter_columns"][k])
+                        - int(rk.n_iter)) <= 1)
+            np.testing.assert_allclose(np.asarray(res.x[:, k]),
+                                       np.asarray(rk.x), rtol=1e-8,
+                                       atol=1e-10)
+
+    def test_matches_classic_cg_iterations(self):
+        from pykrylov_tpu.solvers.batched import (cg_batched,
+                                                  cg_pipelined_batched)
+        a, rng = self._spd()
+        B = rng.standard_normal((a.shape[0], 2))
+        r1 = cg_batched(jnp.asarray(a), jnp.asarray(B), rtol=1e-8)
+        r2 = cg_pipelined_batched(jnp.asarray(a), jnp.asarray(B),
+                                  rtol=1e-8)
+        assert bool(np.asarray(r2.converged).all())
+        assert abs(int(r1.n_iter) - int(r2.n_iter)) <= 2
+
+    def test_replace_every_and_precon(self):
+        from pykrylov_tpu.ops import DiagonalOperator
+        from pykrylov_tpu.solvers.batched import cg_pipelined_batched
+        a, rng = self._spd()
+        n = a.shape[0]
+        M = DiagonalOperator(jnp.asarray(1.0 / np.diag(a)))
+        xstar = rng.standard_normal((n, 2))
+        B = jnp.asarray(a @ xstar)
+        res = cg_pipelined_batched(jnp.asarray(a), B, M=M, rtol=1e-10,
+                                   replace_every=10)
+        assert bool(np.asarray(res.converged).all())
+        err = np.abs(np.asarray(res.x) - xstar).max()
+        assert err < 1e-7, err
+
+    def test_front_door_block_dispatch(self):
+        from pykrylov_tpu import solve
+        a, rng = self._spd(128)
+        B = jnp.asarray(rng.standard_normal((128, 2)))
+        res = solve(jnp.asarray(a), B, method="cg_pipelined", rtol=1e-8)
+        assert res.x.shape == (128, 2)
+        assert bool(np.asarray(res.converged).all())
+
+    def test_sharded_mesh(self):
+        from pykrylov_tpu.parallel import sharded_poisson3d
+        from pykrylov_tpu.parallel.mesh import make_mesh
+        from pykrylov_tpu.solvers.batched import cg_pipelined_batched
+        mesh = make_mesh(8)
+        op, b, e, pad = sharded_poisson3d(12, mesh, dtype=np.float32,
+                                          halo=True)
+        B = jnp.stack([b, 0.5 * b], axis=1)
+        res = cg_pipelined_batched(op, B, rtol=1e-6, replace_every=10)
+        assert bool(np.asarray(res.converged).all())
+        err = float(jnp.abs(res.x[:, 0] - e).max())
+        assert err < 1e-3, err

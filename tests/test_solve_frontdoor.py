@@ -268,12 +268,13 @@ def test_solve_block_dispatch():
     assert res.x.shape == (n, K)
     res = solve(A, jnp.asarray(spd @ Xs), method="minres", rtol=1e-8)
     assert res.x.shape == (n, K)
-    # ...and the ONE without (cg_pipelined): the restacked
-    # solve_columns fallback, per-column results in info["columns"]
+    # cg_pipelined gained its fused block twin in round 5: the front
+    # door dispatches to it (per-column telemetry, no solve_columns
+    # fallback)
     res = solve(A, jnp.asarray(spd @ Xs), method="cg_pipelined",
                 rtol=1e-8)
     assert res.x.shape == (n, K) and bool(res.converged.all())
-    assert len(res.info["columns"]) == K
+    assert res.info["n_iter_columns"].shape == (K,)
     np.testing.assert_allclose(np.asarray(res.x), Xs, rtol=1e-5,
                                atol=1e-7)
 
