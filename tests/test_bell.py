@@ -781,3 +781,56 @@ def test_row_split_rectangular():
                                rtol=1e-9, atol=1e-9 * sc)
     np.testing.assert_allclose(np.asarray(op.T @ jnp.asarray(xt)),
                                a.T @ xt, rtol=1e-9, atol=1e-9 * sc)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_packer_fuzz_all_knobs(seed):
+    """Property fuzz over the packer's full knob space: every
+    combination must reconstruct the dense oracle exactly
+    (bell_to_dense) and produce an exact interpret-mode matvec.
+    Catches interactions the targeted tests miss (segmentation x
+    spill levels x window mode x idx_fmt x dtype x shapes)."""
+    import itertools
+    rng = np.random.default_rng(1000 + seed)
+    m = int(rng.integers(100, 1200))
+    n = int(rng.integers(100, 40000))
+    nnz = int(rng.integers(50, 4000))
+    bw = None if rng.random() < 0.5 else int(rng.integers(30, 500))
+    coo, rows, cols, vals = _random_coo(m, n, nnz, seed + 7,
+                                        bandwidth=bw)
+    if rng.random() < 0.3:   # sprinkle a heavy row
+        r0 = int(rng.integers(0, m))
+        cc = rng.integers(0, n, 150)
+        vv = rng.standard_normal(150)
+        allr = np.concatenate([rows, np.full(150, r0)])
+        allc = np.concatenate([cols, cc])
+        allv = np.concatenate([vals, vv])
+        key = allr.astype(np.int64) * n + allc
+        _, first = np.unique(key, return_index=True)
+        coo = F.coo_from_arrays(allv[first], allr[first], allc[first],
+                                (m, n), device=False)
+    a = _dense(coo)
+    x = rng.standard_normal(-(-n // 128) * 128 + 256)
+    combos = [(w, sc, seg, fmt)
+              for w in (1, 2) for sc in (None, 12.0)
+              for seg in (True, False) for fmt in ("packed", "int8")]
+    rng.shuffle(combos)
+    for w, sc, seg, fmt in combos[:6]:   # bounded per seed
+        try:
+            b = bell_from_coo(coo, window=w, spill_cost=sc, segment=seg,
+                              idx_fmt=fmt, device=False)
+        except SpanError:
+            continue
+        np.testing.assert_allclose(bell_to_dense(b), a, rtol=0, atol=0,
+                                   err_msg=str((w, sc, seg, fmt)))
+        from pykrylov_tpu.sparse.bell import bell_to_device
+        xp = np.zeros(b.padded_shape[1])
+        k = min(len(x), len(xp))
+        xp[:k] = x[:k]
+        y = np.asarray(bell_matvec_pallas(bell_to_device(b),
+                                          jnp.asarray(xp),
+                                          interpret=True))[:m]
+        ref = a @ xp[:n]
+        np.testing.assert_allclose(
+            y, ref, rtol=1e-9, atol=1e-9 * max(1.0, np.abs(ref).max()),
+            err_msg=str((w, sc, seg, fmt)))
