@@ -99,6 +99,63 @@ def abl_kernel(nb, nblk, GS, nsteps, passes, stage, window, nring,
             xs[r0:r0 + SEG_ROWS, :] = _dot_onehot(
                 iot_s == bseg, wseg, passes, transposed=True)
         xsel = xs[:GS]
+    elif mode == "narrow_pred":
+        # all segments staged NARROW but inside always-true predicates:
+        # isolates the cost of predication around the dots themselves
+        xs = scr[0]
+        for si in range(nseg):
+            sb = seg_ref[st, si]
+            bseg = bands_ref[0, si:si + 1, :]
+            r0 = si * SEG_ROWS
+
+            @pl.when(sb > -999)
+            def _(r0=r0, sb=sb, bseg=bseg):
+                sbc = jnp.maximum(sb, 0)
+                iot_s = jax.lax.broadcasted_iota(
+                    jnp.int32, (seg_bands, SEG_ROWS), 0)
+                wseg = win[slot, pl.ds(sbc * 8, seg_bands), :]
+                xs[r0:r0 + SEG_ROWS, :] = _dot_onehot(
+                    iot_s == bseg, wseg, passes, transposed=True)
+        xsel = xs[:GS]
+    elif mode == "wide_all":
+        # every segment staged WIDE (no predicates): the pure cost of
+        # 8 full-window one-hot dots per step
+        xs = scr[0]
+        for si in range(nseg):
+            bseg = bands_ref[0, si:si + 1, :]
+            r0 = si * SEG_ROWS
+            iot_w = jax.lax.broadcasted_iota(
+                jnp.int32, (nb, SEG_ROWS), 0)
+            xs[r0:r0 + SEG_ROWS, :] = _dot_onehot(
+                iot_w == bseg, win[slot], passes, transposed=True)
+        xsel = xs[:GS]
+    elif mode == "uncond_fori3":
+        # candidate structure: unconditional narrow for ALL segments +
+        # ONE fori_loop of (here 3 static-average) wide dots writing at
+        # dynamic segment positions — no pl.when anywhere
+        xs = scr[0]
+        for si in range(nseg):
+            sb = seg_ref[st, si]
+            bseg = bands_ref[0, si:si + 1, :]
+            r0 = si * SEG_ROWS
+            sbc = jnp.maximum(sb, 0)
+            iot_s = jax.lax.broadcasted_iota(
+                jnp.int32, (seg_bands, SEG_ROWS), 0)
+            wseg = win[slot, pl.ds(sbc * 8, seg_bands), :]
+            xs[r0:r0 + SEG_ROWS, :] = _dot_onehot(
+                iot_s == bseg, wseg, passes, transposed=True)
+
+        def wide_body(si, _):
+            bseg = bands_ref[0, pl.ds(si, 1), :]
+            iot_w = jax.lax.broadcasted_iota(
+                jnp.int32, (nb, SEG_ROWS), 0)
+            v = _dot_onehot(iot_w == bseg, win[slot], passes,
+                            transposed=True)
+            xs[pl.ds(si * SEG_ROWS, SEG_ROWS), :] = v
+            return 0
+
+        jax.lax.fori_loop(0, 3, wide_body, 0)
+        xsel = xs[:GS]
     elif mode in ("mixed", "mixed_i8"):
         # CORRECT mixed staging; wide branches optionally via int8
         # bit planes with the plane build hoisted per step
@@ -181,7 +238,7 @@ print("packing: nsteps %d GS %d segs %d wide %d segW %d"
       % (nsteps, GS, nseg_tot, b.seg_mixed, b.seg_bands), flush=True)
 npad = b.padded_shape[1]; mpad = b.padded_shape[0]
 iters = 2000
-for mode in ("mixed", "mixed_i8"):
+for mode in ("uncond_fori3",):
     def mv(x):
         return bell._bell_matvec_call(
             b.data, b.lanes, b.bands, b.blocks, b.band_lo,
